@@ -1,0 +1,133 @@
+"""DuckDB-oracle differential harness (mirrors the driver's check).
+
+For a named query: run the Spark plan and the oracle SQL over the same
+parquet tables, then compare (row count, column names, order-insensitive
+values).  Floats compare with a small relative tolerance; everything else
+exactly.  Used by tests/test_oracle_parity.py and by dev loops.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+
+import duckdb
+import pandas as pd
+
+from mapreduceproject_spark.sources.catalog import TABLES
+
+FLOAT_REL_TOL = 1e-9
+FLOAT_ABS_TOL = 1e-9
+
+
+def duck_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    """Register every fixture table as a view, as the driver does."""
+    con = duckdb.connect()
+    for name in TABLES:
+        con.execute(
+            f"CREATE VIEW {name} AS SELECT * FROM parquet_scan('{sf_dir.rstrip('/')}/{name}.parquet')"
+        )
+    return con
+
+
+def _canon_cell(v):
+    if v is None:
+        return ("N",)
+    if isinstance(v, float):
+        if math.isnan(v):
+            return ("N",)
+        return ("f", v)
+    if isinstance(v, (list, tuple)):
+        return ("l", tuple(_canon_cell(x) for x in v))
+    if isinstance(v, bytes):
+        return ("b", v)
+    return ("o", str(v))
+
+
+def _canon_rows(pdf: pd.DataFrame) -> list[tuple]:
+    cols = sorted(pdf.columns)
+    rows = [
+        tuple(_canon_cell(row[c]) for c in cols)
+        for _, row in pdf.iterrows()
+    ]
+    # Sort with floats coerced to a stable key (repr of rounded value).
+    def key(row):
+        return tuple(
+            (t[0], round(t[1], 6)) if t[0] == "f" else t for t in row
+        )
+
+    return sorted(rows, key=lambda r: repr([key(r)]))
+
+
+def _cells_equal(a, b) -> bool:
+    if a[0] != b[0]:
+        return False
+    if a[0] == "f":
+        return math.isclose(a[1], b[1], rel_tol=FLOAT_REL_TOL, abs_tol=FLOAT_ABS_TOL)
+    if a[0] == "l":
+        return len(a[1]) == len(b[1]) and all(
+            _cells_equal(x, y) for x, y in zip(a[1], b[1])
+        )
+    return a == b
+
+
+@dataclass
+class ParityReport:
+    name: str
+    spark_rows: int
+    oracle_rows: int
+    columns_match: bool
+    rows_match: bool
+    mismatches: list[str] = field(default_factory=list)
+
+    @property
+    def ok(self) -> bool:
+        return (
+            self.spark_rows == self.oracle_rows
+            and self.columns_match
+            and self.rows_match
+        )
+
+
+def compare_frames(name: str, spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> ParityReport:
+    rep = ParityReport(
+        name=name,
+        spark_rows=len(spark_pdf),
+        oracle_rows=len(oracle_pdf),
+        columns_match=sorted(spark_pdf.columns) == sorted(oracle_pdf.columns),
+        rows_match=False,
+    )
+    if not rep.columns_match:
+        rep.mismatches.append(
+            f"columns spark={sorted(spark_pdf.columns)} oracle={sorted(oracle_pdf.columns)}"
+        )
+        return rep
+    if rep.spark_rows != rep.oracle_rows:
+        rep.mismatches.append(f"rowcount spark={rep.spark_rows} oracle={rep.oracle_rows}")
+        return rep
+    s_rows, o_rows = _canon_rows(spark_pdf), _canon_rows(oracle_pdf)
+    bad = 0
+    for i, (sr, orow) in enumerate(zip(s_rows, o_rows)):
+        if not (len(sr) == len(orow) and all(_cells_equal(a, b) for a, b in zip(sr, orow))):
+            if bad < 5:
+                rep.mismatches.append(f"row[{i}] spark={sr} oracle={orow}")
+            bad += 1
+    rep.rows_match = bad == 0
+    if bad:
+        rep.mismatches.append(f"{bad} mismatched rows total")
+    return rep
+
+
+def check_query(spark, name: str, sf_dir: str) -> ParityReport:
+    from mapreduceproject_spark.plans import ORACLES, QUERIES
+
+    spark_pdf = QUERIES[name](spark, sf_dir).toPandas()
+    if name not in ORACLES:
+        # rows-only check, like the driver's weaker path
+        return ParityReport(name, len(spark_pdf), len(spark_pdf), True, True)
+    con = duck_connect(sf_dir)
+    try:
+        oracle_pdf = con.execute(ORACLES[name]).df()
+    finally:
+        con.close()
+    return compare_frames(name, spark_pdf, oracle_pdf)

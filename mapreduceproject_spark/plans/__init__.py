@@ -1,0 +1,18 @@
+from mapreduceproject_spark.plans.registry import (  # noqa: F401
+    ORACLES,
+    QUERIES,
+    oracle_sql,
+    queries,
+    query,
+)
+
+# Importing these modules populates the registry.
+from mapreduceproject_spark.plans import (  # noqa: F401,E402
+    mapreduce_queries,
+    relational,
+    dedup_queries,
+    similarity_queries,
+    text_queries,
+    multimodal_queries,
+    streaming_queries,
+)

@@ -1,0 +1,47 @@
+"""Table catalog over the driver-generated parquet fixtures.
+
+The reference's namespace is flat filenames gossiped in ``fileTable``
+(/root/reference/src/node.go:24) with prefix-as-directory selection
+(/root/reference/src/master.go:448-453).  Our catalog is: named parquet
+tables under a scale-factor directory, read with explicit Spark readers so
+Catalyst gets real schemas, column pruning and predicate pushdown — none of
+which exist in the reference (bytes-only SDFS, SURVEY §1.2).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one fixture table. Plain parquet scan: pushdown/pruning-ready."""
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    return spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_temp_views(spark: SparkSession, sf_dir: str) -> None:
+    """Expose all fixture tables as temp views for spark.sql() queries."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
