@@ -116,6 +116,28 @@ def line_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "maple_juice_word_count",
+    oracle=f"""
+    SELECT word AS key, CAST(COUNT(*) AS VARCHAR) AS value
+    FROM (SELECT unnest({duck_tokens('text')}) AS word FROM documents)
+    GROUP BY word
+    """,
+)
+def maple_juice_word_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word count through the actual maple/juice job API (function path):
+    maple(tokenize) → juice_algebraic(count) — the reference's flagship
+    pipeline (src/reduce_exe_word_count.go:10-37) driven through our
+    MapReduce surface rather than a hand-built plan."""
+    from mapreduceproject_spark.operators import mapreduce as mr
+
+    docs = load_table(spark, sf_dir, "documents")
+    lines = docs.select(F.col("text").alias("value"))
+    kv = mr.maple(lines, lambda l: ((w, "1") for w in l.split()))
+    out = mr.juice_algebraic(kv, F.count("*"))
+    return out.select("key", F.col("value").cast("string").alias("value"))
+
+
+@query(
     "kv_swap",
     oracle="""
     SELECT source AS k, lang AS v, COUNT(*) AS cnt
