@@ -1,1 +1,628 @@
-"""Populated in later milestones."""
+"""Relational core — everything in SURVEY §2.6's absence list, built on
+stock DataFrame ops so Catalyst owns the physical plan.
+
+The reference has NO joins, aggregations, windows, sorts, set ops, scalar
+functions or SQL (verified absence list, SURVEY §2.6); a user expresses a
+join as two hand-written maple rounds.  These queries are the north-star
+extension: each one is a single declarative plan that Catalyst compiles to
+broadcast/sort-merge joins, partial+final aggregation, and whole-stage
+codegen — the physical machinery the reference's single-master shuffle
+(src/master.go:518-614) could never reach.
+
+Cross-engine float determinism: monetary math is done in DECIMAL(18,4)
+(exact, order-independent, no representable rounding midpoints when cast
+from these fixtures' doubles) and cast to DOUBLE only at the very end, so
+Spark and DuckDB produce bit-identical aggregates regardless of partial-agg
+ordering.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from mapreduceproject_spark.plans.registry import query
+from mapreduceproject_spark.sources.catalog import load_table
+
+DEC = "decimal(18,4)"
+
+
+def dec(col: str | Column) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast(DEC)
+
+
+def _t(name):
+    """table loader shorthand used by every query below"""
+    return lambda spark, sf_dir: load_table(spark, sf_dir, name)
+
+
+lineitem, orders, customer = _t("lineitem"), _t("orders"), _t("customer")
+supplier, nation, region, part, events = (
+    _t("supplier"), _t("nation"), _t("region"), _t("part"), _t("events"),
+)
+
+Q1_CUTOFF = "2000-09-02 00:00:00"
+
+
+@query(
+    "q1_pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS {DEC})) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS {DEC})) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice AS {DEC}) * (1 - CAST(l_discount AS {DEC}))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice AS {DEC}) * (1 - CAST(l_discount AS {DEC})) * (1 + CAST(l_tax AS {DEC}))) AS DOUBLE) AS sum_charge,
+           CAST(SUM(CAST(l_quantity AS {DEC})) AS DOUBLE) / COUNT(*) AS avg_qty,
+           CAST(SUM(CAST(l_extendedprice AS {DEC})) AS DOUBLE) / COUNT(*) AS avg_price,
+           CAST(SUM(CAST(l_discount AS {DEC})) AS DOUBLE) / COUNT(*) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '{Q1_CUTOFF}'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan-heavy grouped aggregate.
+
+    Plan goals at 100 TB: filter + 7-column projection pushed into the
+    parquet scan; partial aggregation before the (tiny, 6-group) exchange.
+    """
+    li = lineitem(spark, sf_dir)
+    disc_price = dec("l_extendedprice") * (1 - dec("l_discount"))
+    charge = disc_price * (1 + dec("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit(Q1_CUTOFF).cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            (F.sum(dec("l_quantity")).cast("double") / F.count("*")).alias("avg_qty"),
+            (F.sum(dec("l_extendedprice")).cast("double") / F.count("*")).alias("avg_price"),
+            (F.sum(dec("l_discount")).cast("double") / F.count("*")).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@query(
+    "q3_shipping_priority",
+    oracle=f"""
+    SELECT o_orderkey,
+           CAST(SUM(CAST(l_extendedprice AS {DEC}) * (1 - CAST(l_discount AS {DEC}))) AS DOUBLE) AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l_shipdate  > TIMESTAMP '1998-03-15 00:00:00'
+    GROUP BY o_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, o_orderkey
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective 3-way join + top-k.
+
+    customer is orders/lineitem-sized ÷ ~40 → broadcast-able at any SF
+    where dims fit executors; the ORDER BY ... LIMIT compiles to
+    TakeOrderedAndProject (no global sort at scale).
+    """
+    cutoff = F.lit("1998-03-15 00:00:00").cast("timestamp_ntz")
+    cust = customer(spark, sf_dir).filter(F.col("c_mktsegment") == "BUILDING")
+    ords = orders(spark, sf_dir).filter(F.col("o_orderdate") < cutoff)
+    li = lineitem(spark, sf_dir).filter(F.col("l_shipdate") > cutoff)
+    revenue = dec("l_extendedprice") * (1 - dec("l_discount"))
+    return (
+        li.join(ords, li.l_orderkey == ords.o_orderkey)
+        .join(F.broadcast(cust), ords.o_custkey == cust.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .select("o_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "q5_region_revenue",
+    oracle=f"""
+    SELECT n_name,
+           CAST(SUM(CAST(l_extendedprice AS {DEC}) * (1 - CAST(l_discount AS {DEC}))) AS DOUBLE) AS revenue
+    FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+      JOIN orders   ON l_orderkey = o_orderkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n_name
+    """,
+)
+def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: star join (fact ⋈ 3 dims ⋈ fact) with region filter.
+
+    supplier/nation/region are classic broadcast dims; the only real
+    shuffle at scale is lineitem ⋈ orders on orderkey.
+    """
+    li = lineitem(spark, sf_dir)
+    sup, nat, reg = supplier(spark, sf_dir), nation(spark, sf_dir), region(spark, sf_dir)
+    ords = orders(spark, sf_dir).filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp_ntz"))
+    )
+    dims = F.broadcast(
+        sup.join(nat, sup.s_nationkey == nat.n_nationkey)
+        .join(reg.filter(F.col("r_name") == "ASIA"), nat.n_regionkey == reg.r_regionkey)
+        .select("s_suppkey", "n_name")
+    )
+    revenue = dec("l_extendedprice") * (1 - dec("l_discount"))
+    return (
+        li.join(ords, li.l_orderkey == ords.o_orderkey)
+        .join(dims, li.l_suppkey == dims.s_suppkey)
+        .groupBy("n_name")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+    )
+
+
+@query(
+    "join_inner_enrich",
+    oracle=f"""
+    SELECT n_name, COUNT(*) AS order_cnt,
+           CAST(SUM(CAST(o_totalprice AS {DEC})) AS DOUBLE) AS total_spend
+    FROM orders JOIN customer ON o_custkey = c_custkey
+                JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def join_inner_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plain inner equi-join chain, dimension-enriched aggregate."""
+    ords, cust, nat = orders(spark, sf_dir), customer(spark, sf_dir), nation(spark, sf_dir)
+    return (
+        ords.join(F.broadcast(cust), ords.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("order_cnt"),
+            F.sum(dec("o_totalprice")).cast("double").alias("total_spend"),
+        )
+    )
+
+
+@query(
+    "join_left_null_extension",
+    oracle="""
+    SELECT c_custkey, COALESCE(o_cnt, 0) AS order_cnt
+    FROM customer LEFT JOIN (
+      SELECT o_custkey, COUNT(*) AS o_cnt FROM orders GROUP BY o_custkey
+    ) o ON c_custkey = o_custkey
+    """,
+)
+def join_left_null_extension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER join preserving customers with zero orders (null side
+    coalesced) — aggregate-before-join keeps the shuffle minimal."""
+    cust, ords = customer(spark, sf_dir), orders(spark, sf_dir)
+    per_cust = ords.groupBy("o_custkey").agg(F.count("*").alias("o_cnt"))
+    return cust.join(per_cust, cust.c_custkey == per_cust.o_custkey, "left").select(
+        "c_custkey", F.coalesce("o_cnt", F.lit(0)).alias("order_cnt")
+    )
+
+
+@query(
+    "join_semi",
+    oracle="""
+    SELECT c_mktsegment, COUNT(*) AS active_customers
+    FROM customer WHERE EXISTS (
+      SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'O'
+    )
+    GROUP BY c_mktsegment
+    """,
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI join (EXISTS): customers with ≥1 open order."""
+    cust, ords = customer(spark, sf_dir), orders(spark, sf_dir)
+    open_orders = ords.filter(F.col("o_orderstatus") == "O")
+    return (
+        cust.join(open_orders, cust.c_custkey == open_orders.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("active_customers"))
+    )
+
+
+@query(
+    "join_anti",
+    oracle="""
+    SELECT c_mktsegment, COUNT(*) AS inactive_customers
+    FROM customer WHERE NOT EXISTS (
+      SELECT 1 FROM orders
+      WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT'
+    )
+    GROUP BY c_mktsegment
+    """,
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI join (NOT EXISTS): customers with no urgent orders."""
+    cust, ords = customer(spark, sf_dir), orders(spark, sf_dir)
+    urgent = ords.filter(F.col("o_orderpriority") == "1-URGENT")
+    return (
+        cust.join(urgent, cust.c_custkey == urgent.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("inactive_customers"))
+    )
+
+
+@query(
+    "join_broadcast_dim",
+    oracle=f"""
+    SELECT p_brand,
+           CAST(SUM(CAST(l_extendedprice AS {DEC}) * (1 - CAST(l_discount AS {DEC}))) AS DOUBLE) AS revenue,
+           COUNT(*) AS line_cnt
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY p_brand
+    """,
+)
+def join_broadcast_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact ⋈ small dim with an explicit broadcast hint — at 100 TB the
+    part dim for this schema stays MB-sized, so no shuffle of lineitem."""
+    li, p = lineitem(spark, sf_dir), part(spark, sf_dir)
+    revenue = dec("l_extendedprice") * (1 - dec("l_discount"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.sum(revenue).cast("double").alias("revenue"),
+            F.count("*").alias("line_cnt"),
+        )
+    )
+
+
+@query(
+    "agg_distinct",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(DISTINCT o_custkey) AS distinct_customers,
+           COUNT(*) AS order_cnt
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT) — Catalyst plans it as a two-phase expand+agg."""
+    return (
+        orders(spark, sf_dir)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.countDistinct("o_custkey").alias("distinct_customers"),
+            F.count("*").alias("order_cnt"),
+        )
+    )
+
+
+@query(
+    "agg_rollup",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS gid,
+           CAST(SUM(CAST(l_quantity AS {DEC})) AS DOUBLE) AS sum_qty,
+           COUNT(*) AS cnt
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals with explicit grouping-flag arithmetic (the
+    same formula on both engines, avoiding grouping_id bit-order trivia)."""
+    return (
+        lineitem(spark, sf_dir)
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+            (F.grouping("l_returnflag") * 2 + F.grouping("l_linestatus")).alias("gid"),
+            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.count("*").alias("cnt"),
+        )
+        .select("l_returnflag", "l_linestatus", "gid", "sum_qty", "cnt")
+    )
+
+
+@query(
+    "agg_cube",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS gid,
+           COUNT(*) AS cnt
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over two low-cardinality dims."""
+    return (
+        orders(spark, sf_dir)
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            (F.grouping("o_orderstatus") * 2 + F.grouping("o_orderpriority")).alias("gid"),
+            F.count("*").alias("cnt"),
+        )
+        .select("o_orderstatus", "o_orderpriority", "gid", "cnt")
+    )
+
+
+@query(
+    "topk_orders",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 25
+    """,
+)
+def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k: ORDER BY + LIMIT → TakeOrderedAndProject (per-partition
+    heap + driver merge of k rows), never a full sort at scale."""
+    return (
+        orders(spark, sf_dir)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(25)
+    )
+
+
+@query(
+    "set_operations",
+    oracle="""
+    SELECT
+      (SELECT COUNT(*) FROM (
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        UNION
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')) AS union_cnt,
+      (SELECT COUNT(*) FROM (
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        INTERSECT
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')) AS intersect_cnt,
+      (SELECT COUNT(*) FROM (
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        EXCEPT
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')) AS except_cnt
+    """,
+)
+def set_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION / INTERSECT / EXCEPT (distinct semantics) in one scalar row.
+    The reference's only set-like op is shuffle-file append — a degenerate
+    UNION ALL (src/master.go:559)."""
+    ords = orders(spark, sf_dir)
+    a = ords.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    b = ords.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    return (
+        a.union(b).distinct().agg(F.count("*").alias("union_cnt"))
+        .crossJoin(a.intersect(b).agg(F.count("*").alias("intersect_cnt")))
+        .crossJoin(a.subtract(b).agg(F.count("*").alias("except_cnt")))
+    )
+
+
+@query(
+    "window_rank_top3",
+    oracle="""
+    SELECT n_name, c_custkey, c_acctbal, rn FROM (
+      SELECT n_name, c_custkey, c_acctbal,
+             ROW_NUMBER() OVER (PARTITION BY n_name ORDER BY c_acctbal DESC, c_custkey) AS rn
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+    ) WHERE rn <= 3
+    """,
+)
+def window_rank_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k via ROW_NUMBER — the scalable grouped-top-k idiom
+    (WindowGroupLimit pushes the k-filter into the sort at scale)."""
+    cust, nat = customer(spark, sf_dir), nation(spark, sf_dir)
+    w = Window.partitionBy("n_name").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return (
+        cust.join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .select("n_name", "c_custkey", "c_acctbal", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@query(
+    "window_lag_gap",
+    oracle="""
+    SELECT event_id, user_id,
+           epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+    FROM events
+    """,
+)
+def window_lag_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAG over event time per user: inter-event gap in exact microseconds
+    (epoch-µs integers sidestep cross-engine date_diff convention drift)."""
+    ev = events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    micros = F.unix_micros(F.col("ts").cast("timestamp"))
+    return ev.select(
+        "event_id", "user_id", (micros - F.lag(micros).over(w)).alias("gap_us")
+    )
+
+
+@query(
+    "window_running_sum",
+    oracle=f"""
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS {DEC})) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
+    FROM orders
+    """,
+)
+def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative spend per customer with an explicit ROWS frame (exact
+    decimal accumulation → deterministic across engines)."""
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders(spark, sf_dir).select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(dec("o_totalprice")).over(w).cast("double").alias("running_spend"),
+    )
+
+
+@query(
+    "scalar_functions",
+    oracle="""
+    SELECT p_partkey,
+           upper(p_name) AS up_name,
+           length(p_name) AS name_len,
+           replace(p_type, ' ', '_') AS type_slug,
+           substr(p_type, 1, 5) AS type_prefix,
+           concat(p_brand, ':', CAST(p_size AS VARCHAR)) AS brand_size,
+           p_partkey % 7 AS key_mod,
+           abs(p_size - 25) AS size_dev,
+           sqrt(CAST(p_size AS DOUBLE)) AS size_sqrt,
+           p_retailprice * 1.1 AS price_with_tax,
+           CAST(len(string_split(p_type, ' ')) AS BIGINT) AS type_words
+    FROM part
+    """,
+)
+def scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar string/math/array function surface — all JVM-side builtins
+    (the reference pushes every scalar into user executables, SURVEY §2.6)."""
+    p = part(spark, sf_dir)
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("up_name"),
+        F.length("p_name").cast("long").alias("name_len"),
+        F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("type_slug"),
+        F.substring("p_type", 1, 5).alias("type_prefix"),
+        F.concat(F.col("p_brand"), F.lit(":"), F.col("p_size").cast("string")).alias("brand_size"),
+        (F.col("p_partkey") % 7).alias("key_mod"),
+        F.abs(F.col("p_size") - 25).cast("long").alias("size_dev"),
+        F.sqrt(F.col("p_size").cast("double")).alias("size_sqrt"),
+        (F.col("p_retailprice") * 1.1).alias("price_with_tax"),
+        F.size(F.split("p_type", " ")).cast("long").alias("type_words"),
+    )
+
+
+@query(
+    "date_functions",
+    oracle="""
+    SELECT year(o_orderdate) AS order_year,
+           quarter(o_orderdate) AS order_quarter,
+           month(o_orderdate) AS order_month,
+           COUNT(*) AS cnt,
+           CAST(MIN(o_orderdate + INTERVAL 30 DAY) AS TIMESTAMP) AS min_due,
+           CAST(MAX(date_trunc('month', o_orderdate)) AS TIMESTAMP) AS max_month_start
+    FROM orders
+    GROUP BY 1, 2, 3
+    """,
+)
+def date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time function surface: extraction, interval arithmetic, trunc."""
+    o = orders(spark, sf_dir)
+    return (
+        o.groupBy(
+            F.year("o_orderdate").cast("long").alias("order_year"),
+            F.quarter("o_orderdate").cast("long").alias("order_quarter"),
+            F.month("o_orderdate").cast("long").alias("order_month"),
+        )
+        .agg(
+            F.count("*").alias("cnt"),
+            F.min(F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")).alias("min_due"),
+            F.max(F.date_trunc("month", "o_orderdate")).alias("max_month_start"),
+        )
+    )
+
+
+@query(
+    "json_extract_props",
+    oracle="""
+    SELECT event_type,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           COUNT(*) AS cnt
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON path extraction from the events.props payload column."""
+    ev = events(spark, sf_dir)
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.sum(F.get_json_object("props", "$.k").cast("long")).alias("sum_k"),
+            F.count("*").alias("cnt"),
+        )
+    )
+
+
+@query(
+    "asof_join_last_signup",
+    oracle="""
+    SELECT p.event_id, p.user_id, p.ts, s.ts AS last_signup_ts
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+      ON p.user_id = s.user_id AND p.ts >= s.ts
+    """,
+)
+def asof_join_last_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for each purchase, the user's most recent signup at or
+    before it.  Spark lacks a native ASOF operator, so this composes one
+    from a union + running last_value(ignorenulls) window — one shuffle by
+    user_id, no range explosion, skew-safe (SURVEY §7.2 custom-operator
+    path (a): composition of existing DataFrame ops)."""
+    ev = events(spark, sf_dir).filter(F.col("event_type").isin("purchase", "signup"))
+    tagged = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        F.when(F.col("event_type") == "signup", F.col("ts")).alias("s_ts"),
+        # signup sorts before purchase at identical ts → >= semantics
+        F.when(F.col("event_type") == "signup", F.lit(0)).otherwise(F.lit(1)).alias("tag"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "tag", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        tagged.withColumn("last_signup_ts", F.last("s_ts", ignorenulls=True).over(w))
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "ts", "last_signup_ts")
+    )
+
+
+@query(
+    "range_join_value_buckets",
+    oracle=f"""
+    SELECT b.label,
+           COUNT(*) AS event_cnt,
+           CAST(SUM(CAST(e.value AS {DEC})) AS DOUBLE) AS value_sum
+    FROM events e
+    JOIN (VALUES ('low', 0.0, 50.0), ('mid', 50.0, 150.0),
+                 ('high', 150.0, 300.0), ('xhigh', 300.0, 1000.0))
+         b(label, lo, hi)
+      ON e.value >= b.lo AND e.value < b.hi
+    GROUP BY b.label
+    """,
+)
+def range_join_value_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval) join against a tiny bucket dim — broadcast nested
+    loop, so the fact side streams once with no shuffle."""
+    ev = events(spark, sf_dir)
+    buckets = ev.sparkSession.createDataFrame(
+        [("low", 0.0, 50.0), ("mid", 50.0, 150.0), ("high", 150.0, 300.0),
+         ("xhigh", 300.0, 1000.0)],
+        ["label", "lo", "hi"],
+    )
+    return (
+        ev.join(
+            F.broadcast(buckets),
+            (ev.value >= buckets.lo) & (ev.value < buckets.hi),
+        )
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("event_cnt"),
+            F.sum(dec("value")).cast("double").alias("value_sum"),
+        )
+    )

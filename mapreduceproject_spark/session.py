@@ -46,6 +46,10 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or 32))
+        # Fixture parquet stores TIMESTAMP(NANOS) which Spark cannot read
+        # natively; read as long and convert in the catalog (floor to µs,
+        # matching DuckDB's scan-time behavior).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # Small local parquet fixtures: don't fragment scans into tiny tasks.
         .config("spark.sql.files.maxPartitionBytes", "128m")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
