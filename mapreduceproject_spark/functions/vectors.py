@@ -34,6 +34,45 @@ def cosine_similarity(a: Column, b: Column) -> Column:
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
 
 
+QUANT_SCALE = 1_000_000
+
+
+def quantize(col: Column) -> Column:
+    """array<long>: floor(x * 1e6) per element.
+
+    Floor (unlike round) has no half-way ambiguity, so two engines seeing
+    the same doubles produce the same integers.  64-dim dots of ±1e6 ints
+    stay < 2^63 with lots of headroom (no ANSI overflow).
+    """
+    return F.transform(col, lambda x: F.floor(x.cast("double") * QUANT_SCALE).cast("long"))
+
+
+def quantized_cosine(a: Column, b: Column) -> Column:
+    """Cosine over quantized vectors: integer sums are exact and
+    order-independent, so the final double is bit-identical on every
+    engine — the determinism workhorse for embedding queries."""
+    qa, qb = quantize(a), quantize(b)
+    d = F.aggregate(F.zip_with(qa, qb, lambda x, y: x * y), F.lit(0).cast("long"), lambda acc, x: acc + x)
+    na = F.aggregate(qa, F.lit(0).cast("long"), lambda acc, x: acc + x * x)
+    nb = F.aggregate(qb, F.lit(0).cast("long"), lambda acc, x: acc + x * x)
+    return d.cast("double") / (F.sqrt(na.cast("double")) * F.sqrt(nb.cast("double")))
+
+
+def duck_quantize(expr: str) -> str:
+    return f"list_transform({expr}, x -> CAST(floor(CAST(x AS DOUBLE) * {QUANT_SCALE}) AS BIGINT))"
+
+
+def duck_quantized_cosine(qa: str, qb: str) -> str:
+    """DuckDB twin of :func:`quantized_cosine`; ``qa``/``qb`` must already
+    be quantized BIGINT[] expressions (quantize once in a CTE, reuse)."""
+    dot = (
+        f"list_aggregate(list_transform(range(1, len({qa})+1), i -> ({qa})[i] * ({qb})[i]), 'sum')"
+    )
+    na = f"list_aggregate(list_transform({qa}, x -> x * x), 'sum')"
+    nb = f"list_aggregate(list_transform({qb}, x -> x * x), 'sum')"
+    return f"(CAST({dot} AS DOUBLE) / (sqrt(CAST({na} AS DOUBLE)) * sqrt(CAST({nb} AS DOUBLE))))"
+
+
 def duck_cosine(a_expr: str, b_expr: str) -> str:
     """DuckDB twin: same sequential-order double-precision cosine."""
     return (

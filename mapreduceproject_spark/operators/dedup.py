@@ -1,0 +1,379 @@
+"""Deduplication operators for LLM-data pipelines.
+
+The reference has no dedup (its only "dedup-adjacent" primitive is
+key-grouping, /root/reference/src/juice_helpers.go:286-316); these are the
+north-star extensions from BASELINE.json, built as compositions of stock
+DataFrame ops (SURVEY §7.2 custom-operator path (a)).
+
+Scale design, common to all five:
+- candidate generation NEVER enumerates O(n²): exact dedup hashes to
+  groups; minhash/simhash band into buckets and only intra-bucket pairs
+  are joined; n-gram jaccard blocks on (lang, length band); embedding
+  near-dup assigns to IVF centroids and pairs only within a cell.
+- verification (exact jaccard / hamming / cosine) runs only on candidate
+  pairs, so the expensive step is proportional to the near-dup density,
+  not the corpus size.
+- every hash is the portable md5-derived :func:`hash60`, so DuckDB
+  oracles replicate results bit-for-bit (functions/hashing.py).
+
+At 1000-executor scale the bucket self-joins shuffle by bucket key; a
+pathological bucket (all-identical spam) is the classic skew case — AQE
+skew-join splits it, and the band/bucket width parameters below are the
+pressure valves.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from mapreduceproject_spark.functions.hashing import (
+    MERSENNE_P,
+    hash60,
+    minhash_params,
+    minhash_perm,
+)
+from mapreduceproject_spark.functions.textfn import char_ngrams, tokens, word_shingles
+from mapreduceproject_spark.functions.vectors import quantized_cosine
+
+
+# ---------------------------------------------------------------------------
+# 1. exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_dedup_groups(
+    df: DataFrame, id_col: str, key: Column, min_group: int = 2
+) -> DataFrame:
+    """Exact duplicate groups under a normalization key.
+
+    Returns one row per duplicate group: md5 of the key, the surviving id
+    (min), and the number of discarded duplicates.  One hash-shuffle on the
+    key; survivors-only output keeps the result tiny at any scale.
+    """
+    return (
+        df.select(F.md5(key).alias("key_md5"), F.col(id_col))
+        .groupBy("key_md5")
+        .agg(
+            F.min(id_col).alias("keeper"),
+            (F.count("*") - 1).alias("dup_count"),
+        )
+        .filter(F.col("dup_count") >= min_group - 1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# 2. MinHash + LSH banding
+# ---------------------------------------------------------------------------
+
+def shingle_hashes(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
+    """Distinct (id, shingle-hash60) pairs — the set representation used by
+    both signature building and exact-jaccard verification."""
+    return (
+        df.select(F.col(id_col).alias("_id"), F.explode(word_shingles(F.col(text_col), k)).alias("sh"))
+        .select("_id", hash60(F.col("sh")).alias("h"))
+        .distinct()
+    )
+
+
+def minhash_signatures(hashed: DataFrame, num_hashes: int, seed: int = 42) -> DataFrame:
+    """One row per id with columns m0..m{n-1} (universal-hash minima).
+
+    A single groupBy computes every permutation minimum — one shuffle of
+    the (id, h) pairs regardless of signature width.
+    """
+    params = minhash_params(num_hashes, seed)
+    aggs = [
+        F.min(minhash_perm(F.col("h"), a, b)).alias(f"m{i}")
+        for i, (a, b) in enumerate(params)
+    ]
+    return hashed.groupBy("_id").agg(*aggs)
+
+
+def lsh_band_buckets(sigs: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+    """Explode signatures into (band, band-signature) bucket keys."""
+    rows_per_band = num_hashes // bands
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat_ws(
+                ",",
+                *[F.col(f"m{b * rows_per_band + r}").cast("string") for r in range(rows_per_band)],
+            ).alias("sig"),
+        )
+        for b in range(bands)
+    ]
+    return sigs.select(
+        "_id", F.explode(F.array(*band_structs)).alias("bk")
+    ).select("_id", F.col("bk.band").alias("band"), F.col("bk.sig").alias("sig"))
+
+
+def candidate_pairs_from_buckets(buckets: DataFrame) -> DataFrame:
+    """Self-join per bucket → distinct unordered candidate pairs (a < b)."""
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .distinct()
+    )
+
+
+def verify_jaccard(pairs: DataFrame, hashed: DataFrame, threshold: float) -> DataFrame:
+    """Exact jaccard over the hashed-shingle sets, filtered to ``threshold``.
+
+    Intersections come from a hash-equi join restricted to candidate pairs;
+    |A∪B| = |A|+|B|-|A∩B|.  Integer-ratio division → identical doubles on
+    every engine.
+    """
+    sizes = hashed.groupBy("_id").agg(F.count("*").alias("n"))
+    ha = hashed.select(F.col("_id").alias("id_a"), F.col("h").alias("ha"))
+    hb = hashed.select(F.col("_id").alias("_idb"), F.col("h").alias("hb"))
+    inter = (
+        pairs.join(ha, "id_a")
+        .join(hb, (F.col("id_b") == F.col("_idb")) & (F.col("ha") == F.col("hb")))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("both"))
+    )
+    na = sizes.select(F.col("_id").alias("id_a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col("_id").alias("id_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(na, "id_a")
+        .join(nb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (F.col("both") / (F.col("na") + F.col("nb") - F.col("both"))).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_lsh_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 12,
+    bands: int = 4,
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-duplicate pairs: shingle → minhash → LSH bands → exact verify.
+
+    Output: (id_a, id_b, jaccard) for candidate pairs with jaccard ≥
+    threshold.  Cost at scale: one shuffle to build signatures, one
+    bucket self-join sized by collision density, one verify join sized by
+    candidate count.
+    """
+    hashed = shingle_hashes(df, id_col, text_col, shingle_k)
+    sigs = minhash_signatures(hashed, num_hashes, seed)
+    buckets = lsh_band_buckets(sigs, num_hashes, bands)
+    pairs = candidate_pairs_from_buckets(buckets)
+    return verify_jaccard(pairs, hashed, threshold)
+
+
+# ---------------------------------------------------------------------------
+# 3. SimHash
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 32
+SIMHASH_BANDS = 4  # 8-bit bands
+
+
+def simhash_signature(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """32-bit simhash per document from distinct-token hash60 bit votes.
+
+    explode(tokens) × explode(bit positions) → per-bit ±1 votes → sign →
+    reassembled integer.  Two narrow shuffles; entirely JVM-side.
+    """
+    tok = (
+        df.select(F.col(id_col).alias("_id"), F.explode(tokens(F.col(text_col))).alias("t"))
+        .distinct()
+        .select("_id", hash60(F.col("t")).alias("h"))
+    )
+    bits = tok.select(
+        "_id",
+        F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("bit"),
+        "h",
+    ).select(
+        "_id",
+        "bit",
+        # SQL shiftright/shiftleft accept column shift amounts; the Python
+        # wrappers only take ints, hence expr().
+        F.when(F.expr("shiftright(h, bit) & 1") == 1, 1).otherwise(-1).alias("vote"),
+    )
+    votes = bits.groupBy("_id", "bit").agg(F.sum("vote").alias("v"))
+    return votes.groupBy("_id").agg(
+        F.sum(
+            F.when(F.col("v") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), bit)")).otherwise(0)
+        ).alias("sig")
+    )
+
+
+def simhash_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by simhash: band-bucket candidates, hamming verify.
+
+    Candidates share at least one of four 8-bit bands (pigeonhole: any
+    pair with hamming ≤ 3 must share a band; ≤ ``max_hamming`` may lose a
+    few — the documented recall/cost tradeoff of banding).
+    """
+    sigs = simhash_signature(df, id_col, text_col)
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.shiftright(F.col("sig"), 8 * b).bitwiseAND(255).alias("bsig"),
+        )
+        for b in range(SIMHASH_BANDS)
+    ]
+    buckets = sigs.select(
+        "_id", "sig", F.explode(F.array(*band_structs)).alias("bk")
+    ).select("_id", "sig", F.col("bk.band").alias("band"), F.col("bk.bsig").alias("bsig"))
+    a = buckets.select(
+        F.col("_id").alias("id_a"), F.col("sig").alias("sig_a"), "band", "bsig"
+    )
+    b = buckets.select(
+        F.col("_id").alias("id_b"), F.col("sig").alias("sig_b"), "band", "bsig"
+    )
+    pairs = (
+        a.join(b, ["band", "bsig"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (
+        pairs.select("id_a", "id_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+# ---------------------------------------------------------------------------
+# 4. character n-gram jaccard
+# ---------------------------------------------------------------------------
+
+def ngram_jaccard_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_cols: list[str],
+    length_col: str,
+    n: int = 3,
+    length_band: int = 8,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """n-gram jaccard near-dup within (block_cols, |length diff| ≤ band).
+
+    Blocking: equi-join on block columns + a length range predicate — the
+    classic blocking-key pattern.  At 100 TB the equi part shuffles; the
+    range filter prunes inside each block.  (For unblockable corpora use
+    :func:`minhash_lsh_dedup`; this operator is the high-precision verify
+    for metadata-blockable data.)
+    """
+    grams = (
+        df.select(
+            F.col(id_col).alias("_id"),
+            *[F.col(c) for c in block_cols],
+            F.col(length_col).alias("_len"),
+            F.explode(char_ngrams(F.lower(F.col(text_col)), n)).alias("g"),
+        )
+        .select("_id", *block_cols, "_len", hash60(F.col("g")).alias("h"))
+        .distinct()
+    )
+    docs = grams.groupBy("_id", *block_cols, "_len").agg(F.count("*").alias("n_grams"))
+    a = docs.select(
+        F.col("_id").alias("id_a"),
+        *[F.col(c).alias(f"{c}_a") for c in block_cols],
+        F.col("_len").alias("len_a"),
+        F.col("n_grams").alias("na"),
+    )
+    b = docs.select(
+        F.col("_id").alias("id_b"),
+        *[F.col(c).alias(f"{c}_b") for c in block_cols],
+        F.col("_len").alias("len_b"),
+        F.col("n_grams").alias("nb"),
+    )
+    cond = (F.col("id_a") < F.col("id_b")) & (
+        F.abs(F.col("len_a") - F.col("len_b")) <= length_band
+    )
+    for c in block_cols:
+        cond = cond & (F.col(f"{c}_a") == F.col(f"{c}_b"))
+    pairs = a.join(b, cond).select("id_a", "id_b", "na", "nb")
+    ga = grams.select(F.col("_id").alias("id_a"), F.col("h").alias("ha"))
+    gb = grams.select(F.col("_id").alias("_idb"), F.col("h").alias("hb"))
+    inter = (
+        pairs.join(ga, "id_a")
+        .join(gb, (F.col("id_b") == F.col("_idb")) & (F.col("ha") == F.col("hb")))
+        .groupBy("id_a", "id_b", "na", "nb")
+        .agg(F.count("*").alias("both"))
+    )
+    return inter.select(
+        "id_a",
+        "id_b",
+        (F.col("both") / (F.col("na") + F.col("nb") - F.col("both"))).alias("jaccard"),
+    ).filter(F.col("jaccard") >= threshold)
+
+
+# ---------------------------------------------------------------------------
+# 5. embedding cosine near-dup (IVF-bucketed)
+# ---------------------------------------------------------------------------
+
+def ivf_assign(vectors: DataFrame, centroids: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """Assign each vector to its max-cosine centroid (deterministic ties →
+    lowest centroid id).  centroids must be broadcast-small."""
+    scored = vectors.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")
+    ).crossJoin(F.broadcast(centroids.select(F.col("cid"), F.col("cvec"))))
+    scored = scored.select(
+        "_id", "_v", "cid", quantized_cosine(F.col("_v"), F.col("cvec")).alias("cos")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("_id").orderBy(F.desc("cos"), F.asc("cid"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("_id", "_v", "cid")
+    )
+
+
+def embedding_near_dup(
+    vectors: DataFrame,
+    id_col: str,
+    vec_col: str,
+    num_centroids: int = 16,
+    threshold: float = 0.4,
+) -> DataFrame:
+    """Cosine near-dup pairs within IVF cells.
+
+    Centroids are the vectors with id < ``num_centroids`` — deterministic
+    seeds (contiguous ids assumed), so the oracle can replicate the exact
+    cell assignment.  The all-pairs product is confined to each cell:
+    n²/k instead of n², the IVF scale pattern (a cross-cell near-dup can
+    be missed per the standard IVF recall tradeoff; raise centroid count
+    or add multi-probe to tune).  Cosines use the quantized-integer path
+    (functions/vectors.py) so results are engine-exact.
+    """
+    centroids = vectors.filter(F.col(id_col) < num_centroids).select(
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec")
+    )
+    assigned = ivf_assign(vectors, centroids, id_col, vec_col)
+    a = assigned.select(F.col("_id").alias("id_a"), F.col("_v").alias("va"), "cid")
+    b = assigned.select(F.col("_id").alias("id_b"), F.col("_v").alias("vb"), "cid")
+    return (
+        a.join(b, "cid")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b", quantized_cosine(F.col("va"), F.col("vb")).alias("cosine")
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -1,1 +1,234 @@
-"""Populated in later milestones."""
+"""Dedup suite over the documents/embeddings tables (BASELINE.json north
+star).  Every oracle replicates the operator's exact algorithm — same
+md5-derived hashes, same permutation constants, same banding — so the
+DuckDB result is bit-identical, not merely statistically similar.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreduceproject_spark.functions.hashing import (
+    MERSENNE_P as P,
+)
+from mapreduceproject_spark.functions.hashing import (
+    duck_hash60,
+    minhash_params,
+)
+from mapreduceproject_spark.functions.textfn import (
+    duck_char_ngrams,
+    duck_tokens,
+    duck_word_shingles,
+)
+from mapreduceproject_spark.functions.vectors import (
+    duck_quantize,
+    duck_quantized_cosine,
+)
+from mapreduceproject_spark.operators import dedup as dd
+from mapreduceproject_spark.plans.registry import query
+from mapreduceproject_spark.sources.catalog import load_table
+
+# -- parameters pinned identically in Spark code and oracle SQL -------------
+MINHASH_N, MINHASH_BANDS, SHINGLE_K, JACCARD_THR = 12, 4, 3, 0.5
+MINHASH_SEED = 42
+NGRAM_N, NGRAM_LEN_BAND, NGRAM_THR = 3, 8, 0.55
+SIMHASH_MAX_HAMMING = 4
+IVF_CENTROIDS, COSINE_THR = 16, 0.4
+EXACT_PREFIX = 80
+
+
+@query(
+    "dedup_exact",
+    oracle=f"""
+    SELECT md5(substr(text, 1, {EXACT_PREFIX})) AS key_md5,
+           MIN(doc_id) AS keeper,
+           COUNT(*) - 1 AS dup_count
+    FROM documents
+    GROUP BY 1
+    HAVING COUNT(*) >= 2
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-hash dedup groups under prefix normalization (first
+    {EXACT_PREFIX} chars) — the hash-groupBy pattern; one shuffle on the
+    content hash, output proportional to duplicate density."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.exact_dedup_groups(
+        docs, "doc_id", F.substring("text", 1, EXACT_PREFIX)
+    )
+
+
+def _minhash_oracle() -> str:
+    params = minhash_params(MINHASH_N, MINHASH_SEED)
+    mins = ",\n           ".join(
+        f"min((h % {P}) * {a} % {P} + {b}) AS m{i}" for i, (a, b) in enumerate(params)
+    )
+    rpb = MINHASH_N // MINHASH_BANDS
+    band_selects = "\n      UNION ALL ".join(
+        "SELECT id, {b} AS band, concat_ws(',', {cols}) AS sig FROM sigs".format(
+            b=b,
+            cols=", ".join(f"m{b * rpb + r}" for r in range(rpb)),
+        )
+        for b in range(MINHASH_BANDS)
+    )
+    return f"""
+    WITH sh AS (
+      SELECT DISTINCT doc_id AS id, {duck_hash60("sh")} AS h
+      FROM (SELECT doc_id, unnest({duck_word_shingles("text", SHINGLE_K)}) AS sh
+            FROM documents)
+    ),
+    sigs AS (SELECT id, {mins} FROM sh GROUP BY id),
+    bands AS ({band_selects}),
+    pairs AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.id < b.id
+    ),
+    sizes AS (SELECT id, COUNT(*) AS n FROM sh GROUP BY id),
+    inter AS (
+      SELECT p.id_a, p.id_b, COUNT(*) AS both
+      FROM pairs p JOIN sh x ON x.id = p.id_a JOIN sh y ON y.id = p.id_b AND y.h = x.h
+      GROUP BY 1, 2
+    )
+    SELECT i.id_a, i.id_b, i.both / (na.n + nb.n - i.both) AS jaccard
+    FROM inter i JOIN sizes na ON na.id = i.id_a JOIN sizes nb ON nb.id = i.id_b
+    WHERE i.both / (na.n + nb.n - i.both) >= {JACCARD_THR}
+    """
+
+
+@query("dedup_minhash_lsh", oracle=_minhash_oracle())
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs: {SHINGLE_K}-word shingles → {MINHASH_N}
+    universal-hash minima → {MINHASH_BANDS} bands → bucket self-join →
+    exact-jaccard verify ≥ {JACCARD_THR} (operators/dedup.py)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.minhash_lsh_dedup(
+        docs,
+        "doc_id",
+        "text",
+        num_hashes=MINHASH_N,
+        bands=MINHASH_BANDS,
+        shingle_k=SHINGLE_K,
+        threshold=JACCARD_THR,
+        seed=MINHASH_SEED,
+    )
+
+
+def _simhash_oracle() -> str:
+    return f"""
+    WITH tok AS (
+      SELECT DISTINCT doc_id AS id, {duck_hash60("t")} AS h
+      FROM (SELECT doc_id, unnest({duck_tokens("text")}) AS t FROM documents)
+    ),
+    votes AS (
+      SELECT id, bit, SUM(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS v
+      FROM tok, (SELECT unnest(range({dd.SIMHASH_BITS})) AS bit)
+      GROUP BY id, bit
+    ),
+    sigs AS (
+      SELECT id,
+             CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << CAST(bit AS INT)) ELSE 0 END) AS BIGINT) AS sig
+      FROM votes GROUP BY id
+    ),
+    buckets AS (
+      SELECT id, sig, band, (sig >> CAST(8 * band AS INT)) & 255 AS bsig
+      FROM sigs, (SELECT unnest(range({dd.SIMHASH_BANDS})) AS band)
+    ),
+    pairs AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.sig AS sig_a, b.sig AS sig_b
+      FROM buckets a JOIN buckets b
+        ON a.band = b.band AND a.bsig = b.bsig AND a.id < b.id
+    )
+    SELECT id_a, id_b, CAST(bit_count(xor(sig_a, sig_b)) AS BIGINT) AS hamming
+    FROM pairs
+    WHERE bit_count(xor(sig_a, sig_b)) <= {SIMHASH_MAX_HAMMING}
+    """
+
+
+@query("dedup_simhash", oracle=_simhash_oracle())
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: {SIMHASH_BITS}-bit token-vote signature,
+    8-bit band candidates, hamming ≤ {SIMHASH_MAX_HAMMING} verify."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = dd.simhash_dedup(docs, "doc_id", "text", max_hamming=SIMHASH_MAX_HAMMING)
+    return out.select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
+
+
+def _ngram_oracle() -> str:
+    return f"""
+    WITH g AS (
+      SELECT DISTINCT doc_id AS id, lang, n_chars, {duck_hash60("gr")} AS h
+      FROM (SELECT doc_id, lang, n_chars,
+                   unnest({duck_char_ngrams("lower(text)", NGRAM_N)}) AS gr
+            FROM documents)
+    ),
+    sizes AS (SELECT id, lang, n_chars, COUNT(*) AS n FROM g GROUP BY 1, 2, 3),
+    pairs AS (
+      SELECT a.id AS id_a, b.id AS id_b, a.n AS na, b.n AS nb
+      FROM sizes a JOIN sizes b
+        ON a.lang = b.lang AND a.id < b.id
+       AND abs(a.n_chars - b.n_chars) <= {NGRAM_LEN_BAND}
+    ),
+    inter AS (
+      SELECT p.id_a, p.id_b, p.na, p.nb, COUNT(*) AS n_common
+      FROM pairs p JOIN g x ON x.id = p.id_a JOIN g y ON y.id = p.id_b AND y.h = x.h
+      GROUP BY 1, 2, 3, 4
+    )
+    SELECT id_a, id_b, n_common / (na + nb - n_common) AS jaccard
+    FROM inter
+    WHERE n_common / (na + nb - n_common) >= {NGRAM_THR}
+    """
+
+
+@query("dedup_ngram_jaccard", oracle=_ngram_oracle())
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character {NGRAM_N}-gram jaccard near-dup, blocked on (lang,
+    |n_chars diff| ≤ {NGRAM_LEN_BAND}) — precision-first blocked dedup."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.ngram_jaccard_dedup(
+        docs,
+        "doc_id",
+        "text",
+        block_cols=["lang"],
+        length_col="n_chars",
+        n=NGRAM_N,
+        length_band=NGRAM_LEN_BAND,
+        threshold=NGRAM_THR,
+    )
+
+
+def _embedding_oracle() -> str:
+    qv, qc = duck_quantize("v.vec"), duck_quantize("c.cvec")
+    return f"""
+    WITH v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+    qv AS (SELECT id, {duck_quantize("vec")} AS q FROM v),
+    c AS (SELECT id AS cid, q AS cq FROM qv WHERE id < {IVF_CENTROIDS}),
+    scored AS (
+      SELECT qv.id, qv.q, c.cid, {duck_quantized_cosine("qv.q", "c.cq")} AS cos
+      FROM qv, c
+    ),
+    assigned AS (
+      SELECT id, q, cid FROM (
+        SELECT *, row_number() OVER (PARTITION BY id ORDER BY cos DESC, cid) AS rn
+        FROM scored
+      ) WHERE rn = 1
+    )
+    SELECT a.id AS id_a, b.id AS id_b,
+           {duck_quantized_cosine("a.q", "b.q")} AS cosine
+    FROM assigned a JOIN assigned b ON a.cid = b.cid AND a.id < b.id
+    WHERE {duck_quantized_cosine("a.q", "b.q")} >= {COSINE_THR}
+    """
+
+
+@query("dedup_embedding_cosine", oracle=_embedding_oracle())
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs within IVF cells ({IVF_CENTROIDS}
+    deterministic centroids), quantized cosine ≥ {COSINE_THR}."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return dd.embedding_near_dup(
+        emb,
+        "vec_id",
+        "embedding",
+        num_centroids=IVF_CENTROIDS,
+        threshold=COSINE_THR,
+    )
