@@ -1,1 +1,167 @@
-"""Populated in later milestones."""
+"""Similarity-search suite over the embeddings table (BASELINE.json north
+star).  Oracles replicate the exact algorithm — same quantized-integer
+cosine, same deterministic tie-break (score DESC, id ASC) — so ranks match
+bit-for-bit, not just approximately.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from mapreduceproject_spark.functions.vectors import (
+    duck_quantize,
+    duck_quantized_cosine,
+    quantized_cosine,
+)
+from mapreduceproject_spark.operators import similarity as sim
+from mapreduceproject_spark.plans.registry import query
+from mapreduceproject_spark.sources.catalog import load_table
+
+# -- parameters pinned identically in Spark code and oracle SQL -------------
+NUM_QUERIES = 8  # query set = vec_id < NUM_QUERIES (deterministic subset)
+TOP_K = 5
+IVF_CENTROIDS, NPROBE = 16, 4
+
+_QUANT_CTE = f"""
+    WITH v AS (
+      SELECT vec_id AS id, label, {duck_quantize("CAST(embedding AS DOUBLE[])")} AS q
+      FROM embeddings
+    ),
+    qs AS (SELECT id AS query_id, label AS qlabel, q AS qq FROM v WHERE id < {NUM_QUERIES})
+"""
+
+
+def _bruteforce_oracle() -> str:
+    return f"""
+    {_QUANT_CTE},
+    scored AS (
+      SELECT qs.query_id, v.id AS neighbor_id,
+             {duck_quantized_cosine("qs.qq", "v.q")} AS cosine
+      FROM qs, v WHERE v.id <> qs.query_id
+    )
+    SELECT query_id, neighbor_id, cosine, CAST(rnk AS BIGINT) AS rnk
+    FROM (SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+          FROM scored)
+    WHERE rnk <= {TOP_K}
+    """
+
+
+@query("ann_bruteforce_topk", oracle=_bruteforce_oracle())
+def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-{TOP_K} per query vector (queries = vec_id <
+    {NUM_QUERIES}, broadcast against the corpus scan) — the ANN
+    correctness baseline (operators/similarity.py)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = sim.brute_force_topk(
+        emb,
+        emb.filter(F.col("vec_id") < NUM_QUERIES),
+        "vec_id",
+        "embedding",
+        "vec_id",
+        "embedding",
+        k=TOP_K,
+    )
+    return out.withColumnRenamed("rank", "rnk")
+
+
+def _ivf_oracle() -> str:
+    return f"""
+    {_QUANT_CTE},
+    c AS (SELECT id AS cid, q AS cq FROM v WHERE id < {IVF_CENTROIDS}),
+    cor AS (
+      SELECT v.id, v.q, c.cid, {duck_quantized_cosine("v.q", "c.cq")} AS ccos
+      FROM v, c
+    ),
+    cells AS (
+      SELECT id, q, cid FROM (
+        SELECT *, row_number() OVER (PARTITION BY id ORDER BY ccos DESC, cid) AS rn
+        FROM cor) WHERE rn = 1
+    ),
+    qscore AS (
+      SELECT qs.query_id, qs.qq, c.cid, {duck_quantized_cosine("qs.qq", "c.cq")} AS ccos
+      FROM qs, c
+    ),
+    probes AS (
+      SELECT query_id, qq, cid FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY ccos DESC, cid) AS rn
+        FROM qscore) WHERE rn <= {NPROBE}
+    ),
+    cand AS (
+      SELECT p.query_id, cl.id AS neighbor_id,
+             {duck_quantized_cosine("p.qq", "cl.q")} AS cosine
+      FROM probes p JOIN cells cl ON cl.cid = p.cid AND cl.id <> p.query_id
+    )
+    SELECT query_id, neighbor_id, cosine, CAST(rnk AS BIGINT) AS rnk
+    FROM (SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+          FROM cand)
+    WHERE rnk <= {TOP_K}
+    """
+
+
+@query("ann_ivf_topk", oracle=_ivf_oracle())
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-{TOP_K}: {IVF_CENTROIDS} deterministic
+    centroids, {NPROBE}-cell multi-probe — the ~C/nprobe-cheaper scale
+    path whose recall is measured against ann_bruteforce_topk."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = sim.ivf_topk(
+        emb,
+        emb.filter(F.col("vec_id") < NUM_QUERIES),
+        "vec_id",
+        "embedding",
+        "vec_id",
+        "embedding",
+        num_centroids=IVF_CENTROIDS,
+        nprobe=NPROBE,
+        k=TOP_K,
+    )
+    return out.withColumnRenamed("rank", "rnk")
+
+
+def _filtered_oracle() -> str:
+    return f"""
+    {_QUANT_CTE},
+    scored AS (
+      SELECT qs.query_id, v.id AS neighbor_id,
+             {duck_quantized_cosine("qs.qq", "v.q")} AS cosine
+      FROM qs JOIN v ON v.label = qs.qlabel AND v.id <> qs.query_id
+    )
+    SELECT query_id, neighbor_id, cosine, CAST(rnk AS BIGINT) AS rnk
+    FROM (SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+          FROM scored)
+    WHERE rnk <= {TOP_K}
+    """
+
+
+@query("ann_filtered_topk", oracle=_filtered_oracle())
+def ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-filtered ANN: candidates must share the query's label
+    (pre-filter semantics — the equi-join prunes before any scoring, the
+    pattern for 'same language / same source only' retrieval)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = F.broadcast(
+        emb.filter(F.col("vec_id") < NUM_QUERIES).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("label").alias("qlabel"),
+            F.col("embedding").alias("_qv"),
+        )
+    )
+    scored = (
+        emb.select("vec_id", "label", "embedding")
+        .join(q, (F.col("label") == F.col("qlabel")) & (F.col("vec_id") != F.col("query_id")))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            quantized_cosine(F.col("_qv"), F.col("embedding")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("query_id", "neighbor_id", "cosine", F.col("rnk").cast("long").alias("rnk"))
+    )
