@@ -30,11 +30,16 @@ def hash60(col: Column) -> Column:
 
 
 def duck_hash60(expr: str) -> str:
-    """DuckDB SQL computing the same value as :func:`hash60`."""
+    """DuckDB SQL computing the same value as :func:`hash60`.
+
+    The outer CAST matters: list_aggregate('sum') over BIGINT yields
+    HUGEINT, which pandas converts to float64 (precision loss past 2^53)
+    — so any oracle surfacing the hash directly would hash-mismatch.
+    """
     return (
-        "list_aggregate(list_transform(range(1,16), i -> "
+        "CAST(list_aggregate(list_transform(range(1,16), i -> "
         f"(strpos('0123456789abcdef', substr(substr(md5({expr}),1,15), CAST(i AS INT), 1)) - 1)::BIGINT"
-        " << ((15-i)*4)::INT), 'sum')"
+        " << ((15-i)*4)::INT), 'sum') AS BIGINT)"
     )
 
 

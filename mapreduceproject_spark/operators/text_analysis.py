@@ -1,0 +1,211 @@
+"""Text-analysis operators for LLM-data pipelines.
+
+The reference's entire text processing is whitespace-splitting lines inside
+user executables (/root/reference/src/node.go:919-931,
+src/reduce_exe_word_count.go:20-32); these are the BASELINE.json
+north-star extensions.  Everything is built from JVM-side column
+expressions (no Python UDFs in any hot path) and every hash is the
+portable hash60 so DuckDB oracles match bit-for-bit.
+
+Scale notes, per operator:
+- token/quality metrics: pure per-row projections — embarrassingly
+  parallel, whole-stage-codegen'd, zero shuffle.
+- langid: one explode+agg over (lang, gram) [small output: langs × grams],
+  profiles broadcast back; per-doc scoring is a semi-join-sized agg.
+- winnowing fingerprints: per-row array ops then one distinct — the
+  fingerprint set is the scale-invariant artifact (used for copy
+  detection / near-dup at corpus scale).
+- tf-idf: two aggs (doc-term, term-df) + a broadcast scalar N; the
+  doc-term agg is the only corpus-sized shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from mapreduceproject_spark.functions.hashing import hash60
+from mapreduceproject_spark.functions.textfn import char_ngrams, tokens
+
+# Portable ASCII-only token pattern — identical semantics in Java regex
+# (Spark) and RE2 (DuckDB): letter runs, digit runs, single other-glyphs.
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+PUNCT_PATTERN = r"[^A-Za-z0-9\s]"
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
+
+
+def token_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document token accounting: whitespace tokens, BPE-ish regex
+    tokens, chars — the 'how many tokens am I about to pay for' operator."""
+    t = F.col(text_col)
+    toks = tokens(t)
+    return df.select(
+        F.col(id_col),
+        F.length(t).cast("long").alias("n_chars_exact"),
+        F.size(toks).cast("long").alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all(t, F.lit(BPE_ISH_PATTERN), F.lit(0)))
+        .cast("long")
+        .alias("n_bpe_tokens"),
+        (
+            F.aggregate(
+                F.transform(toks, F.length), F.lit(0).cast("long"), lambda a, x: a + x
+            ).cast("double")
+            / F.size(toks)
+        ).alias("mean_token_len"),
+    )
+
+
+def quality_scores(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Heuristic quality metrics + composite score + keep flag.
+
+    All ratios are int/int divisions (exact doubles, engine-identical);
+    the composite combines them in a fixed arithmetic order.
+    """
+    t = F.col(text_col)
+    toks = tokens(t)
+    n_chars = F.length(t)
+    n_toks = F.size(toks)
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    punct = F.size(F.regexp_extract_all(t, F.lit(PUNCT_PATTERN), F.lit(0)))
+    digits = F.size(F.regexp_extract_all(t, F.lit(r"[0-9]"), F.lit(0)))
+    stops = F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, F.lower(x))))
+    out = df.select(
+        F.col(id_col),
+        n_toks.cast("long").alias("n_tokens"),
+        (punct.cast("double") / n_chars).alias("punct_ratio"),
+        (digits.cast("double") / n_chars).alias("digit_ratio"),
+        (stops.cast("double") / n_toks).alias("stopword_ratio"),
+    )
+    score = (
+        F.lit(1.0)
+        - F.col("punct_ratio") * 2.0
+        - F.col("digit_ratio")
+        + F.col("stopword_ratio") * 0.5
+    )
+    return out.select(
+        "*",
+        score.alias("quality"),
+        ((F.col("n_tokens") >= 5) & (score > 0.5)).alias("keep"),
+    )
+
+
+def winnowing_fingerprints(
+    df: DataFrame, id_col: str, text_col: str, k: int = 5, window: int = 4
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al.): hash char
+    k-grams, take the min hash of each sliding window of ``window`` grams,
+    emit the distinct minima.  Guarantees any shared substring of length
+    ≥ k+window-1 yields a shared fingerprint — the standard copy-detection
+    sketch.  Per-row array math + one distinct; no joins.
+    """
+    grams = char_ngrams(F.lower(F.col(text_col)), k)
+    hashes = F.transform(grams, lambda g: hash60(g))
+    n_windows = F.size(hashes) - (window - 1)
+    mins = F.when(
+        n_windows >= 1,
+        F.transform(
+            F.sequence(F.lit(1), n_windows),
+            lambda i: F.array_min(F.slice(hashes, i, window)),
+        ),
+    ).otherwise(F.array(F.array_min(hashes)))
+    return (
+        df.select(F.col(id_col), F.explode(F.array_distinct(mins)).alias("fp"))
+        .distinct()
+    )
+
+
+def langid_ngram(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    lang_col: str,
+    n: int = 3,
+    profile_size: int = 20,
+) -> DataFrame:
+    """Character-n-gram language ID, profiles learned from the corpus.
+
+    Train: top ``profile_size`` n-grams per labelled language (by total
+    occurrences; ties → gram asc).  Classify: distinct doc grams ∩
+    profile, argmax hits (ties → lang asc).  Two aggs + one broadcastable
+    profile join — the Cavnar–Trenkle n-gram profile method in DataFrame
+    form.
+    """
+    grams = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(lang_col).alias("_lang"),
+        F.explode(char_ngrams(F.lower(F.col(text_col)), n)).alias("g"),
+    )
+    lang_counts = grams.groupBy("_lang", "g").agg(F.count("*").alias("cnt"))
+    wp = Window.partitionBy("_lang").orderBy(F.desc("cnt"), F.asc("g"))
+    profile = (
+        lang_counts.withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") <= profile_size)
+        .select(F.col("_lang").alias("plang"), "g")
+    )
+    doc_grams = grams.select("_id", "g").distinct()
+    scores = (
+        doc_grams.join(F.broadcast(profile), "g")
+        .groupBy("_id", "plang")
+        .agg(F.count("*").alias("hits"))
+    )
+    ws = Window.partitionBy("_id").orderBy(F.desc("hits"), F.asc("plang"))
+    best = (
+        scores.withColumn("rn", F.row_number().over(ws))
+        .filter(F.col("rn") == 1)
+        .select("_id", F.col("plang").alias("pred_lang"), "hits")
+    )
+    return (
+        df.select(F.col(id_col).alias("_id"), F.col(lang_col).alias("lang"))
+        .join(best, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            "lang",
+            F.coalesce(F.col("pred_lang"), F.lit("und")).alias("pred_lang"),
+            F.coalesce(F.col("hits"), F.lit(0)).alias("hits"),
+            (F.coalesce(F.col("pred_lang"), F.lit("und")) == F.col("lang")).alias(
+                "correct"
+            ),
+        )
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame, id_col: str, text_col: str, top_k: int = 3
+) -> DataFrame:
+    """Top-k TF-IDF terms per document (ln(N/df) idf, ties → term asc).
+
+    doc-term counts are the one corpus-sized shuffle; N arrives as a
+    broadcast scalar (no driver-side collect), df as a second small agg.
+    """
+    terms = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("term"),
+    )
+    tf = terms.groupBy("_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = terms.distinct().groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = df.agg(F.countDistinct(id_col).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "_id",
+            "term",
+            "tf",
+            (
+                F.col("tf")
+                * F.log(F.col("n_docs").cast("double") / F.col("df"))
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= top_k)
+        .select(
+            F.col("_id").alias(id_col),
+            "term",
+            "tf",
+            "tfidf",
+            F.col("rnk").cast("long").alias("rnk"),
+        )
+    )

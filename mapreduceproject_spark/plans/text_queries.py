@@ -1,1 +1,177 @@
-"""Populated in later milestones."""
+"""Text-analysis suite over the documents table (BASELINE.json north
+star).  Oracles replicate each operator's exact algorithm — same regex
+token classes, same hash60, same tie-breaks — so results match
+bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from mapreduceproject_spark.functions.hashing import duck_hash60
+from mapreduceproject_spark.functions.textfn import duck_char_ngrams, duck_tokens
+from mapreduceproject_spark.operators import text_analysis as ta
+from mapreduceproject_spark.plans.registry import query
+from mapreduceproject_spark.sources.catalog import load_table
+
+# -- parameters pinned identically in Spark code and oracle SQL -------------
+FP_K, FP_WINDOW = 5, 4
+LANGID_N, LANGID_PROFILE = 3, 20
+TFIDF_TOP = 3
+
+_TOKS = duck_tokens("text")
+_LTOKS = duck_tokens("lower(text)")
+
+
+@query(
+    "text_token_stats",
+    oracle=rf"""
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars_exact,
+           CAST(len({_TOKS}) AS BIGINT) AS n_ws_tokens,
+           CAST(len(regexp_extract_all(text, '{ta.BPE_ISH_PATTERN}')) AS BIGINT) AS n_bpe_tokens,
+           CAST(list_aggregate(list_transform({_TOKS}, t -> length(t)), 'sum') AS DOUBLE)
+             / len({_TOKS}) AS mean_token_len
+    FROM documents
+    """,
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc token accounting: whitespace tokens, BPE-ish regex tokens,
+    chars, mean token length — pure projection, zero shuffle."""
+    return ta.token_stats(load_table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def _quality_oracle() -> str:
+    stoplist = ", ".join(f"'{s}'" for s in ta.STOPWORDS)
+    return rf"""
+    WITH m AS (
+      SELECT doc_id,
+             CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+             CAST(len(regexp_extract_all(text, '{ta.PUNCT_PATTERN}')) AS DOUBLE)
+               / length(text) AS punct_ratio,
+             CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE)
+               / length(text) AS digit_ratio,
+             CAST(len(list_filter({_TOKS}, t -> list_contains([{stoplist}], lower(t)))) AS DOUBLE)
+               / len({_TOKS}) AS stopword_ratio
+      FROM documents
+    )
+    SELECT *,
+           1.0 - punct_ratio * 2.0 - digit_ratio + stopword_ratio * 0.5 AS quality,
+           n_tokens >= 5
+             AND (1.0 - punct_ratio * 2.0 - digit_ratio + stopword_ratio * 0.5) > 0.5 AS keep
+    FROM m
+    """
+
+
+@query("text_quality_scores", oracle=_quality_oracle())
+def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality filter: punct/digit/stopword ratios + composite
+    score + keep flag, all exact int-ratio arithmetic."""
+    return ta.quality_scores(load_table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def _fingerprint_oracle() -> str:
+    return f"""
+    WITH h AS (
+      SELECT doc_id,
+             list_transform({duck_char_ngrams("lower(text)", FP_K)}, gr -> {duck_hash60("gr")}) AS hs
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id,
+             CASE WHEN len(hs) - {FP_WINDOW - 1} >= 1 THEN
+               list_transform(range(1, len(hs) - {FP_WINDOW - 2}),
+                              i -> list_min(hs[i:i+{FP_WINDOW - 1}]))
+             ELSE [list_min(hs)] END AS mins
+      FROM h
+    )
+    SELECT DISTINCT doc_id, fp FROM (SELECT doc_id, unnest(mins) AS fp FROM m)
+    """
+
+
+@query("text_fingerprints", oracle=_fingerprint_oracle())
+def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints: char {FP_K}-gram hashes, sliding window of
+    {FP_WINDOW} minima, distinct — the copy-detection sketch."""
+    return ta.winnowing_fingerprints(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text", k=FP_K, window=FP_WINDOW
+    )
+
+
+def _langid_oracle() -> str:
+    return f"""
+    WITH grams AS (
+      SELECT doc_id AS id, lang,
+             unnest({duck_char_ngrams("lower(text)", LANGID_N)}) AS g
+      FROM documents
+    ),
+    lc AS (SELECT lang AS plang, g, COUNT(*) AS cnt FROM grams GROUP BY 1, 2),
+    prof AS (
+      SELECT plang, g FROM (
+        SELECT *, row_number() OVER (PARTITION BY plang ORDER BY cnt DESC, g) AS rn
+        FROM lc) WHERE rn <= {LANGID_PROFILE}
+    ),
+    dg AS (SELECT DISTINCT id, g FROM grams),
+    sc AS (
+      SELECT dg.id, p.plang, COUNT(*) AS hits
+      FROM dg JOIN prof p ON p.g = dg.g GROUP BY 1, 2
+    ),
+    best AS (
+      SELECT id, plang AS pred_lang, hits FROM (
+        SELECT *, row_number() OVER (PARTITION BY id ORDER BY hits DESC, plang) AS rn
+        FROM sc) WHERE rn = 1
+    )
+    SELECT d.doc_id, d.lang,
+           COALESCE(b.pred_lang, 'und') AS pred_lang,
+           COALESCE(b.hits, 0) AS hits,
+           COALESCE(b.pred_lang, 'und') = d.lang AS correct
+    FROM documents d LEFT JOIN best b ON b.id = d.doc_id
+    """
+
+
+@query("text_langid_ngram", oracle=_langid_oracle())
+def text_langid_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cavnar–Trenkle n-gram language ID: per-lang top-{LANGID_PROFILE}
+    char {LANGID_N}-gram profiles learned from the corpus, classified by
+    profile-hit argmax."""
+    return ta.langid_ngram(
+        load_table(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        "lang",
+        n=LANGID_N,
+        profile_size=LANGID_PROFILE,
+    )
+
+
+def _tfidf_oracle() -> str:
+    return f"""
+    WITH terms AS (
+      SELECT doc_id AS id, unnest({_LTOKS}) AS term FROM documents
+    ),
+    tf AS (SELECT id, term, COUNT(*) AS tf FROM terms GROUP BY 1, 2),
+    dfreq AS (
+      SELECT term, COUNT(*) AS dfx
+      FROM (SELECT DISTINCT id, term FROM terms) GROUP BY 1
+    ),
+    n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.id, tf.term, tf.tf,
+             tf.tf * ln(CAST(n.n_docs AS DOUBLE) / dfreq.dfx) AS tfidf
+      FROM tf JOIN dfreq ON dfreq.term = tf.term CROSS JOIN n
+    )
+    SELECT id AS doc_id, term, tf, tfidf, CAST(rnk AS BIGINT) AS rnk
+    FROM (SELECT *, row_number() OVER (
+            PARTITION BY id ORDER BY tfidf DESC, term) AS rnk
+          FROM scored)
+    WHERE rnk <= {TFIDF_TOP}
+    """
+
+
+@query("text_tfidf_top_terms", oracle=_tfidf_oracle())
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{TFIDF_TOP} TF-IDF terms per doc (ln(N/df) idf); N arrives as
+    a broadcast scalar, never a driver collect."""
+    return ta.tfidf_top_terms(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text", top_k=TFIDF_TOP
+    )
