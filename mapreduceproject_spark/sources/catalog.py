@@ -41,6 +41,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    # Every query flows through here: make sure Python workers can import
+    # this package (mapInPandas/applyInPandas kernels) regardless of the
+    # driver's cwd — see bootstrap.ensure_worker_imports.
+    from mapreduceproject_spark.bootstrap import ensure_worker_imports
+
+    ensure_worker_imports(spark)
     if name == "events":
         # Set here, not only in our session factory: the driver harness
         # builds its own bare SparkSession, and without this the scan
