@@ -1,1 +1,110 @@
-"""Populated in later milestones."""
+"""Streaming suite: Structured Streaming jobs driven to completion with
+Trigger.AvailableNow so the driver's batch oracle can check them
+(streaming/jobs.py), plus the batch session_window operator.
+
+Aggregations run in complete output mode (every window emitted once input
+is exhausted — equivalent to the batch result on a finite source); dedup
+runs in append mode (pass-through of first arrivals).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreduceproject_spark.plans.registry import query
+from mapreduceproject_spark.sources.catalog import load_table
+from mapreduceproject_spark.streaming import jobs
+
+_CENTS = "CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents"
+
+
+@query(
+    "stream_tumbling_counts",
+    oracle=f"""
+    SELECT date_trunc('hour', ts) AS ws, event_type,
+           COUNT(*) AS n_events, {_CENTS}
+    FROM events GROUP BY 1, 2
+    """,
+)
+def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour tumbling-window counts + exact cents per event_type, run as
+    a real streaming query (file source → availableNow → memory sink)."""
+    ev = jobs.read_events_stream(spark, sf_dir)
+    return jobs.run_to_df(jobs.tumbling_counts(ev), spark, "complete")
+
+
+@query(
+    "stream_sliding_counts",
+    oracle=f"""
+    SELECT ws, event_type, COUNT(*) AS n_events, {_CENTS}
+    FROM (
+      SELECT unnest([tb, tb - INTERVAL 30 MINUTE]) AS ws, event_type, value
+      FROM (SELECT time_bucket(INTERVAL '30 minutes', ts) AS tb, event_type, value
+            FROM events)
+    )
+    GROUP BY 1, 2
+    """,
+)
+def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour windows sliding every 30 min (each event lands in exactly
+    two windows), streaming execution, exact-cents sums."""
+    ev = jobs.read_events_stream(spark, sf_dir)
+    return jobs.run_to_df(jobs.sliding_counts(ev), spark, "complete")
+
+
+@query(
+    "stream_dedup_events",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+)
+def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dropDuplicates on (user_id, event_type) — one state row
+    per key, first arrival wins."""
+    ev = jobs.read_events_stream(spark, sf_dir)
+    return jobs.run_to_df(jobs.stream_dedup(ev), spark, "append")
+
+
+@query(
+    "session_window_stats",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, ts, CAST(floor(value * 100) AS BIGINT) AS c FROM events
+    ),
+    x AS (
+      SELECT *, CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                         <= INTERVAL 30 MINUTE
+                     THEN 0 ELSE 1 END AS brk
+      FROM e
+    ),
+    y AS (
+      SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS sid
+      FROM x
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           COUNT(*) AS n_events,
+           CAST(SUM(c) AS BIGINT) AS cents
+    FROM y GROUP BY user_id, sid
+    """,
+)
+def session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Built-in session windows (30-min gap) on the batch events table —
+    the declarative twin of streaming/stateful.py's custom operator
+    (oracle: classic gaps-and-islands SQL)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window(F.col("ts"), "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(jobs.cents(F.col("value"))).alias("cents"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "cents",
+        )
+    )

@@ -1,0 +1,116 @@
+"""Structured Streaming jobs over the events table.
+
+The reference has no streaming at all (SURVEY §2.6); this is the
+north-star extension.  Each job is declared against ``readStream`` so the
+same plan runs incrementally on a live source; the registry entries drive
+them with ``Trigger.AvailableNow`` into a memory sink, which processes
+the finite fixture exactly once and returns a normal DataFrame — so the
+driver's DuckDB oracle can check streaming results like any batch query.
+
+Scale notes: tumbling/sliding aggregations are the streaming analogue of
+a partial-agg shuffle keyed by (window, key) — state size is bounded by
+windows × keys, and the watermark bounds how long state lives.  Streaming
+dedup keeps one state row per key (bound it with a watermark in
+production).  Value sums are quantized to integer cents so results are
+engine-exact (floor(value*100) on identical doubles).
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+# With spark.sql.legacy.parquet.nanosAsLong the fixture's TIMESTAMP(NANOS)
+# column arrives as a nanosecond long (same handling as sources/catalog.py).
+EVENTS_RAW_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source streaming read of the events fixture (ts → timestamp_ntz)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # glob (not a bare file path): the file stream source requires its
+    # basePath to be a directory, and the pattern keeps it scoped to the
+    # events table inside the shared fixture dir.
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .parquet(f"{sf_dir.rstrip('/')}/events*.parquet")
+    )
+    # watermarks require TIMESTAMP (not NTZ); session tz is UTC so the
+    # wall time is identical to the batch catalog's timestamp_ntz view.
+    return raw.withColumn(
+        "ts", F.timestamp_micros(F.expr("ts DIV 1000")).cast("timestamp")
+    )
+
+
+def cents(col: F.Column) -> F.Column:
+    """Exact integer cents: floor(value*100) on identical doubles is
+    engine-identical, unlike a floating SUM whose result depends on
+    reduction order."""
+    return F.floor(col * 100).cast("long")
+
+
+def tumbling_counts(events: DataFrame) -> DataFrame:
+    """1-hour tumbling windows per event_type: row count + cents sum."""
+    return (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.sum(cents(F.col("value"))).alias("cents"))
+        .select(
+            F.col("w.start").alias("ws"),
+            "event_type",
+            "n_events",
+            "cents",
+        )
+    )
+
+
+def sliding_counts(events: DataFrame) -> DataFrame:
+    """1-hour windows sliding every 30 minutes, per event_type."""
+    return (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.sum(cents(F.col("value"))).alias("cents"))
+        .select(F.col("w.start").alias("ws"), "event_type", "n_events", "cents")
+    )
+
+
+def stream_dedup(events: DataFrame) -> DataFrame:
+    """Streaming dropDuplicates on (user_id, event_type): one state row per
+    key, emits first arrival — projected to the key so output order of
+    arrival doesn't leak into results."""
+    return events.select("user_id", "event_type").dropDuplicates(
+        ["user_id", "event_type"]
+    )
+
+
+def run_to_df(stream: DataFrame, spark: SparkSession, mode: str) -> DataFrame:
+    """Execute a finite stream with AvailableNow into a memory sink and
+    return the materialized result table."""
+    name = f"snk_{uuid.uuid4().hex[:10]}"
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

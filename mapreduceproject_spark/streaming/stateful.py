@@ -1,0 +1,114 @@
+"""Custom stateful streaming operator: session windows via
+applyInPandasWithState.
+
+Spark's built-in ``session_window`` covers plain gap-sessionization (see
+plans/streaming_queries.py); this module is the template for semantics the
+built-ins can't express — arbitrary per-key state machines.  State is one
+open session per user; closed sessions emit as soon as a batch observes
+the gap, and the event-time timeout flushes a session once the watermark
+passes its gap deadline.  At scale: state is hash-partitioned by key in
+the state store, sized O(active keys), and the watermark bounds retention.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    LongType,
+    StructField,
+    StructType,
+    TimestampNTZType,
+)
+
+GAP_MS = 30 * 60 * 1000
+
+OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("session_start", TimestampNTZType()),
+        StructField("session_end", TimestampNTZType()),
+        StructField("n_events", LongType()),
+    ]
+)
+# open session: (start_us, last_us, n_events)
+STATE_SCHEMA = StructType(
+    [
+        StructField("start_us", LongType()),
+        StructField("last_us", LongType()),
+        StructField("n", LongType()),
+    ]
+)
+
+
+def _emit(user_id: int, start_us: int, last_us: int, n: int) -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "user_id": pd.Series([user_id], dtype="int64"),
+            "session_start": [pd.Timestamp(start_us, unit="us")],
+            # session extends one gap past the last event — matches the
+            # built-in session_window's end semantics.
+            "session_end": [pd.Timestamp(last_us + GAP_MS * 1000, unit="us")],
+            "n_events": pd.Series([n], dtype="int64"),
+        }
+    )
+
+
+def _sessionize_fn(
+    key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    user_id = int(key[0])
+    if state.hasTimedOut:
+        start_us, last_us, n = state.get
+        state.remove()
+        yield _emit(user_id, start_us, last_us, n)
+        return
+
+    rows = pd.concat(list(pdfs))
+    ts_us = sorted(int(t.value) // 1000 for t in rows["ts"])
+    if state.exists:
+        start_us, last_us, n = state.get
+        pending = ts_us
+    else:
+        start_us = last_us = ts_us[0]
+        n = 1
+        pending = ts_us[1:]
+
+    out = []
+    for t in pending:
+        if t - last_us <= GAP_MS * 1000:
+            last_us, n = t, n + 1
+        else:
+            out.append((start_us, last_us, n))
+            start_us, last_us, n = t, t, 1
+
+    state.update((start_us, last_us, n))
+    # flush the open session once the watermark passes last + gap
+    deadline_ms = last_us // 1000 + GAP_MS
+    state.setTimeoutTimestamp(max(deadline_ms, state.getCurrentWatermarkMs() + 1))
+    for s, e, c in out:
+        yield _emit(user_id, s, e, c)
+
+
+def sessionize(events: DataFrame, watermark_delay: str = "0 seconds") -> DataFrame:
+    """Gap-based sessionization with custom per-user state.
+
+    Emits (user_id, session_start, session_end, n_events); sessions still
+    open when the stream's watermark stops advancing stay in state (the
+    honest streaming answer — they aren't over yet).
+    """
+    return (
+        events.withWatermark("ts", watermark_delay)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _sessionize_fn,
+            OUTPUT_SCHEMA,
+            STATE_SCHEMA,
+            "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )

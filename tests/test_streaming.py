@@ -1,0 +1,130 @@
+"""Streaming semantics beyond the oracle-parity gate: watermark late-data
+drops across micro-batches, and the custom applyInPandasWithState
+sessionizer against the built-in session_window."""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+import pytest
+
+from mapreduceproject_spark.plans import QUERIES
+from mapreduceproject_spark.streaming import jobs, stateful
+
+
+def _write_parquet(path, rows):
+    pd.DataFrame(rows).to_parquet(path, index=False)
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """Three micro-batches (maxFilesPerTrigger=1).  Batch 0 advances the
+    watermark to 12:00-1h=11:00.  Spark's late-row filter applies the
+    watermark with one batch of lag, so batch 1's 09:30 row still merges
+    into the open [09:00,10:00) window (the watermark is a lower-bound
+    contract — accepting extra rows is allowed), but batch 2's 08:30 row
+    is genuinely late: its [08:00,09:00) window must never appear, and no
+    emitted window may be resurrected."""
+    src = tmp_path / "stream_src"
+    src.mkdir()
+
+    def w(path, rows, mtime):
+        _write_parquet(path, rows)
+        os.utime(path, (mtime, mtime))  # file source processes in mtime order
+
+    w(
+        src / "a.parquet",
+        {
+            "event_id": [1, 2],
+            "ts": [
+                pd.Timestamp("2024-01-01 09:40:00").value,  # ns long
+                pd.Timestamp("2024-01-01 12:00:00").value,
+            ],
+            "user_id": [1, 1],
+            "event_type": ["click", "click"],
+            "value": [1.0, 1.0],
+            "props": ["{}", "{}"],
+        },
+        1000,
+    )
+    w(
+        src / "b.parquet",
+        {
+            "event_id": [3],
+            "ts": [pd.Timestamp("2024-01-01 09:30:00").value],
+            "user_id": [1],
+            "event_type": ["click"],
+            "value": [1.0],
+            "props": ["{}"],
+        },
+        2000,
+    )
+    w(
+        src / "c.parquet",
+        {
+            "event_id": [4],
+            "ts": [pd.Timestamp("2024-01-01 08:30:00").value],
+            "user_id": [1],
+            "event_type": ["click"],
+            "value": [1.0],
+            "props": ["{}"],
+        },
+        3000,
+    )
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    from pyspark.sql import functions as F
+
+    raw = (
+        spark.readStream.schema(jobs.EVENTS_RAW_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+        .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")).cast("timestamp"))
+    )
+    out = jobs.run_to_df(
+        raw.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("ws"), "n"),
+        spark,
+        "append",
+    )
+    got = sorted((r["ws"].isoformat(), r["n"]) for r in out.collect())
+    # [09:00,10:00) emitted exactly once (09:40 + the one-batch-late 09:30);
+    # the genuinely late 08:30 row's [08:00,09:00) window never appears.
+    assert got == [("2024-01-01T09:00:00", 2)]
+
+
+def test_stateful_sessionizer_matches_builtin(spark, sf_dir):
+    """Every session the custom operator emits must exactly match a
+    built-in session_window session (same start/end/count); sessions still
+    open at end-of-stream legitimately stay in state."""
+    ev = jobs.read_events_stream(spark, sf_dir)
+    emitted = stateful.sessionize(ev, watermark_delay="0 seconds")
+    got = jobs.run_to_df(emitted, spark, "append").collect()
+    assert len(got) > 0
+
+    batch = QUERIES["session_window_stats"](spark, sf_dir).collect()
+    batch_keys = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in batch
+    }
+    for r in got:
+        key = (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        assert key in batch_keys, f"emitted session not in batch result: {key}"
+
+    # and the vast majority of batch sessions should have been emitted
+    # (only per-user trailing sessions may be withheld)
+    n_users = len({r["user_id"] for r in batch})
+    assert len(got) >= len(batch) - n_users
+
+
+@pytest.mark.parametrize("mode", ["complete"])
+def test_streaming_agg_is_rerunnable(spark, sf_dir, mode):
+    """run_to_df uses a fresh sink per call — the same job can run twice
+    in one session (the driver calls queries repeatedly)."""
+    ev = jobs.read_events_stream(spark, sf_dir)
+    a = jobs.run_to_df(jobs.tumbling_counts(ev), spark, mode).count()
+    ev2 = jobs.read_events_stream(spark, sf_dir)
+    b = jobs.run_to_df(jobs.tumbling_counts(ev2), spark, mode).count()
+    assert a == b > 0
