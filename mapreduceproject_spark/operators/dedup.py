@@ -128,7 +128,9 @@ def verify_jaccard(pairs: DataFrame, hashed: DataFrame, threshold: float) -> Dat
 
     Intersections come from a hash-equi join restricted to candidate pairs;
     |A∪B| = |A|+|B|-|A∩B|.  Integer-ratio division → identical doubles on
-    every engine.
+    every engine.  (An array_intersect-per-pair variant was measured and
+    rejected: carrying both gram arrays through the pair join shuffles
+    |pairs|·|doc| longs — 6× slower at sf0.1 on this high-overlap corpus.)
     """
     sizes = hashed.groupBy("_id").agg(F.count("*").alias("n"))
     ha = hashed.select(F.col("_id").alias("id_a"), F.col("h").alias("ha"))
@@ -188,31 +190,32 @@ SIMHASH_BANDS = 4  # 8-bit bands
 def simhash_signature(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """32-bit simhash per document from distinct-token hash60 bit votes.
 
-    explode(tokens) × explode(bit positions) → per-bit ±1 votes → sign →
-    reassembled integer.  Two narrow shuffles; entirely JVM-side.
+    One groupBy with 32 conditional-sum aggregates (one per bit) — a
+    single shuffle of the (id, h) pairs and zero row blowup, vs. the
+    naive explode-by-bit-position plan that multiplies the token stream
+    ×32 and shuffles twice.  Catalyst runs all 32 sums partial+final, so
+    map-side combine shrinks the shuffle to one row per (id, partition).
     """
     tok = (
         df.select(F.col(id_col).alias("_id"), F.explode(tokens(F.col(text_col))).alias("t"))
         .distinct()
         .select("_id", hash60(F.col("t")).alias("h"))
     )
-    bits = tok.select(
-        "_id",
-        F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("bit"),
-        "h",
-    ).select(
-        "_id",
-        "bit",
-        # SQL shiftright/shiftleft accept column shift amounts; the Python
-        # wrappers only take ints, hence expr().
-        F.when(F.expr("shiftright(h, bit) & 1") == 1, 1).otherwise(-1).alias("vote"),
+    votes = tok.groupBy("_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), b).bitwiseAND(1) == 1, 1).otherwise(-1)
+            ).alias(f"v{b}")
+            for b in range(SIMHASH_BITS)
+        ]
     )
-    votes = bits.groupBy("_id", "bit").agg(F.sum("vote").alias("v"))
-    return votes.groupBy("_id").agg(
-        F.sum(
-            F.when(F.col("v") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), bit)")).otherwise(0)
-        ).alias("sig")
-    )
+    sig = None
+    for b in range(SIMHASH_BITS):
+        term = F.when(F.col(f"v{b}") > 0, F.lit(1 << b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        sig = term if sig is None else sig + term
+    return votes.select("_id", sig.alias("sig"))
 
 
 def simhash_dedup(

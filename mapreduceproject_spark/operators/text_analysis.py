@@ -98,18 +98,28 @@ def winnowing_fingerprints(
     ≥ k+window-1 yields a shared fingerprint — the standard copy-detection
     sketch.  Per-row array math + one distinct; no joins.
     """
-    grams = char_ngrams(F.lower(F.col(text_col)), k)
-    hashes = F.transform(grams, lambda g: hash60(g))
-    n_windows = F.size(hashes) - (window - 1)
-    mins = F.when(
-        n_windows >= 1,
-        F.transform(
-            F.sequence(F.lit(1), n_windows),
-            lambda i: F.array_min(F.slice(hashes, i, window)),
-        ),
-    ).otherwise(F.array(F.array_min(hashes)))
+    # posexplode + sliding-frame min, NOT transform-over-slice on an array
+    # column: Catalyst inlines an array expression into every lambda that
+    # references it, so slicing per window position re-evaluates the md5
+    # transform O(len) times — O(len²) hashing per document.  Exploding
+    # first hashes each gram exactly once and the frame min is linear.
+    pos = df.select(
+        F.col(id_col),
+        F.posexplode(char_ngrams(F.lower(F.col(text_col)), k)).alias("pos", "g"),
+    ).select(F.col(id_col), "pos", hash60(F.col("g")).alias("h"))
+    wf = Window.partitionBy(id_col).orderBy("pos").rowsBetween(0, window - 1)
+    wn = Window.partitionBy(id_col)
+    wins = pos.select(
+        F.col(id_col),
+        "pos",
+        F.min("h").over(wf).alias("wmin"),
+        F.count("*").over(wn).alias("n"),
+    )
+    # full windows start at pos 0..n-window; shorter docs keep pos 0
+    # (frame = whole array, matching "min of everything")
     return (
-        df.select(F.col(id_col), F.explode(F.array_distinct(mins)).alias("fp"))
+        wins.filter((F.col("pos") <= F.col("n") - window) | (F.col("pos") == 0))
+        .select(F.col(id_col), F.col("wmin").alias("fp"))
         .distinct()
     )
 
