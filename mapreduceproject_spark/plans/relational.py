@@ -626,3 +626,89 @@ def range_join_value_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(dec("value")).cast("double").alias("value_sum"),
         )
     )
+
+
+@query(
+    "q6_forecast_revenue",
+    oracle=f"""
+    SELECT CAST(SUM(CAST(l_extendedprice AS {DEC}) * CAST(l_discount AS {DEC})) AS DOUBLE) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure scan-filter-aggregate.  Every predicate is
+    pushdown-eligible (shows up in the scan's PushedFilters) and the agg
+    is a two-phase partial+final sum — the cheapest possible plan class."""
+    li = lineitem(spark, sf_dir)
+    return li.filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+        & F.col("l_discount").between(0.05, 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        (F.sum(dec("l_extendedprice") * dec("l_discount")))
+        .cast("double")
+        .alias("revenue")
+    )
+
+
+@query(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT lang, source, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS chars
+    FROM documents
+    GROUP BY GROUPING SETS ((lang), (source), ())
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (per-lang, per-source, grand total in one
+    pass) via the SQL surface — Catalyst expands to a single Expand +
+    hash-agg plan, one scan instead of three."""
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents_gs")
+    return spark.sql(
+        """
+        SELECT lang, source, COUNT(*) AS n_docs, SUM(n_chars) AS chars
+        FROM documents_gs
+        GROUP BY GROUPING SETS ((lang), (source), ())
+        """
+    )
+
+
+@query(
+    "agg_percentiles",
+    oracle="""
+    SELECT event_type,
+           quantile_cont(value, 0.25) AS p25,
+           quantile_cont(value, 0.50) AS p50,
+           quantile_cont(value, 0.75) AS p75,
+           COUNT(*) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolation percentiles per event_type — the sort-based
+    exact path (use approx_percentile when a t-digest sketch is acceptable
+    at scale; see agg_approx_distinct for the sketch-based pattern)."""
+    ev = events(spark, sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.25)).alias("p25"),
+        F.percentile("value", F.lit(0.50)).alias("p50"),
+        F.percentile("value", F.lit(0.75)).alias("p75"),
+        F.count("*").alias("n"),
+    )
+
+
+@query("agg_approx_distinct")  # sketch-based: no exact oracle by design
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct users per event_type — the constant-memory
+    sketch that replaces exact COUNT(DISTINCT) at 100 TB.  Inherently
+    engine-specific, so the driver runs the weaker rows-only check; the
+    error bound vs exact is asserted in tests/test_relational_extra.py."""
+    ev = events(spark, sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users")
+    )

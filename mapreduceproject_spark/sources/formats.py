@@ -1,0 +1,66 @@
+"""File-format sources and sinks.
+
+The reference supports exactly one format — newline-delimited text in SDFS
+(/root/reference/src/node.go:919-931) — so text round-trip is the parity
+surface; CSV/JSON/Parquet are the free upgrades Spark's readers add
+(SURVEY §2.1 "File formats").  Thin wrappers, but deliberately opinionated
+for scale:
+
+- explicit schemas everywhere (schema inference = an extra full scan of
+  100 TB, and silently wrong types);
+- parquet is the engine's native interchange (columnar, predicate
+  pushdown, partition pruning);
+- line-oriented writers mirror the reference's ``key SPACE value`` output
+  (operators/mapreduce.py:write_kv_text is the KV-specific sink).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+
+def read_text(spark: SparkSession, path: str) -> DataFrame:
+    """Lines as DataFrame[value: string] — the reference's record model."""
+    return spark.read.text(path)
+
+
+def read_csv(
+    spark: SparkSession, path: str, schema: StructType | str, header: bool = True
+) -> DataFrame:
+    return spark.read.schema(schema).option("header", str(header).lower()).csv(path)
+
+
+def read_json(spark: SparkSession, path: str, schema: StructType | str) -> DataFrame:
+    return spark.read.schema(schema).json(path)
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def write_text(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Single string column → newline-delimited text files."""
+    df.write.mode(mode).text(path)
+
+
+def write_csv(df: DataFrame, path: str, mode: str = "overwrite", header: bool = True) -> None:
+    df.write.mode(mode).option("header", str(header).lower()).csv(path)
+
+
+def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.mode(mode).json(path)
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+) -> None:
+    """Partitioned parquet is the scale-out sink: ``partition_by`` columns
+    become directory partitions the next reader prunes on."""
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)

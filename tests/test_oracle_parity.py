@@ -21,5 +21,7 @@ def test_query_matches_oracle(spark, sf_dir, name):
 def test_every_query_has_oracle_or_is_documented():
     missing = sorted(set(QUERIES) - set(ORACLES))
     # Non-SQL-expressible ops may omit oracles; keep the list intentional.
-    allowed_weak = set()
+    # agg_approx_distinct: HLL++ sketch values are engine-specific by
+    # design — bounded against exact counts in test_relational_extra.py.
+    allowed_weak = {"agg_approx_distinct"}
     assert set(missing) <= allowed_weak, f"queries without oracle: {missing}"
