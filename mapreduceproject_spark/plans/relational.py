@@ -712,3 +712,65 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users")
     )
+
+
+@query(
+    "window_frames",
+    oracle=f"""
+    SELECT event_id, event_type,
+           DENSE_RANK() OVER (PARTITION BY event_type ORDER BY CAST(floor(value*100) AS BIGINT) DESC) AS drnk,
+           NTILE(4) OVER (PARTITION BY event_type ORDER BY CAST(floor(value*100) AS BIGINT) DESC, event_id) AS quartile,
+           LEAD(event_id) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS next_event,
+           CAST(SUM(CAST(floor(value*100) AS BIGINT)) OVER (
+             PARTITION BY event_type ORDER BY ts, event_id
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS cents_3
+    FROM events
+    """,
+)
+def window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-function round-out: DENSE_RANK, NTILE, LEAD, and an explicit
+    sliding ROWS frame — all on integer cents so every engine agrees.
+    One partition-shuffle serves all four functions (shared window spec)."""
+    ev = events(spark, sf_dir)
+    cents = F.floor(F.col("value") * 100).cast("long")
+    by_val = Window.partitionBy("event_type").orderBy(F.desc(cents))
+    by_val_t = Window.partitionBy("event_type").orderBy(F.desc(cents), F.asc("event_id"))
+    by_time = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    sliding = by_time.rowsBetween(-2, Window.currentRow)
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.dense_rank().over(by_val).alias("drnk"),
+        F.ntile(4).over(by_val_t).alias("quartile"),
+        F.lead("event_id").over(by_time).alias("next_event"),
+        F.sum(cents).over(sliding).alias("cents_3"),
+    )
+
+
+@query(
+    "array_functions",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(list_distinct(list_filter(string_split_regex(text, '\\s+'), t -> t <> ''))) AS BIGINT) AS n_unique,
+           list_sort(list_distinct(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')))[1] AS first_tok,
+           list_sort(list_distinct(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')))[-1] AS last_tok,
+           list_contains(list_filter(string_split_regex(text, '\\s+'), t -> t <> ''), 'the') AS has_the
+    FROM documents
+    """,
+)
+def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-function surface: distinct, sort, element access, membership —
+    per-row JVM expressions, no shuffle (reference has no array type at
+    all, SURVEY §1.2)."""
+    from mapreduceproject_spark.functions.textfn import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    uniq = F.array_sort(F.array_distinct(toks))
+    return docs.select(
+        "doc_id",
+        F.size(uniq).cast("long").alias("n_unique"),
+        F.element_at(uniq, 1).alias("first_tok"),
+        F.element_at(uniq, -1).alias("last_tok"),
+        F.array_contains(toks, "the").alias("has_the"),
+    )

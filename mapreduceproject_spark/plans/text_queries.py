@@ -7,6 +7,7 @@ bit-for-bit.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from mapreduceproject_spark.functions.hashing import duck_hash60
 from mapreduceproject_spark.functions.textfn import duck_char_ngrams, duck_tokens
@@ -174,4 +175,69 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     a broadcast scalar, never a driver collect."""
     return ta.tfidf_top_terms(
         load_table(spark, sf_dir, "documents"), "doc_id", "text", top_k=TFIDF_TOP
+    )
+
+
+def _pipeline_oracle() -> str:
+    stoplist = ", ".join(f"'{s}'" for s in ta.STOPWORDS)
+    return rf"""
+    WITH q AS (
+      SELECT doc_id, text, lang,
+             CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+             1.0 - CAST(len(regexp_extract_all(text, '{ta.PUNCT_PATTERN}')) AS DOUBLE) / length(text) * 2.0
+                 - CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) / length(text)
+                 + CAST(len(list_filter({_TOKS}, t -> list_contains([{stoplist}], lower(t)))) AS DOUBLE)
+                   / len({_TOKS}) * 0.5 AS quality
+      FROM documents
+    ),
+    kept AS (SELECT * FROM q WHERE n_tokens >= 5 AND quality > 0.5),
+    dedup AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY md5(substr(text, 1, 80)) ORDER BY doc_id) AS rn
+        FROM kept) WHERE rn = 1
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(SUM(n_tokens) AS DOUBLE) / COUNT(*) AS mean_tokens
+    FROM dedup GROUP BY lang
+    """
+
+
+@query("pipeline_clean_corpus", oracle=_pipeline_oracle())
+def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capstone composition — the canonical training-data cleaning flow in
+    one declarative plan: quality-filter (composite score > 0.5, ≥ 5
+    tokens) → exact near-dedup on the 80-char prefix hash keeping the
+    lowest doc_id → per-language corpus stats.  Catalyst fuses the filter
+    into the scan, plans the keep-first as one window, and the final agg
+    is partial+final; nothing materializes in between."""
+    from pyspark.sql import Window
+
+    from mapreduceproject_spark.functions.textfn import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    toks = tokens(t)
+    n_toks = F.size(toks).cast("long")
+    punct = F.size(F.regexp_extract_all(t, F.lit(ta.PUNCT_PATTERN), F.lit(0)))
+    digits = F.size(F.regexp_extract_all(t, F.lit(r"[0-9]"), F.lit(0)))
+    stop_arr = F.array(*[F.lit(s) for s in ta.STOPWORDS])
+    stops = F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, F.lower(x))))
+    quality = (
+        F.lit(1.0)
+        - punct.cast("double") / F.length(t) * 2.0
+        - digits.cast("double") / F.length(t)
+        + stops.cast("double") / F.size(toks) * 0.5
+    )
+    kept = docs.select(
+        "doc_id", "lang", t.alias("text"), n_toks.alias("n_tokens"), quality.alias("q")
+    ).filter((F.col("n_tokens") >= 5) & (F.col("q") > 0.5))
+    w = Window.partitionBy(F.md5(F.substring("text", 1, 80))).orderBy("doc_id")
+    survivors = kept.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return survivors.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        (F.sum("n_tokens").cast("double") / F.count("*")).alias("mean_tokens"),
     )
