@@ -380,3 +380,60 @@ def embedding_near_dup(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+# ---------------------------------------------------------------------------
+# 6. duplicate clusters (connected components over near-dup pairs)
+# ---------------------------------------------------------------------------
+
+def connected_components(
+    edges: DataFrame, id_a: str = "id_a", id_b: str = "id_b", max_iter: int = 25
+) -> DataFrame:
+    """Min-label propagation to a fixpoint: (id, cluster_id=min id in
+    component).
+
+    The driver loop is control-flow only — data never leaves executors.
+    Each iteration is one join + one aggregate (label spread along edges);
+    iterations needed = graph diameter, and near-dup graphs are shallow
+    (dup clusters are cliques or near-cliques from LSH banding).
+    ``localCheckpoint`` truncates lineage every round so the plan doesn't
+    grow exponentially across iterations — the standard iterative-DataFrame
+    discipline.
+    """
+    sym = edges.select(
+        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
+    ).union(edges.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+    labels = (
+        sym.select(F.col("src").alias("id"))
+        .distinct()
+        .select("id", F.col("id").alias("label"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nbr = sym.join(labels, sym.dst == labels.id).select(
+            F.col("src").alias("id"), F.col("label")
+        )
+        new_labels = (
+            labels.union(nbr).groupBy("id").agg(F.min("label").alias("label"))
+        ).localCheckpoint()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("id"), F.col("label").alias("cluster_id"))
+
+
+def duplicate_clusters(pairs: DataFrame) -> DataFrame:
+    """Cluster assignment for every document that appears in a near-dup
+    pair: (doc_id, cluster_id), cluster_id = smallest doc id reachable
+    through the pair graph.  Downstream keep-one-per-cluster is then a
+    trivial filter(doc_id == cluster_id)."""
+    return connected_components(pairs).select(
+        F.col("id").alias("doc_id"), "cluster_id"
+    )

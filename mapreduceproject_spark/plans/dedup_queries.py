@@ -232,3 +232,43 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         num_centroids=IVF_CENTROIDS,
         threshold=COSINE_THR,
     )
+
+
+def _clusters_oracle() -> str:
+    return f"""
+    WITH RECURSIVE pairs AS (
+      SELECT id_a, id_b FROM ({_minhash_oracle()})
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM pairs
+    ),
+    reach(id, r) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.src, reach.r FROM edges e JOIN reach ON reach.id = e.dst
+    )
+    SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id
+    """
+
+
+@query("dedup_clusters", oracle=_clusters_oracle())
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate clusters: connected components (min-label propagation to
+    fixpoint) over the MinHash-LSH near-dup pair graph — the iterative-
+    algorithm representative; driver loop is control-only, per-iteration
+    lineage truncated via localCheckpoint (oracle: recursive CTE
+    transitive closure)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dd.minhash_lsh_dedup(
+        docs,
+        "doc_id",
+        "text",
+        num_hashes=MINHASH_N,
+        bands=MINHASH_BANDS,
+        shingle_k=SHINGLE_K,
+        threshold=JACCARD_THR,
+        seed=MINHASH_SEED,
+    ).select("id_a", "id_b")
+    return dd.duplicate_clusters(pairs)
