@@ -400,9 +400,13 @@ def connected_components(
     grow exponentially across iterations — the standard iterative-DataFrame
     discipline.
     """
-    sym = edges.select(
-        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
-    ).union(edges.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+    # materialize the (usually expensive) edge computation once — without
+    # this every iteration's join re-runs the full upstream pipeline
+    sym = (
+        edges.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(edges.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .localCheckpoint()
+    )
     labels = (
         sym.select(F.col("src").alias("id"))
         .distinct()
