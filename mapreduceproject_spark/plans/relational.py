@@ -774,3 +774,77 @@ def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(uniq, -1).alias("last_tok"),
         F.array_contains(toks, "the").alias("has_the"),
     )
+
+
+@query(
+    "correlated_above_brand_avg",
+    oracle=f"""
+    SELECT p_partkey, p_brand,
+           CAST(CAST(p_retailprice AS {DEC}) AS DOUBLE) AS price
+    FROM part p
+    WHERE CAST(p_retailprice AS {DEC}) > (
+      SELECT AVG(CAST(p2.p_retailprice AS {DEC}))
+      FROM part p2 WHERE p2.p_brand = p.p_brand
+    )
+    """,
+)
+def correlated_above_brand_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (parts priced above their brand's
+    average).  Spark decorrelates this into the same plan as the explicit
+    window/self-agg form — written here as a window avg so the DataFrame
+    API stays single-pass; the oracle keeps the correlated form to prove
+    the semantics line up."""
+    p = part(spark, sf_dir)
+    w = Window.partitionBy("p_brand")
+    price = dec("p_retailprice")
+    return (
+        p.select(
+            "p_partkey",
+            "p_brand",
+            price.alias("_p"),
+            F.avg(price).over(w).alias("_avg"),
+        )
+        .filter(F.col("_p") > F.col("_avg"))
+        .select("p_partkey", "p_brand", F.col("_p").cast("double").alias("price"))
+    )
+
+
+@query(
+    "null_semantics",
+    oracle="""
+    WITH x AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_orderstatus END AS st,
+             CASE WHEN o_orderkey % 5 = 0 THEN NULL ELSE o_orderpriority END AS pr
+      FROM orders
+    )
+    SELECT st, pr IS NOT DISTINCT FROM st AS null_safe_eq,
+           COUNT(*) AS n,
+           COUNT(st) AS n_nonnull,
+           COALESCE(MIN(pr), 'none') AS min_pr
+    FROM x GROUP BY st, null_safe_eq
+    """,
+)
+def null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-handling surface: null-generating CASE, null-safe equality
+    (<=> / IS NOT DISTINCT FROM), COUNT(col) vs COUNT(*), COALESCE — the
+    semantics corner where engines classically diverge, pinned equal."""
+    o = orders(spark, sf_dir)
+    x = o.select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 7 == 0, None)
+        .otherwise(F.col("o_orderstatus"))
+        .alias("st"),
+        F.when(F.col("o_orderkey") % 5 == 0, None)
+        .otherwise(F.col("o_orderpriority"))
+        .alias("pr"),
+    )
+    return (
+        x.withColumn("null_safe_eq", F.col("pr").eqNullSafe(F.col("st")))
+        .groupBy("st", "null_safe_eq")
+        .agg(
+            F.count("*").alias("n"),
+            F.count("st").alias("n_nonnull"),
+            F.coalesce(F.min("pr"), F.lit("none")).alias("min_pr"),
+        )
+    )
