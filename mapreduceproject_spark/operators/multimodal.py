@@ -189,3 +189,31 @@ def feature_extract(df: DataFrame, id_col: str) -> DataFrame:
     return df.select(F.col(id_col), F.col("payload")).mapInPandas(
         kernel, "doc_id long, dim long, feature double"
     )
+
+
+def resize_images(df: DataFrame, id_col: str, target_w: int = 64, target_h: int = 64) -> DataFrame:
+    """Image resize (deterministic fake kernel): recompute dimensions +
+    emit the 'resized' content hash md5(payload + WxH).
+
+    The real kernel swaps in a PIL/opencv call with the same signature —
+    per-row, Arrow-batched, no shuffle; output metadata is what downstream
+    training-shard writers consume.
+    """
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        dims = f"{target_w}x{target_h}".encode()
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "width": pd.Series([target_w] * len(pdf), dtype="int64"),
+                    "height": pd.Series([target_h] * len(pdf), dtype="int64"),
+                    "resized_md5": pdf["payload"].map(
+                        lambda b: hashlib.md5(bytes(b) + b"@" + dims).hexdigest()
+                    ),
+                }
+            )
+
+    return df.select(F.col(id_col), F.col("payload")).mapInPandas(
+        kernel, "doc_id long, width long, height long, resized_md5 string"
+    )

@@ -93,3 +93,22 @@ def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic fake feature extraction: {FEATURE_DIM} hash-derived
     values per payload, long-form output ready for the ANN operators."""
     return mm.feature_extract(_payload(spark, sf_dir), "doc_id")
+
+
+RESIZE_W, RESIZE_H = 64, 64
+
+
+@query(
+    "mm_resize_images",
+    oracle=f"""
+    SELECT doc_id,
+           CAST({RESIZE_W} AS BIGINT) AS width,
+           CAST({RESIZE_H} AS BIGINT) AS height,
+           md5(text || '@' || '{RESIZE_W}x{RESIZE_H}') AS resized_md5
+    FROM documents
+    """,
+)
+def mm_resize_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image resize to {RESIZE_W}x{RESIZE_H} (deterministic fake kernel,
+    real-codec seam documented in operators/multimodal.py)."""
+    return mm.resize_images(_payload(spark, sf_dir), "doc_id", RESIZE_W, RESIZE_H)
