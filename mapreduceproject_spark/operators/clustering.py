@@ -1,0 +1,94 @@
+"""Embedding clustering: deterministic k-means (Lloyd's iterations).
+
+The iterative-ML representative.  Every source of nondeterminism is
+pinned so a DuckDB oracle reproduces the result bit-for-bit:
+- init: centroids = the vectors with id < k (no random seeding);
+- assignment: max quantized-integer cosine, ties → lowest centroid id;
+- update: per-dimension arithmetic mean of the QUANTIZED coordinates —
+  integer sums are exact and order-independent, and the final
+  sum/count/1e6 double division is identical on every engine;
+- fixed iteration count (no float-sensitive convergence test).
+
+Scale shape (the same one MLlib's KMeans uses): the corpus never moves —
+each iteration is one broadcast of k·dim scalars out, one partial+final
+aggregate back.  Collecting the centroid table to the driver is O(k·dim)
+(a few KB), not a data collect; with k=8, dim=64 a 100 TB corpus still
+ships only 512 doubles per iteration.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from mapreduceproject_spark.functions.vectors import QUANT_SCALE, quantize, quantized_cosine
+
+
+def _assign(qvecs: DataFrame, centroids: DataFrame) -> DataFrame:
+    """(id, q, cluster_id): nearest centroid by quantized cosine."""
+    scored = qvecs.crossJoin(F.broadcast(centroids)).select(
+        "id",
+        "q",
+        "cid",
+        quantized_cosine(F.col("v"), F.col("cvec")).alias("cos"),
+    )
+    w = Window.partitionBy("id").orderBy(F.desc("cos"), F.asc("cid"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("id", "q", F.col("cid").alias("cluster_id"))
+    )
+
+
+def kmeans_quantized(
+    spark: SparkSession,
+    vectors: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 8,
+    iterations: int = 2,
+) -> DataFrame:
+    """Deterministic k-means; returns (vec_id, cluster_id) after
+    ``iterations`` Lloyd updates + one final assignment."""
+    base = vectors.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+    qvecs = base.select("id", "v", quantize(F.col("v")).alias("q"))
+
+    centroids = base.filter(F.col("id") < k).select(
+        F.col("id").alias("cid"), F.col("v").alias("cvec")
+    )
+
+    for _ in range(iterations):
+        assigned = _assign(qvecs, centroids)
+        # per-dimension exact-integer means -> new double centroids; the
+        # k*dim result is driver-collected and re-broadcast as literals
+        # (plan stays flat across iterations, like MLlib's implementation)
+        means = (
+            assigned.select("cluster_id", F.posexplode("q").alias("d", "qd"))
+            .groupBy("cluster_id", "d")
+            .agg(F.sum("qd").alias("s"), F.count("*").alias("c"))
+            .select(
+                "cluster_id",
+                "d",
+                (F.col("s").cast("double") / F.col("c") / QUANT_SCALE).alias("m"),
+            )
+        )
+        rows = (
+            means.groupBy("cluster_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("d", "m"))),
+                    lambda st: st.m,
+                ).alias("cvec")
+            )
+            .collect()
+        )
+        centroids = spark.createDataFrame(
+            [(r["cluster_id"], r["cvec"]) for r in rows],
+            "cid long, cvec array<double>",
+        )
+
+    final = _assign(qvecs, centroids)
+    return final.select(F.col("id").alias("vec_id"), "cluster_id")

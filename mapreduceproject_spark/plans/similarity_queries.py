@@ -165,3 +165,70 @@ def ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= TOP_K)
         .select("query_id", "neighbor_id", "cosine", F.col("rnk").cast("long").alias("rnk"))
     )
+
+
+# -- k-means clustering -----------------------------------------------------
+KMEANS_K, KMEANS_ITERS, EMB_DIM = 8, 2, 64
+
+
+def _kmeans_oracle() -> str:
+    """Unrolled Lloyd iterations as a CTE chain (generated, not
+    hand-maintained): assignment by quantized cosine, exact-integer
+    per-dimension means — replicates operators/clustering.py bit-for-bit."""
+    from mapreduceproject_spark.functions.vectors import QUANT_SCALE
+
+    parts = [
+        f"""qv AS (
+      SELECT vec_id AS id,
+             {duck_quantize("CAST(embedding AS DOUBLE[])")} AS q
+      FROM embeddings
+    ),
+    c0 AS (
+      SELECT id AS cid, q AS cq FROM qv WHERE id < {KMEANS_K}
+    )"""
+    ]
+    for i in range(KMEANS_ITERS + 1):
+        parts.append(
+            f"""a{i} AS (
+      SELECT id, q, cluster_id FROM (
+        SELECT qv.id, qv.q, c.cid AS cluster_id,
+               row_number() OVER (
+                 PARTITION BY qv.id
+                 ORDER BY {duck_quantized_cosine("qv.q", "c.cq")} DESC, c.cid) AS rn
+        FROM qv, c{i} AS c) WHERE rn = 1
+    )"""
+        )
+        if i < KMEANS_ITERS:
+            parts.append(
+                f"""u{i} AS (
+      SELECT cluster_id, d,
+             CAST(SUM(q[d]) AS DOUBLE) / COUNT(*) / {QUANT_SCALE} AS m
+      FROM a{i}, range(1, {EMB_DIM + 1}) t(d)
+      GROUP BY 1, 2
+    ),
+    c{i + 1} AS (
+      SELECT cluster_id AS cid,
+             {duck_quantize(f"list(m ORDER BY d)")} AS cq
+      FROM u{i} GROUP BY 1
+    )"""
+            )
+    body = ",\n    ".join(parts)
+    return f"""
+    WITH {body}
+    SELECT id AS vec_id, cluster_id FROM a{KMEANS_ITERS}
+    """
+
+
+@query("kmeans_embeddings", oracle=_kmeans_oracle())
+def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-means over the embeddings ({KMEANS_K} clusters,
+    {KMEANS_ITERS} Lloyd iterations, quantized-integer arithmetic) — the
+    iterative-ML operator; per-iteration data motion is one k x dim
+    centroid broadcast plus one partial+final aggregate, the corpus never
+    moves (operators/clustering.py)."""
+    from mapreduceproject_spark.operators.clustering import kmeans_quantized
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return kmeans_quantized(
+        spark, emb, "vec_id", "embedding", k=KMEANS_K, iterations=KMEANS_ITERS
+    )

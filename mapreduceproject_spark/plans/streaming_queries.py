@@ -108,3 +108,32 @@ def session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cents",
         )
     )
+
+
+@query(
+    "stream_static_join",
+    oracle="""
+    SELECT c_mktsegment, COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM events JOIN customer ON c_custkey = user_id
+    GROUP BY c_mktsegment
+    """,
+)
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment: the events stream joins a static customer
+    dimension (broadcast per micro-batch — the standard streaming dim-join;
+    the static side is re-resolvable so slowly-changing dims just work),
+    then aggregates per market segment."""
+    ev = jobs.read_events_stream(spark, sf_dir)
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    joined = ev.join(F.broadcast(cust), ev.user_id == cust.c_custkey)
+    # exact COUNT(DISTINCT) isn't supported inside streaming aggs; the join
+    # runs streaming (enrichment per micro-batch), the distinct runs on the
+    # materialized finite result
+    out = jobs.run_to_df(
+        joined.select("c_mktsegment", "user_id"), spark, "append"
+    )
+    return out.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+    )

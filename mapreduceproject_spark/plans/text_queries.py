@@ -241,3 +241,43 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").alias("total_tokens"),
         (F.sum("n_tokens").cast("double") / F.count("*")).alias("mean_tokens"),
     )
+
+
+# -- deterministic sampling / splitting -------------------------------------
+SPLIT_SALT = "|split-v1"
+TRAIN_PCT, VAL_PCT = 80, 10  # test = remainder
+
+
+@query(
+    "sample_hash_split",
+    oracle=f"""
+    WITH s AS (
+      SELECT lang,
+             {duck_hash60(f"text || '{SPLIT_SALT}'")} % 100 AS bucket
+      FROM documents
+    )
+    SELECT lang,
+           CASE WHEN bucket < {TRAIN_PCT} THEN 'train'
+                WHEN bucket < {TRAIN_PCT + VAL_PCT} THEN 'val'
+                ELSE 'test' END AS split,
+           COUNT(*) AS n_docs
+    FROM s GROUP BY 1, 2
+    """,
+)
+def sample_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic content-hash train/val/test split ({TRAIN_PCT}/
+    {VAL_PCT}/rest) — the reproducible-sampling pattern: the split is a
+    pure function of content+salt, so it survives reshuffles, re-runs and
+    engine changes, unlike rand()-based sampling."""
+    from mapreduceproject_spark.functions.hashing import hash60
+
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = hash60(F.concat(F.col("text"), F.lit(SPLIT_SALT))) % 100
+    split = (
+        F.when(bucket < TRAIN_PCT, "train")
+        .when(bucket < TRAIN_PCT + VAL_PCT, "val")
+        .otherwise("test")
+    )
+    return docs.groupBy("lang", split.alias("split")).agg(
+        F.count("*").alias("n_docs")
+    )
