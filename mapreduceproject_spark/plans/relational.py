@@ -848,3 +848,55 @@ def null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.min("pr"), F.lit("none")).alias("min_pr"),
         )
     )
+
+
+PIVOT_STATUSES = ["F", "O", "P"]
+
+
+@query(
+    "pivot_status_by_priority",
+    oracle=f"""
+    SELECT o_orderpriority,
+           {", ".join(f"COUNT(*) FILTER (WHERE o_orderstatus = '{s}') AS n_{s}" for s in PIVOT_STATUSES)}
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: order counts per priority × status as columns.  Explicit
+    value list (PIVOT_STATUSES) — at scale an unlisted pivot forces an
+    extra distinct-values job, so the list is part of the contract."""
+    out = (
+        orders(spark, sf_dir)
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", PIVOT_STATUSES)
+        .count()
+    )
+    # pivot leaves null where a (priority, status) cell has no rows; the
+    # oracle's FILTER-count yields 0 — align on 0
+    return out.select(
+        "o_orderpriority",
+        *[F.coalesce(F.col(s), F.lit(0)).alias(f"n_{s}") for s in PIVOT_STATUSES],
+    )
+
+
+@query(
+    "unpivot_quality_metrics",
+    oracle="""
+    SELECT doc_id, metric, val FROM (
+      SELECT doc_id,
+             CAST(n_chars AS DOUBLE) AS chars,
+             CAST(length(text) AS DOUBLE) AS text_len
+      FROM documents
+    ) UNPIVOT (val FOR metric IN (chars, text_len))
+    """,
+)
+def unpivot_quality_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT/melt: wide per-doc metrics to long (doc_id, metric, val) —
+    the shape metric stores and plotting pipelines want.  Pure per-row
+    expansion, zero shuffle."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.col("n_chars").cast("double").alias("chars"),
+        F.length("text").cast("double").alias("text_len"),
+    )
+    return docs.unpivot("doc_id", ["chars", "text_len"], "metric", "val")
