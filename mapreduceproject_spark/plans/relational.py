@@ -900,3 +900,76 @@ def unpivot_quality_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("text").cast("double").alias("text_len"),
     )
     return docs.unpivot("doc_id", ["chars", "text_len"], "metric", "val")
+
+
+@query(
+    "q10_returned_item_revenue",
+    oracle=f"""
+    SELECT c_custkey, c_name, n_name,
+           CAST(SUM(CAST(l_extendedprice AS {DEC}) * (1 - CAST(l_discount AS {DEC}))) AS DOUBLE) AS revenue
+    FROM customer
+    JOIN orders   ON o_custkey = c_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON n_nationkey = c_nationkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1996-07-01 00:00:00'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q10_returned_item_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: 3-way fact join + dim broadcast, filtered agg,
+    top-20.  Catalyst pushes both filters to the scans, broadcasts
+    nation, and the final top-k is a TakeOrderedAndProject."""
+    li, o, c, n = (
+        lineitem(spark, sf_dir),
+        orders(spark, sf_dir),
+        customer(spark, sf_dir),
+        nation(spark, sf_dir),
+    )
+    revenue = F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount")))
+    return (
+        c.join(o, o.o_custkey == c.c_custkey)
+        .join(li.filter(F.col("l_returnflag") == "R"), F.col("l_orderkey") == o.o_orderkey)
+        .join(F.broadcast(n), n.n_nationkey == c.c_nationkey)
+        .filter(
+            (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-07-01")
+        )
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(revenue.cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@query(
+    "q12_late_shipments",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_lineitems,
+           COUNT(*) FILTER (WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY) AS n_late,
+           CAST(COUNT(*) FILTER (WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY) AS DOUBLE)
+             / COUNT(*) AS late_ratio
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def q12_late_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (adapted — fixtures carry no shipmode): late-
+    shipment ratios per priority via conditional aggregation over the
+    orders⨝lineitem join; one fact shuffle, FILTER-style aggs fuse into a
+    single pass."""
+    li, o = lineitem(spark, sf_dir), orders(spark, sf_dir)
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+    n_late = F.sum(F.when(late, 1).otherwise(0))
+    return (
+        o.join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_lineitems"),
+            n_late.alias("n_late"),
+            (n_late.cast("double") / F.count("*")).alias("late_ratio"),
+        )
+    )
