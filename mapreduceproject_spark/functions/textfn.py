@@ -44,11 +44,14 @@ def word_shingles(col: Column, k: int = 3) -> Column:
 
 def duck_word_shingles(expr: str, k: int = 3) -> str:
     toks = duck_tokens(expr)
+    # COALESCE: DuckDB's array_to_string([]) is NULL where Spark's
+    # array_join([]) is '' — zero-token docs must shingle identically
+    # (caught by tests/test_properties.py, not by the fixture corpus).
     return (
         f"CASE WHEN len({toks}) >= {k} THEN "
         f"list_transform(range(1, len({toks}) - {k - 2}), "
         f"i -> array_to_string(({toks})[i:i+{k - 1}], ' ')) "
-        f"ELSE [array_to_string({toks}, ' ')] END"
+        f"ELSE [COALESCE(array_to_string({toks}, ' '), '')] END"
     )
 
 

@@ -1,0 +1,120 @@
+"""Property-style invariants (SURVEY §5.2.3).
+
+The cross-engine primitives (hash60, tokens, shingles, quantized cosine)
+underpin every oracle comparison — Hypothesis hammers their pure-Python /
+DuckDB twins per-example, and one batched Spark job per primitive checks
+the Spark side against the same inputs (batched because a Spark job per
+Hypothesis example would take minutes).
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from mapreduceproject_spark.functions.hashing import duck_hash60, hash60
+from mapreduceproject_spark.functions.textfn import (
+    duck_tokens,
+    duck_word_shingles,
+    tokens,
+    word_shingles,
+)
+
+# printable-ish text without backslashes/quotes so the same literal can be
+# embedded in DuckDB SQL; the Spark side gets values via a DataFrame so it
+# has no quoting constraint
+_sql_safe_text = st.text(
+    alphabet=st.characters(
+        min_codepoint=32, max_codepoint=126, exclude_characters="'\\\""
+    ),
+    min_size=0,
+    max_size=60,
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(_sql_safe_text)
+def test_hash60_duck_twin_matches_python(s):
+    """duck_hash60 == int(md5[:15], 16) — the exact definition hash60
+    implements in Spark; and the value fits 60 bits."""
+    import hashlib
+
+    expected = int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+    got = duckdb.sql(f"SELECT {duck_hash60(repr(s))} AS h").fetchone()[0]
+    assert got == expected
+    assert 0 <= got < 1 << 60
+
+
+@settings(max_examples=200, deadline=None)
+@given(_sql_safe_text)
+def test_tokens_duck_twin_matches_python(s):
+    expected = s.split()
+    got = duckdb.sql(f"SELECT {duck_tokens(repr(s))} AS t").fetchone()[0]
+    assert list(got) == expected
+
+
+@settings(max_examples=100, deadline=None)
+@given(_sql_safe_text, st.integers(min_value=2, max_value=4))
+def test_shingle_count_invariant(s, k):
+    """len(shingles) == max(1, n_tokens - k + 1) for non-empty token lists
+    (short docs collapse to a single whole-text shingle)."""
+    toks = s.split()
+    got = duckdb.sql(f"SELECT {duck_word_shingles(repr(s), k)} AS sh").fetchone()[0]
+    if len(toks) >= k:
+        assert len(got) == len(toks) - k + 1
+        assert got[0] == " ".join(toks[:k])
+    else:
+        assert list(got) == [" ".join(toks)]
+
+
+def test_spark_twins_match_duckdb_on_random_batch(spark):
+    """One batched cross-engine check: Spark's hash60/tokens/shingles over
+    200 Hypothesis-ish random strings equal the DuckDB twins."""
+    import random
+    import string
+
+    rng = random.Random(7)
+    alphabet = string.ascii_letters + string.digits + "     .,-!?"
+    samples = [
+        "".join(rng.choice(alphabet) for _ in range(rng.randrange(0, 80)))
+        for _ in range(200)
+    ] + ["", " ", "one", "a  b   c"]
+
+    df = spark.createDataFrame([(s,) for s in samples], ["s"])
+    spark_rows = (
+        df.select(
+            "s",
+            hash60(F.col("s")).alias("h"),
+            tokens(F.col("s")).alias("t"),
+            word_shingles(F.col("s"), 3).alias("sh"),
+        )
+        .collect()
+    )
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE x (s VARCHAR)")
+    con.executemany("INSERT INTO x VALUES (?)", [(s,) for s in samples])
+    duck = {
+        r[0]: (r[1], list(r[2]), list(r[3]))
+        for r in con.execute(
+            f"SELECT s, {duck_hash60('s')}, {duck_tokens('s')}, {duck_word_shingles('s', 3)} FROM x"
+        ).fetchall()
+    }
+    for r in spark_rows:
+        dh, dt, dsh = duck[r["s"]]
+        assert r["h"] == dh, r["s"]
+        assert list(r["t"]) == dt, r["s"]
+        assert list(r["sh"]) == dsh, r["s"]
+
+
+def test_quantized_cosine_self_is_one(spark):
+    from mapreduceproject_spark.functions.vectors import quantized_cosine
+
+    df = spark.createDataFrame(
+        [([0.25, -1.5, 3.125, 0.0078125],)], "v array<double>"
+    )
+    got = df.select(quantized_cosine(F.col("v"), F.col("v")).alias("c")).first()["c"]
+    assert got == pytest.approx(1.0, abs=1e-12)
