@@ -196,10 +196,13 @@ def simhash_signature(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     ×32 and shuffles twice.  Catalyst runs all 32 sums partial+final, so
     map-side combine shrinks the shuffle to one row per (id, partition).
     """
+    # hash BEFORE distinct: matches the oracle's SELECT DISTINCT id,
+    # hash60(t) exactly, and the dedup shuffle carries 8-byte longs
+    # instead of token strings
     tok = (
         df.select(F.col(id_col).alias("_id"), F.explode(tokens(F.col(text_col))).alias("t"))
-        .distinct()
         .select("_id", hash60(F.col("t")).alias("h"))
+        .distinct()
     )
     votes = tok.groupBy("_id").agg(
         *[
