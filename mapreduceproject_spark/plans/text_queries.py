@@ -281,3 +281,66 @@ def sample_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.groupBy("lang", split.alias("split")).agg(
         F.count("*").alias("n_docs")
     )
+
+
+@query(
+    "text_normalize",
+    oracle=r"""
+    SELECT doc_id,
+           trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g')) AS norm,
+           CAST(length(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g'))) AS BIGINT) AS n_norm_chars
+    FROM documents
+    """,
+)
+def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical normalization chain (lowercase → strip non-alnum →
+    collapse whitespace → trim) — the first stage before any exact-dedup
+    hash; pure per-row regex, zero shuffle, codegen'd."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), r"[^a-z0-9\s]", ""),
+            r"\s+",
+            " ",
+        )
+    )
+    return docs.select(
+        "doc_id",
+        norm.alias("norm"),
+        F.length(norm).cast("long").alias("n_norm_chars"),
+    )
+
+
+@query(
+    "vocab_stats",
+    oracle=f"""
+    WITH terms AS (
+      SELECT doc_id, unnest({_LTOKS}) AS term FROM documents
+    ),
+    stats AS (
+      SELECT term, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
+      FROM terms GROUP BY term
+    )
+    SELECT term, tf, df,
+           CAST(row_number() OVER (ORDER BY tf DESC, term) AS BIGINT) AS zipf_rank
+    FROM stats
+    """,
+)
+def vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: term frequency, document frequency, zipf rank —
+    the 'what does my corpus look like' aggregate; vocabulary-sized
+    output regardless of corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    from mapreduceproject_spark.functions.textfn import tokens
+    from pyspark.sql import Window
+
+    terms = docs.select(
+        "doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("term")
+    )
+    stats = terms.groupBy("term").agg(
+        F.count("*").alias("tf"), F.countDistinct("doc_id").alias("df")
+    )
+    w = Window.orderBy(F.desc("tf"), F.asc("term"))
+    return stats.select(
+        "term", "tf", "df", F.row_number().over(w).cast("long").alias("zipf_rank")
+    )

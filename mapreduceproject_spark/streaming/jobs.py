@@ -114,3 +114,51 @@ def run_to_df(stream: DataFrame, spark: SparkSession, mode: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+def upsert_latest_per_key(
+    stream: DataFrame,
+    spark: SparkSession,
+    path: str,
+    key_cols: list[str],
+    ts_col: str,
+) -> DataFrame:
+    """foreachBatch keyed upsert: maintain the latest row per key in a
+    parquet table across micro-batches.
+
+    The pattern behind every streaming dim/state table: each batch merges
+    into the current table with a latest-timestamp-wins window.  The merged
+    frame is materialized (cache+count) before the overwrite so the write
+    doesn't read the files it is replacing; on Delta/Iceberg this whole
+    body collapses to a MERGE INTO.  Ties on ``ts_col`` break by the key
+    columns, deterministically.
+    """
+    from pyspark.sql import Window
+
+    def apply_batch(batch: DataFrame, _bid: int) -> None:
+        s = batch.sparkSession
+        try:
+            current = s.read.parquet(path)
+            unioned = current.unionByName(batch)
+        except Exception:  # first batch: no table yet
+            unioned = batch
+        w = Window.partitionBy(*key_cols).orderBy(
+            F.desc(ts_col), *[F.asc(c) for c in key_cols]
+        )
+        merged = (
+            unioned.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+            .cache()
+        )
+        merged.count()  # materialize before overwriting the source files
+        merged.write.mode("overwrite").parquet(path)
+        merged.unpersist()
+
+    q = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(path)

@@ -8,6 +8,7 @@ import os
 
 import pandas as pd
 import pytest
+from pyspark.sql import functions as F
 
 from mapreduceproject_spark.plans import QUERIES
 from mapreduceproject_spark.streaming import jobs, stateful
@@ -128,3 +129,30 @@ def test_streaming_agg_is_rerunnable(spark, sf_dir, mode):
     ev2 = jobs.read_events_stream(spark, sf_dir)
     b = jobs.run_to_df(jobs.tumbling_counts(ev2), spark, mode).count()
     assert a == b > 0
+
+
+def test_foreachbatch_upsert_latest_per_user(spark, sf_dir, tmp_path):
+    """Across micro-batches, the upsert table must converge to exactly the
+    batch 'latest event per user' result (latest ts wins, key tie-break)."""
+    from pyspark.sql import Window
+
+    path = str(tmp_path / "user_state")
+    ev = jobs.read_events_stream(spark, sf_dir).select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    got = jobs.upsert_latest_per_key(ev, spark, path, ["user_id"], "ts")
+
+    from mapreduceproject_spark.sources.catalog import load_table
+
+    batch = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.col("ts").cast("timestamp"), "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.asc("user_id"))
+    expect = (
+        batch.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    got_rows = sorted((r["user_id"], r["event_id"]) for r in got.collect())
+    exp_rows = sorted((r["user_id"], r["event_id"]) for r in expect.collect())
+    assert got_rows == exp_rows and len(got_rows) > 0
