@@ -64,3 +64,28 @@ def write_parquet(
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.parquet(path)
+
+
+def compact_parquet(
+    spark: SparkSession, src: str, dest: str, target_mb: int = 128
+) -> int:
+    """Small-files compaction: rewrite ``src`` into ``dest`` with file
+    count sized by total bytes / ``target_mb``.
+
+    The standard maintenance op after streaming/incremental writes leave
+    thousands of KB-sized files (each file costs a task + a footer read
+    at scan time).  Local-fs sizing here; on a real cluster the listing
+    comes from the FileSystem API, the rewrite is identical.  Returns the
+    output file count.
+    """
+    import math
+    import os
+
+    total = 0
+    for root, _dirs, files in os.walk(src):
+        for f in files:
+            if not f.startswith(("_", ".")):
+                total += os.path.getsize(os.path.join(root, f))
+    n = max(1, math.ceil(total / (target_mb * 1024 * 1024)))
+    spark.read.parquet(src).repartition(n).write.mode("overwrite").parquet(dest)
+    return n

@@ -62,3 +62,18 @@ def test_partitioned_parquet_prunes(spark, sf_dir, tmp_path):
     # partition filter, not a data filter over every file
     plan = one._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "lang" in plan.split("PartitionFilters")[1][:200]
+
+
+def test_compact_parquet_reduces_files(spark, sf_dir, tmp_path):
+    from mapreduceproject_spark.sources.formats import compact_parquet
+
+    docs = _docs(spark, sf_dir)
+    fragmented = str(tmp_path / "frag")
+    docs.repartition(37).write.parquet(fragmented)
+    import glob
+
+    assert len(glob.glob(f"{fragmented}/part-*")) == 37
+    dest = str(tmp_path / "compacted")
+    n = compact_parquet(spark, fragmented, dest, target_mb=128)
+    assert n == 1 and len(glob.glob(f"{dest}/part-*")) == 1
+    assert _sorted_rows(spark.read.parquet(dest)) == _sorted_rows(docs)
