@@ -1069,3 +1069,40 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return act.groupBy("cohort", "week_k").agg(F.count("*").alias("n_users"))
+
+
+@query(
+    "q14_promo_revenue_share",
+    oracle=f"""
+    SELECT CAST(100.0 * SUM(CASE WHEN p_type LIKE 'PROMO%' OR p_name LIKE '%promo%'
+                            THEN CAST(l_extendedprice AS {DEC}) * (1 - CAST(l_discount AS {DEC}))
+                            ELSE CAST(0 AS {DEC}) END) AS DOUBLE)
+           / CAST(SUM(CAST(l_extendedprice AS {DEC}) * (1 - CAST(l_discount AS {DEC}))) AS DOUBLE)
+             AS promo_share_pct,
+           COUNT(*) AS n_lineitems
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+    """,
+)
+def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional revenue share over a fact⨝dim join
+    with a LIKE predicate — part broadcasts, the conditional sums run in
+    one pass (decimal-exact ratio, cast to double at the very end)."""
+    li, p = lineitem(spark, sf_dir), part(spark, sf_dir)
+    rev = dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))
+    promo = (F.col("p_type").like("PROMO%")) | (F.col("p_name").like("%promo%"))
+    zero = F.lit(0).cast(DEC)
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+        )
+        .join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .agg(
+            (
+                (F.lit(100.0) * F.sum(F.when(promo, rev).otherwise(zero)).cast("double"))
+                / F.sum(rev).cast("double")
+            ).alias("promo_share_pct"),
+            F.count("*").alias("n_lineitems"),
+        )
+    )
