@@ -1106,3 +1106,48 @@ def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_lineitems"),
         )
     )
+
+
+Q18_QTY_THRESHOLD = 170
+
+
+@query(
+    "q18_large_orders",
+    oracle=f"""
+    SELECT c_custkey, c_name, o_orderkey,
+           CAST(CAST(sum_qty AS {DEC}) AS DOUBLE) AS total_qty
+    FROM (
+      SELECT l_orderkey, SUM(CAST(l_quantity AS {DEC})) AS sum_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS {DEC})) > {Q18_QTY_THRESHOLD}
+    ) big
+    JOIN orders   ON o_orderkey = big.l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    ORDER BY total_qty DESC, o_orderkey
+    LIMIT 50
+    """,
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: HAVING-filtered aggregate drives the join order —
+    aggregate lineitem FIRST (the big table shrinks to qualifying orders),
+    then join the small survivor set to orders/customer.  The
+    aggregate-before-join is the key scale decision; joining first would
+    shuffle the full fact table twice."""
+    li, o, c = lineitem(spark, sf_dir), orders(spark, sf_dir), customer(spark, sf_dir)
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(dec("l_quantity")).alias("sum_qty"))
+        .filter(F.col("sum_qty") > Q18_QTY_THRESHOLD)
+    )
+    return (
+        big.join(o, o.o_orderkey == big.l_orderkey)
+        .join(c, c.c_custkey == o.o_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.col("sum_qty").cast("double").alias("total_qty"),
+        )
+        .orderBy(F.desc("total_qty"), F.asc("o_orderkey"))
+        .limit(50)
+    )
