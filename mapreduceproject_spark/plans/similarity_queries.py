@@ -232,3 +232,47 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_quantized(
         spark, emb, "vec_id", "embedding", k=KMEANS_K, iterations=KMEANS_ITERS
     )
+
+
+@query(
+    "ann_ivf_recall",
+    oracle=f"""
+    SELECT CAST(COUNT(ivf.neighbor_id) AS DOUBLE) / COUNT(*) AS recall_at_k,
+           COUNT(*) AS n_truth_pairs
+    FROM ({_bruteforce_oracle()}) bf
+    LEFT JOIN ({_ivf_oracle()}) ivf
+      ON ivf.query_id = bf.query_id AND ivf.neighbor_id = bf.neighbor_id
+    """,
+)
+def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@{TOP_K} of the IVF index against brute-force ground truth —
+    the ANN quality gauge computed as one plan (left join truth→approx,
+    hit ratio).  The number that decides num_centroids/nprobe tradeoffs
+    before a corpus-scale rollout."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < NUM_QUERIES)
+    truth = sim.brute_force_topk(
+        emb, queries_df, "vec_id", "embedding", "vec_id", "embedding", k=TOP_K
+    ).select("query_id", "neighbor_id")
+    approx = sim.ivf_topk(
+        emb,
+        queries_df,
+        "vec_id",
+        "embedding",
+        "vec_id",
+        "embedding",
+        num_centroids=IVF_CENTROIDS,
+        nprobe=NPROBE,
+        k=TOP_K,
+    ).select(
+        F.col("query_id").alias("aq"), F.col("neighbor_id").alias("an")
+    )
+    joined = truth.join(
+        approx,
+        (F.col("query_id") == F.col("aq")) & (F.col("neighbor_id") == F.col("an")),
+        "left",
+    )
+    return joined.agg(
+        (F.count("an").cast("double") / F.count("*")).alias("recall_at_k"),
+        F.count("*").alias("n_truth_pairs"),
+    )
