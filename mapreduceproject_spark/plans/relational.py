@@ -1151,3 +1151,36 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("total_qty"), F.asc("o_orderkey"))
         .limit(50)
     )
+
+
+@query(
+    "agg_variance_stats",
+    oracle=f"""
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(CAST(SUM(CAST(value AS {DEC})) AS DOUBLE) / COUNT(*) AS DOUBLE) AS mean_value,
+           (CAST(SUM(CAST(value AS {DEC}) * CAST(value AS {DEC})) AS DOUBLE)
+              - CAST(SUM(CAST(value AS {DEC})) AS DOUBLE)
+                * CAST(SUM(CAST(value AS {DEC})) AS DOUBLE) / COUNT(*))
+             / (COUNT(*) - 1) AS var_value
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_variance_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample variance via exact decimal Σx / Σx² (the order-independent
+    formulation) — the built-in stddev/variance is a float stream whose
+    result depends on partial-agg order, so it can never hash-match an
+    oracle; decimal moments can, and the two-pass-free formula is also
+    the scalable one (single aggregation, no centering pass)."""
+    ev = events(spark, sf_dir)
+    sx = F.sum(dec("value"))
+    sxx = F.sum(dec("value") * dec("value"))
+    n = F.count("*")
+    return ev.groupBy("event_type").agg(
+        n.alias("n"),
+        (sx.cast("double") / n).alias("mean_value"),
+        (
+            (sxx.cast("double") - sx.cast("double") * sx.cast("double") / n)
+            / (n - F.lit(1))
+        ).alias("var_value"),
+    )
