@@ -1184,3 +1184,42 @@ def agg_variance_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (n - F.lit(1))
         ).alias("var_value"),
     )
+
+
+@query(
+    "error_context_window",
+    oracle="""
+    SELECT e.event_id AS error_id,
+           COUNT(x.event_id) AS n_prior_5min
+    FROM events e
+    LEFT JOIN events x
+      ON x.user_id = e.user_id
+     AND x.ts >= e.ts - INTERVAL 5 MINUTE
+     AND x.ts < e.ts
+    WHERE e.event_type = 'error'
+    GROUP BY e.event_id
+    """,
+)
+def error_context_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-interval self-join: for every error event, how many events the
+    same user produced in the preceding 5 minutes — the incident-context
+    shape.  The user_id equi-key carries the shuffle; the time band
+    filters inside each user's partition, so cost is per-user-density,
+    not corpus²."""
+    ev = events(spark, sf_dir)
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"),
+        F.col("user_id").alias("eu"),
+        F.col("ts").alias("ets"),
+    )
+    others = ev.select(
+        F.col("event_id").alias("xid"), F.col("user_id").alias("xu"), F.col("ts").alias("xts")
+    )
+    joined = errors.join(
+        others,
+        (F.col("xu") == F.col("eu"))
+        & (F.col("xts") >= F.col("ets") - F.expr("INTERVAL 5 MINUTES"))
+        & (F.col("xts") < F.col("ets")),
+        "left",
+    )
+    return joined.groupBy("error_id").agg(F.count("xid").alias("n_prior_5min"))
