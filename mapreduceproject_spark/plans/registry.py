@@ -21,6 +21,53 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 QUERIES: dict[str, QueryFn] = {}
 ORACLES: dict[str, str] = {}
 
+# The driver's correctness window covers the first 50 registry entries in
+# order.  Round 1 verified the relational/mapreduce tier (CORRECTNESS_r01);
+# these 25 — the dedup-cluster / ANN / k-means / text / multimodal /
+# streaming tier — were beyond position 50 and have only repo-internal
+# evidence, so they go first this round.  Names absent from the registry
+# are ignored; everything else follows in registration order.
+_FRONT: tuple[str, ...] = (
+    "dedup_clusters",
+    "ann_bruteforce_topk",
+    "ann_ivf_topk",
+    "ann_filtered_topk",
+    "kmeans_embeddings",
+    "ann_ivf_recall",
+    "text_token_stats",
+    "text_quality_scores",
+    "text_fingerprints",
+    "text_langid_ngram",
+    "text_tfidf_top_terms",
+    "pipeline_clean_corpus",
+    "sample_hash_split",
+    "text_normalize",
+    "vocab_stats",
+    "mm_decode_stats",
+    "mm_frame_sample",
+    "mm_audio_chunks",
+    "mm_feature_extract",
+    "mm_resize_images",
+    "stream_tumbling_counts",
+    "stream_sliding_counts",
+    "stream_dedup_events",
+    "session_window_stats",
+    "stream_static_join",
+    # Round-1 red row, reworked this round — keep it in the window too.
+    "agg_approx_distinct",
+    # Round-1 green but materially changed this round (64-bit simhash,
+    # PPJoin prefix filter, multi-probe IVF) — must be re-verified.
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "dedup_embedding_cosine",
+)
+
+
+def _ordered(names: list[str]) -> list[str]:
+    front = [n for n in _FRONT if n in names]
+    rest = [n for n in names if n not in _FRONT]
+    return front + rest
+
 
 def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     """Register a named query; ``oracle`` is DuckDB SQL or None (rows-only check)."""
@@ -37,8 +84,8 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 
 
 def queries() -> dict[str, QueryFn]:
-    return dict(QUERIES)
+    return {n: QUERIES[n] for n in _ordered(list(QUERIES))}
 
 
 def oracle_sql() -> dict[str, str]:
-    return dict(ORACLES)
+    return {n: ORACLES[n] for n in _ordered(list(ORACLES))}

@@ -702,15 +702,35 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_approx_distinct")  # sketch-based: no exact oracle by design
+@query(
+    "agg_approx_distinct",
+    oracle="""
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS exact_users,
+           TRUE AS within_rsd_bound
+    FROM events GROUP BY event_type
+    """,
+)
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ distinct users per event_type — the constant-memory
-    sketch that replaces exact COUNT(DISTINCT) at 100 TB.  Inherently
-    engine-specific, so the driver runs the weaker rows-only check; the
-    error bound vs exact is asserted in tests/test_relational_extra.py."""
+    sketch that replaces exact COUNT(DISTINCT) at 100 TB.  The raw sketch
+    value is engine-specific, so the checkable output is the exact count
+    plus a deterministic ``within_rsd_bound`` flag: |HLL − exact|/exact
+    must sit inside 5× the requested rsd (0.02 → 10%), a bound HLL++
+    misses with probability ≈ 6e-7.  The oracle emits the same exact
+    count and literal TRUE, making the sketch's accuracy — not its
+    internal registers — the contract under test."""
     ev = events(spark, sf_dir)
     return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users")
+        F.count_distinct("user_id").alias("exact_users"),
+        F.approx_count_distinct("user_id", rsd=0.02).alias("_hll"),
+    ).select(
+        "event_type",
+        "exact_users",
+        (
+            F.abs(F.col("_hll") - F.col("exact_users"))
+            <= F.col("exact_users") * F.lit(0.10)
+        ).alias("within_rsd_bound"),
     )
 
 

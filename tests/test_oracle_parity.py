@@ -20,8 +20,6 @@ def test_query_matches_oracle(spark, sf_dir, name):
 
 def test_every_query_has_oracle_or_is_documented():
     missing = sorted(set(QUERIES) - set(ORACLES))
-    # Non-SQL-expressible ops may omit oracles; keep the list intentional.
-    # agg_approx_distinct: HLL++ sketch values are engine-specific by
-    # design — bounded against exact counts in test_relational_extra.py.
-    allowed_weak = {"agg_approx_distinct"}
-    assert set(missing) <= allowed_weak, f"queries without oracle: {missing}"
+    # Every query now carries a full-value oracle: even the HLL++ sketch is
+    # checked via exact count + a deterministic accuracy-bound boolean.
+    assert missing == [], f"queries without oracle: {missing}"

