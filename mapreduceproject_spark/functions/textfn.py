@@ -55,6 +55,81 @@ def duck_word_shingles(expr: str, k: int = 3) -> str:
     )
 
 
+def char_ngram_rows(
+    df,
+    text: Column,
+    n: int,
+    keep: list[str],
+    gram_col: str = "g",
+    pos_col: str | None = None,
+):
+    """One row per character n-gram — the linear-time formulation.
+
+    ``explode(char_ngrams(lower(text)))`` looks equivalent but is O(len²)
+    per document: Catalyst inlines the computed string expression into the
+    transform lambda, so ``lower(text)`` re-evaluates for every gram index
+    (the same plan pathology that made winnowing non-terminating; see
+    SCALING.md).  Here the string is projected once per row, gram *start
+    positions* are exploded, and ``substring`` runs on the materialized
+    column — one O(n) pass.  Emits exactly ``char_ngrams`` semantics:
+    documents shorter than ``n`` yield one gram of the whole string.
+
+    ``pos_col``, when set, carries the 0-based gram position (matching
+    ``posexplode`` numbering).
+    """
+    base = df.select(*keep, text.alias("_cgr_txt")).select(
+        *keep,
+        "_cgr_txt",
+        F.explode(
+            F.sequence(
+                F.lit(1), F.greatest(F.length("_cgr_txt") - (n - 1), F.lit(1))
+            )
+        ).alias("_cgr_i"),
+    )
+    out_cols = list(keep)
+    if pos_col is not None:
+        out_cols.append((F.col("_cgr_i") - 1).alias(pos_col))
+    return base.select(
+        *out_cols, F.expr(f"substring(_cgr_txt, _cgr_i, {n})").alias(gram_col)
+    )
+
+
+def word_shingle_rows(
+    df, text: Column, k: int, keep: list[str], shingle_col: str = "sh"
+):
+    """One row per k-word shingle — linear-time twin of ``word_shingles``.
+
+    The array version's ``array_join(slice(toks, i, k))`` lambda inlines
+    the computed token array per shingle index (O(words²) per document —
+    see :func:`char_ngram_rows`).  Here tokens are posexploded once and
+    shingles assembled from ``lead()`` over a per-document window: one
+    shuffle on the id, linear work, and no per-row array duplication even
+    for very long documents.  Semantics match exactly, including the
+    short-document rule (< k words → one shingle of the whole text).
+    """
+    from pyspark.sql import Window
+
+    base = df.select(*keep, tokens(text).alias("_wsh_toks"))
+    n = F.coalesce(F.size("_wsh_toks"), F.lit(-1))
+    w = Window.partitionBy(*keep).orderBy("_wsh_i")
+    parts = [F.col("_wsh_t")] + [F.lead("_wsh_t", j).over(w) for j in range(1, k)]
+    long_sh = (
+        base.filter(n >= k)
+        .select(*keep, F.posexplode("_wsh_toks").alias("_wsh_i", "_wsh_t"))
+        .select(
+            *keep,
+            F.concat_ws(" ", *parts).alias(shingle_col),
+            F.lead("_wsh_i", k - 1).over(w).alias("_wsh_end"),
+        )
+        .filter(F.col("_wsh_end").isNotNull())
+        .drop("_wsh_end")
+    )
+    short_sh = base.filter(n < k).select(
+        *keep, F.array_join("_wsh_toks", " ").alias(shingle_col)
+    )
+    return long_sh.unionByName(short_sh)
+
+
 def char_ngrams(col: Column, n: int = 3) -> Column:
     """Character n-grams of a string (for fingerprinting / jaccard)."""
     length = F.length(col)

@@ -33,7 +33,11 @@ from mapreduceproject_spark.functions.hashing import (
     minhash_params,
     minhash_perm,
 )
-from mapreduceproject_spark.functions.textfn import char_ngrams, tokens, word_shingles
+from mapreduceproject_spark.functions.textfn import (
+    char_ngram_rows,
+    tokens,
+    word_shingle_rows,
+)
 from mapreduceproject_spark.functions.vectors import quantized_cosine
 
 
@@ -67,9 +71,16 @@ def exact_dedup_groups(
 
 def shingle_hashes(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
     """Distinct (id, shingle-hash60) pairs — the set representation used by
-    both signature building and exact-jaccard verification."""
+    both signature building and exact-jaccard verification.  Uses the
+    linear-time shingle explode (lead-window assembly), not the
+    O(words²) transform-over-slice array build."""
     return (
-        df.select(F.col(id_col).alias("_id"), F.explode(word_shingles(F.col(text_col), k)).alias("sh"))
+        word_shingle_rows(
+            df.select(F.col(id_col).alias("_id"), F.col(text_col)),
+            F.col(text_col),
+            k,
+            keep=["_id"],
+        )
         .select("_id", hash60(F.col("sh")).alias("h"))
         .distinct()
     )
@@ -172,7 +183,9 @@ def minhash_lsh_dedup(
     bucket self-join sized by collision density, one verify join sized by
     candidate count.
     """
-    hashed = shingle_hashes(df, id_col, text_col, shingle_k)
+    # hashed feeds signatures, sizes, and both verify sides — persist so
+    # the shingle pipeline runs once, not once per consumer branch
+    hashed = shingle_hashes(df, id_col, text_col, shingle_k).persist()
     sigs = minhash_signatures(hashed, num_hashes, seed)
     buckets = lsh_band_buckets(sigs, num_hashes, bands)
     pairs = candidate_pairs_from_buckets(buckets)
@@ -276,6 +289,7 @@ def ngram_jaccard_dedup(
     n: int = 3,
     length_band: int = 8,
     threshold: float = 0.6,
+    prefix_filter: bool = True,
 ) -> DataFrame:
     """n-gram jaccard near-dup within (block_cols, |length diff| ≤ band).
 
@@ -284,36 +298,99 @@ def ngram_jaccard_dedup(
     range filter prunes inside each block.  (For unblockable corpora use
     :func:`minhash_lsh_dedup`; this operator is the high-precision verify
     for metadata-blockable data.)
+
+    ``prefix_filter`` adds PPJoin-style prefix filtering (Xiao et al.,
+    WWW'08) before the exact verify: grams get a global total order
+    (ascending corpus frequency, hash tie-break), each doc keeps only its
+    first ``n_grams − ⌈t·n_grams⌉ + 1`` grams under that order, and
+    candidate pairs must share a *prefix* gram in addition to the block
+    conditions.  Any pair with jaccard ≥ t has overlap ≥ ⌈t·max(na,nb)⌉,
+    which forces the (even longer) per-doc prefixes to intersect — so the
+    filter prunes candidates without ever dropping a true pair, and the
+    result set is bit-identical to the unfiltered plan.  The size
+    predicate ``t·na ≤ nb`` (exact consequence of J ≥ t) prunes further.
+    Rarest-first ordering makes prefix grams low-frequency, so the
+    prefix equi-join explodes far less than the block cross product.
     """
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        *[F.col(c) for c in block_cols],
+        F.col(length_col).alias("_len"),
+        F.col(text_col).alias("_txt"),
+    )
     grams = (
-        df.select(
-            F.col(id_col).alias("_id"),
-            *[F.col(c) for c in block_cols],
-            F.col(length_col).alias("_len"),
-            F.explode(char_ngrams(F.lower(F.col(text_col)), n)).alias("g"),
+        char_ngram_rows(
+            base, F.lower(F.col("_txt")), n, keep=["_id", *block_cols, "_len"]
         )
         .select("_id", *block_cols, "_len", hash60(F.col("g")).alias("h"))
         .distinct()
+        # grams feeds doc sizes, the prefix index, and both verify sides;
+        # persist() makes the branches share one computation instead of
+        # re-running the explode+hash pipeline per consumer (lookup is by
+        # canonicalized plan, so repeated builder calls also reuse it)
+        .persist()
     )
     docs = grams.groupBy("_id", *block_cols, "_len").agg(F.count("*").alias("n_grams"))
-    a = docs.select(
-        F.col("_id").alias("id_a"),
-        *[F.col(c).alias(f"{c}_a") for c in block_cols],
-        F.col("_len").alias("len_a"),
-        F.col("n_grams").alias("na"),
-    )
-    b = docs.select(
-        F.col("_id").alias("id_b"),
-        *[F.col(c).alias(f"{c}_b") for c in block_cols],
-        F.col("_len").alias("len_b"),
-        F.col("n_grams").alias("nb"),
-    )
     cond = (F.col("id_a") < F.col("id_b")) & (
         F.abs(F.col("len_a") - F.col("len_b")) <= length_band
     )
     for c in block_cols:
         cond = cond & (F.col(f"{c}_a") == F.col(f"{c}_b"))
-    pairs = a.join(b, cond).select("id_a", "id_b", "na", "nb")
+    if prefix_filter:
+        from pyspark.sql import Window
+
+        freq = grams.groupBy("h").agg(F.count("*").alias("df"))
+        wp = Window.partitionBy("_id")
+        # α = ⌈t·n⌉ with a tiny epsilon so float noise can only *lengthen*
+        # the prefix (shorter-than-exact prefixes would lose true pairs)
+        pref = (
+            grams.join(freq, "h")
+            .withColumn("rn", F.row_number().over(wp.orderBy("df", "h")))
+            .withColumn("ng", F.count("*").over(wp))
+            .filter(
+                F.col("rn")
+                <= F.col("ng")
+                - F.ceil(F.col("ng") * F.lit(threshold) - F.lit(1e-9))
+                + 1
+            )
+        )
+        pa = pref.select(
+            F.col("_id").alias("id_a"),
+            *[F.col(c).alias(f"{c}_a") for c in block_cols],
+            F.col("_len").alias("len_a"),
+            F.col("ng").alias("na"),
+            "h",
+        )
+        pb = pref.select(
+            F.col("_id").alias("id_b"),
+            *[F.col(c).alias(f"{c}_b") for c in block_cols],
+            F.col("_len").alias("len_b"),
+            F.col("ng").alias("nb"),
+            "h",
+        )
+        size_cond = (
+            F.col("nb") >= F.col("na") * F.lit(threshold) - F.lit(1e-9)
+        ) & (F.col("na") >= F.col("nb") * F.lit(threshold) - F.lit(1e-9))
+        pairs = (
+            pa.join(pb, ["h"])
+            .filter(cond & size_cond)
+            .select("id_a", "id_b", "na", "nb")
+            .distinct()
+        )
+    else:
+        a = docs.select(
+            F.col("_id").alias("id_a"),
+            *[F.col(c).alias(f"{c}_a") for c in block_cols],
+            F.col("_len").alias("len_a"),
+            F.col("n_grams").alias("na"),
+        )
+        b = docs.select(
+            F.col("_id").alias("id_b"),
+            *[F.col(c).alias(f"{c}_b") for c in block_cols],
+            F.col("_len").alias("len_b"),
+            F.col("n_grams").alias("nb"),
+        )
+        pairs = a.join(b, cond).select("id_a", "id_b", "na", "nb")
     ga = grams.select(F.col("_id").alias("id_a"), F.col("h").alias("ha"))
     gb = grams.select(F.col("_id").alias("_idb"), F.col("h").alias("hb"))
     inter = (

@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from mapreduceproject_spark.functions.hashing import hash60
-from mapreduceproject_spark.functions.textfn import char_ngrams, tokens
+from mapreduceproject_spark.functions.textfn import char_ngram_rows, tokens
 
 # Portable ASCII-only token pattern — identical semantics in Java regex
 # (Spark) and RE2 (DuckDB): letter runs, digit runs, single other-glyphs.
@@ -98,14 +98,14 @@ def winnowing_fingerprints(
     ≥ k+window-1 yields a shared fingerprint — the standard copy-detection
     sketch.  Per-row array math + one distinct; no joins.
     """
-    # posexplode + sliding-frame min, NOT transform-over-slice on an array
-    # column: Catalyst inlines an array expression into every lambda that
-    # references it, so slicing per window position re-evaluates the md5
-    # transform O(len) times — O(len²) hashing per document.  Exploding
-    # first hashes each gram exactly once and the frame min is linear.
-    pos = df.select(
-        F.col(id_col),
-        F.posexplode(char_ngrams(F.lower(F.col(text_col)), k)).alias("pos", "g"),
+    # position-explode + sliding-frame min, NOT transform-over-slice on an
+    # array column: Catalyst inlines a computed expression into every
+    # lambda that references it, so slicing per window position
+    # re-evaluates the gram build O(len) times — O(len²) per document.
+    # char_ngram_rows materializes the lowered string once and explodes
+    # gram start positions; each gram is built and hashed exactly once.
+    pos = char_ngram_rows(
+        df, F.lower(F.col(text_col)), k, keep=[id_col], pos_col="pos"
     ).select(F.col(id_col), "pos", hash60(F.col("g")).alias("h"))
     wf = Window.partitionBy(id_col).orderBy("pos").rowsBetween(0, window - 1)
     wn = Window.partitionBy(id_col)
@@ -140,10 +140,15 @@ def langid_ngram(
     profile join — the Cavnar–Trenkle n-gram profile method in DataFrame
     form.
     """
-    grams = df.select(
-        F.col(id_col).alias("_id"),
-        F.col(lang_col).alias("_lang"),
-        F.explode(char_ngrams(F.lower(F.col(text_col)), n)).alias("g"),
+    grams = char_ngram_rows(
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.col(lang_col).alias("_lang"),
+            F.col(text_col),
+        ),
+        F.lower(F.col(text_col)),
+        n,
+        keep=["_id", "_lang"],
     )
     lang_counts = grams.groupBy("_lang", "g").agg(F.count("*").alias("cnt"))
     wp = Window.partitionBy("_lang").orderBy(F.desc("cnt"), F.asc("g"))
@@ -186,6 +191,11 @@ def tfidf_top_terms(
 
     doc-term counts are the one corpus-sized shuffle; N arrives as a
     broadcast scalar (no driver-side collect), df as a second small agg.
+
+    The tf⋈df join is deliberately NOT broadcast-hinted: dfreq has one row
+    per vocabulary term, and a web-scale corpus vocabulary is tens of GB —
+    a guaranteed broadcast OOM.  Left unhinted, AQE broadcasts it when it
+    actually fits and shuffle-joins when it doesn't.
     """
     terms = df.select(
         F.col(id_col).alias("_id"),
@@ -195,7 +205,7 @@ def tfidf_top_terms(
     dfreq = terms.distinct().groupBy("term").agg(F.count("*").alias("df"))
     n_docs = df.agg(F.countDistinct(id_col).alias("n_docs"))
     scored = (
-        tf.join(F.broadcast(dfreq), "term")
+        tf.join(dfreq, "term")
         .crossJoin(F.broadcast(n_docs))
         .select(
             "_id",

@@ -100,3 +100,28 @@ def test_no_cartesian_in_dedup(spark, sf_dir):
     ):
         plan = _plan(QUERIES[name](spark, sf_dir))
         assert "CartesianProduct" not in plan, name
+
+
+def test_tfidf_dfreq_join_not_broadcast_hinted(spark, sf_dir):
+    # dfreq is vocabulary-sized — tens of GB at web scale — so the tf⋈df
+    # join must NOT carry a broadcast hint; AQE may still choose broadcast
+    # at small sf, which is why this asserts on the logical plan's hints,
+    # not the physical join choice
+    df = QUERIES["text_tfidf_top_terms"](spark, sf_dir)
+    logical = df._jdf.queryExecution().analyzed().toString()
+    # exactly one hint survives: the 1-row n_docs scalar (always safe);
+    # the vocabulary-sized dfreq side must be unhinted
+    hints = [ln for ln in logical.splitlines() if "ResolvedHint" in ln]
+    assert len(hints) == 1, hints
+    after = logical.split("ResolvedHint")[1]
+    assert "n_docs" in after.splitlines()[1] + after.splitlines()[2]
+
+
+def test_ngram_jaccard_linear_gram_build(spark, sf_dir):
+    # the gram build must be the explode-positions formulation: a
+    # transform-over-computed-string lambda inlines lower(text) per gram
+    # index (O(len²) per doc, SCALING.md); Generate(explode(sequence...))
+    # with a single substring per output row is the linear plan
+    opt = _optimized(QUERIES["dedup_ngram_jaccard"](spark, sf_dir))
+    assert "sequence(1," in opt
+    assert "transform(" not in opt

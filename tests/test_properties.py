@@ -118,3 +118,38 @@ def test_quantized_cosine_self_is_one(spark):
     )
     got = df.select(quantized_cosine(F.col("v"), F.col("v")).alias("c")).first()["c"]
     assert got == pytest.approx(1.0, abs=1e-12)
+
+
+def test_row_explode_helpers_match_array_versions(spark):
+    """char_ngram_rows / word_shingle_rows are performance rewrites of
+    explode(char_ngrams) / explode(word_shingles) — same rows, per id,
+    including position numbering and short/empty-document edge rules."""
+    import random
+    import string
+
+    from mapreduceproject_spark.functions.textfn import (
+        char_ngram_rows,
+        char_ngrams,
+        word_shingle_rows,
+        word_shingles,
+    )
+
+    rng = random.Random(11)
+    alphabet = string.ascii_letters + string.digits + "     .,-!?"
+    samples = [
+        "".join(rng.choice(alphabet) for _ in range(rng.randrange(0, 80)))
+        for _ in range(200)
+    ] + ["", " ", "ab", "one", "a  b   c"]
+    df = spark.createDataFrame(list(enumerate(samples)), ["i", "s"])
+
+    old_g = df.select(
+        "i", F.posexplode(char_ngrams(F.lower(F.col("s")), 3)).alias("pos", "g")
+    )
+    new_g = char_ngram_rows(df, F.lower(F.col("s")), 3, keep=["i"], pos_col="pos")
+    assert old_g.exceptAll(new_g).count() == 0
+    assert new_g.exceptAll(old_g).count() == 0
+
+    old_sh = df.select("i", F.explode(word_shingles(F.col("s"), 3)).alias("sh"))
+    new_sh = word_shingle_rows(df, F.col("s"), 3, keep=["i"])
+    assert old_sh.exceptAll(new_sh).count() == 0
+    assert new_sh.exceptAll(old_sh).count() == 0
