@@ -4,6 +4,9 @@ stdin verb REPL (/root/reference/src/node.go:59-233).
     python -m mapreduceproject_spark list
     python -m mapreduceproject_spark run word_count [--sf-dir DIR] [--limit N]
     python -m mapreduceproject_spark maple-juice --src 'DIR/*.txt' --dest OUT
+    python -m mapreduceproject_spark maple --src 'DIR/*.txt' --prefix INT
+    python -m mapreduceproject_spark juice --prefix INT --dest OUT --delete-input 1
+    python -m mapreduceproject_spark list-nodes
     python -m mapreduceproject_spark store put|get|delete|ls|store ...
 
 Where the reference's verbs talked to a hand-rolled master, these drive
@@ -63,6 +66,66 @@ def cmd_maple_juice(args) -> int:
     return 0
 
 
+def cmd_maple(args) -> int:
+    """Standalone maple: map src lines to a ``key value`` intermediate
+    prefix directory (the reference's `maple <exe> <num_maples>
+    <sdfs_intermediate_filename_prefix> <sdfs_src_directory>`)."""
+    from mapreduceproject_spark.operators import mapreduce as mr
+
+    spark = _spark(args.cpus)
+    lines = mr.read_lines(spark, args.src)
+    if args.exe:
+        kv = mr.maple_exe(lines, args.exe, num_tasks=args.num_tasks)
+    else:  # builtin word-count mapper
+        kv = mr.maple(
+            lines, lambda ln: ((w, "1") for w in ln.split()), num_tasks=args.num_tasks
+        )
+    mr.write_kv_text(kv, args.prefix)
+    print(f"wrote intermediate prefix {args.prefix}")
+    return 0
+
+
+def cmd_juice(args) -> int:
+    """Standalone juice over an intermediate prefix — the reference's
+    `juice <exe> <num_juices> <prefix> <dest> delete_input={0,1}`."""
+    from mapreduceproject_spark.operators import mapreduce as mr
+
+    spark = _spark(args.cpus)
+    mr.run_juice_job(
+        spark,
+        args.prefix,
+        args.dest,
+        exe=args.exe,
+        num_tasks=args.num_tasks,
+        delete_input=bool(args.delete_input),
+        single_file=args.single_file,
+    )
+    print(f"wrote {args.dest}" + (" (intermediates deleted)" if args.delete_input else ""))
+    return 0
+
+
+def cmd_list_nodes(args) -> int:
+    """Membership introspection — the engine's analogue of the reference's
+    List/Self membership verbs (/root/reference/README.md:17).  Spark's
+    runtime owns membership (SURVEY §2.5), so this surfaces what the
+    scheduler actually sees via sc.statusTracker + executor infos."""
+    spark = _spark(args.cpus)
+    sc = spark.sparkContext
+    tracker = sc.statusTracker()
+    infos = sc._jsc.sc().statusTracker().getExecutorInfos()
+    print(
+        f"self: appId={sc.applicationId} master={sc.master} "
+        f"parallelism={sc.defaultParallelism}"
+    )
+    for info in infos:
+        print(
+            f"node host={info.host()} port={info.port()} "
+            f"running_tasks={info.numRunningTasks()} cache_bytes={info.cacheSize()}"
+        )
+    print(f"active_jobs={len(tracker.getActiveJobsIds())} active_stages={len(tracker.getActiveStageIds())}")
+    return 0
+
+
 def cmd_store(args) -> int:
     from mapreduceproject_spark.sources.store import SdfsStore, WriteConflict
 
@@ -108,6 +171,29 @@ def main(argv: list[str] | None = None) -> int:
     mj.add_argument("--single-file", action="store_true")
     mj.add_argument("--cpus", default=None)
 
+    mp = sub.add_parser("maple", help="standalone maple: src lines -> kv intermediate prefix")
+    mp.add_argument("--src", required=True, help="input path/glob of text files")
+    mp.add_argument("--prefix", required=True, help="intermediate output dir (key SPACE value lines)")
+    mp.add_argument("--exe", default=None, help="mapper executable (argv = input file)")
+    mp.add_argument("--num-tasks", type=int, default=None)
+    mp.add_argument("--cpus", default=None)
+
+    jp = sub.add_parser("juice", help="standalone juice: kv intermediate prefix -> dest")
+    jp.add_argument("--prefix", required=True, help="intermediate path/glob/dir of kv files")
+    jp.add_argument("--dest", required=True, help="output dir (key SPACE value lines)")
+    jp.add_argument("--exe", default=None, help="reducer executable (argv = key-group file)")
+    jp.add_argument("--num-tasks", type=int, default=None)
+    jp.add_argument(
+        "--delete-input", type=int, choices=[0, 1], default=0,
+        help="1 = delete the intermediate prefix files after the result is written",
+    )
+    jp.add_argument("--single-file", action="store_true")
+    jp.add_argument("--cpus", default=None)
+
+    sub.add_parser("list-nodes", help="membership introspection (executors via statusTracker)").add_argument(
+        "--cpus", default=None
+    )
+
     stp = sub.add_parser("store", help="SDFS-verb catalog operations")
     stp.add_argument("root", help="store root directory")
     stp.add_argument("verb", choices=["put", "get", "delete", "ls", "store"])
@@ -116,9 +202,15 @@ def main(argv: list[str] | None = None) -> int:
     stp.add_argument("--force", action="store_true", help="override write-conflict window")
 
     args = p.parse_args(argv)
-    return {"list": cmd_list, "run": cmd_run, "maple-juice": cmd_maple_juice, "store": cmd_store}[
-        args.cmd
-    ](args)
+    return {
+        "list": cmd_list,
+        "run": cmd_run,
+        "maple-juice": cmd_maple_juice,
+        "maple": cmd_maple,
+        "juice": cmd_juice,
+        "list-nodes": cmd_list_nodes,
+        "store": cmd_store,
+    }[args.cmd](args)
 
 
 if __name__ == "__main__":

@@ -196,42 +196,60 @@ def minhash_lsh_dedup(
 # 3. SimHash
 # ---------------------------------------------------------------------------
 
-SIMHASH_BITS = 32
-SIMHASH_BANDS = 4  # 8-bit bands
+SIMHASH_BITS = 64
+SIMHASH_BANDS = 8  # 8-bit bands: banding is LOSSLESS for hamming ≤ 7
+SIMHASH_HI_SALT = "simhash64#"
 
 
 def simhash_signature(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """32-bit simhash per document from distinct-token hash60 bit votes.
+    """64-bit simhash per document from distinct-token hash bit votes,
+    carried as two non-negative 32-bit halves (``sig_lo`` bits 0–31,
+    ``sig_hi`` bits 32–63).
 
-    One groupBy with 32 conditional-sum aggregates (one per bit) — a
-    single shuffle of the (id, h) pairs and zero row blowup, vs. the
+    Two independent salted hash60 values supply 32 bits each — a 32-bit
+    signature collides heavily at web scale, and the split-halves layout
+    sidesteps the signed-long bit-63 hazard while staying bit-exact in
+    the DuckDB oracle (whose BIGINT shifts match on values < 2³²).
+
+    One groupBy with 64 conditional-sum aggregates (one per bit) — a
+    single shuffle of the (id, h1, h2) rows and zero row blowup, vs. the
     naive explode-by-bit-position plan that multiplies the token stream
-    ×32 and shuffles twice.  Catalyst runs all 32 sums partial+final, so
+    ×64 and shuffles twice.  Catalyst runs all 64 sums partial+final, so
     map-side combine shrinks the shuffle to one row per (id, partition).
     """
     # hash BEFORE distinct: matches the oracle's SELECT DISTINCT id,
-    # hash60(t) exactly, and the dedup shuffle carries 8-byte longs
-    # instead of token strings
+    # hash60(t), hash60(salt||t) exactly, and the dedup shuffle carries
+    # 8-byte longs instead of token strings
     tok = (
         df.select(F.col(id_col).alias("_id"), F.explode(tokens(F.col(text_col))).alias("t"))
-        .select("_id", hash60(F.col("t")).alias("h"))
+        .select(
+            "_id",
+            hash60(F.col("t")).alias("h1"),
+            hash60(F.concat(F.lit(SIMHASH_HI_SALT), F.col("t"))).alias("h2"),
+        )
         .distinct()
     )
+    half = SIMHASH_BITS // 2
     votes = tok.groupBy("_id").agg(
         *[
             F.sum(
-                F.when(F.shiftright(F.col("h"), b).bitwiseAND(1) == 1, 1).otherwise(-1)
-            ).alias(f"v{b}")
-            for b in range(SIMHASH_BITS)
+                F.when(F.shiftright(F.col(h), b).bitwiseAND(1) == 1, 1).otherwise(-1)
+            ).alias(f"v{h}_{b}")
+            for h in ("h1", "h2")
+            for b in range(half)
         ]
     )
-    sig = None
-    for b in range(SIMHASH_BITS):
-        term = F.when(F.col(f"v{b}") > 0, F.lit(1 << b).cast("long")).otherwise(
+    sig_lo, sig_hi = None, None
+    for b in range(half):
+        lo_term = F.when(F.col(f"vh1_{b}") > 0, F.lit(1 << b).cast("long")).otherwise(
             F.lit(0).cast("long")
         )
-        sig = term if sig is None else sig + term
-    return votes.select("_id", sig.alias("sig"))
+        hi_term = F.when(F.col(f"vh2_{b}") > 0, F.lit(1 << b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        sig_lo = lo_term if sig_lo is None else sig_lo + lo_term
+        sig_hi = hi_term if sig_hi is None else sig_hi + hi_term
+    return votes.select("_id", sig_lo.alias("sig_lo"), sig_hi.alias("sig_hi"))
 
 
 def simhash_dedup(
@@ -242,34 +260,57 @@ def simhash_dedup(
 ) -> DataFrame:
     """Near-dup pairs by simhash: band-bucket candidates, hamming verify.
 
-    Candidates share at least one of four 8-bit bands (pigeonhole: any
-    pair with hamming ≤ 3 must share a band; ≤ ``max_hamming`` may lose a
-    few — the documented recall/cost tradeoff of banding).
+    Eight 8-bit bands over the 64-bit signature: by pigeonhole, any pair
+    with hamming ≤ 7 shares at least one identical band, so candidate
+    generation is exact (zero recall loss) for ``max_hamming`` ≤ 7.
     """
-    sigs = simhash_signature(df, id_col, text_col)
+    # sigs feeds both sides of the bucket self-join — persist so the
+    # token explode + 64-vote aggregation runs once
+    sigs = simhash_signature(df, id_col, text_col).persist()
     band_structs = [
         F.struct(
             F.lit(b).alias("band"),
-            F.shiftright(F.col("sig"), 8 * b).bitwiseAND(255).alias("bsig"),
+            F.shiftright(
+                F.col("sig_lo" if b < SIMHASH_BANDS // 2 else "sig_hi"),
+                8 * (b % (SIMHASH_BANDS // 2)),
+            )
+            .bitwiseAND(255)
+            .alias("bsig"),
         )
         for b in range(SIMHASH_BANDS)
     ]
     buckets = sigs.select(
-        "_id", "sig", F.explode(F.array(*band_structs)).alias("bk")
-    ).select("_id", "sig", F.col("bk.band").alias("band"), F.col("bk.bsig").alias("bsig"))
+        "_id", "sig_lo", "sig_hi", F.explode(F.array(*band_structs)).alias("bk")
+    ).select(
+        "_id",
+        "sig_lo",
+        "sig_hi",
+        F.col("bk.band").alias("band"),
+        F.col("bk.bsig").alias("bsig"),
+    )
     a = buckets.select(
-        F.col("_id").alias("id_a"), F.col("sig").alias("sig_a"), "band", "bsig"
+        F.col("_id").alias("id_a"),
+        F.col("sig_lo").alias("lo_a"),
+        F.col("sig_hi").alias("hi_a"),
+        "band",
+        "bsig",
     )
     b = buckets.select(
-        F.col("_id").alias("id_b"), F.col("sig").alias("sig_b"), "band", "bsig"
+        F.col("_id").alias("id_b"),
+        F.col("sig_lo").alias("lo_b"),
+        F.col("sig_hi").alias("hi_b"),
+        "band",
+        "bsig",
     )
     pairs = (
         a.join(b, ["band", "bsig"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sig_a", "sig_b")
+        .select("id_a", "id_b", "lo_a", "hi_a", "lo_b", "hi_b")
         .distinct()
     )
-    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    hamming = F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b"))) + F.bit_count(
+        F.col("hi_a").bitwiseXOR(F.col("hi_b"))
+    )
     return (
         pairs.select("id_a", "id_b", hamming.alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
@@ -410,9 +451,16 @@ def ngram_jaccard_dedup(
 # 5. embedding cosine near-dup (IVF-bucketed)
 # ---------------------------------------------------------------------------
 
-def ivf_assign(vectors: DataFrame, centroids: DataFrame, id_col: str, vec_col: str) -> DataFrame:
-    """Assign each vector to its max-cosine centroid (deterministic ties →
-    lowest centroid id).  centroids must be broadcast-small."""
+def ivf_assign(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    id_col: str,
+    vec_col: str,
+    nprobe: int = 1,
+) -> DataFrame:
+    """Assign each vector to its ``nprobe`` max-cosine centroids
+    (deterministic ties → lowest centroid id).  centroids must be
+    broadcast-small.  One output row per (vector, probed cell)."""
     scored = vectors.select(
         F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")
     ).crossJoin(F.broadcast(centroids.select(F.col("cid"), F.col("cvec"))))
@@ -424,7 +472,7 @@ def ivf_assign(vectors: DataFrame, centroids: DataFrame, id_col: str, vec_col: s
     w = Window.partitionBy("_id").orderBy(F.desc("cos"), F.asc("cid"))
     return (
         scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
+        .filter(F.col("rn") <= nprobe)
         .select("_id", "_v", "cid")
     )
 
@@ -435,21 +483,26 @@ def embedding_near_dup(
     vec_col: str,
     num_centroids: int = 16,
     threshold: float = 0.4,
+    nprobe: int = 2,
 ) -> DataFrame:
-    """Cosine near-dup pairs within IVF cells.
+    """Cosine near-dup pairs within IVF cells, multi-probe.
 
     Centroids are the vectors with id < ``num_centroids`` — deterministic
     seeds (contiguous ids assumed), so the oracle can replicate the exact
     cell assignment.  The all-pairs product is confined to each cell:
-    n²/k instead of n², the IVF scale pattern (a cross-cell near-dup can
-    be missed per the standard IVF recall tradeoff; raise centroid count
-    or add multi-probe to tune).  Cosines use the quantized-integer path
-    (functions/vectors.py) so results are engine-exact.
+    ~(nprobe·n/k)² per cell instead of n² total — the IVF scale pattern.
+    Multi-probe (same ``nprobe`` knob as :func:`ivf_topk`) recovers
+    boundary near-dups single-probe assignment misses: a pair split
+    across two cells is caught when either doc's probe list reaches the
+    other's cell.  Pairs sharing several probed cells are deduplicated by
+    the final distinct (cosine is deterministic per pair).  Cosines use
+    the quantized-integer path (functions/vectors.py) so results are
+    engine-exact.
     """
     centroids = vectors.filter(F.col(id_col) < num_centroids).select(
         F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec")
     )
-    assigned = ivf_assign(vectors, centroids, id_col, vec_col)
+    assigned = ivf_assign(vectors, centroids, id_col, vec_col, nprobe=nprobe)
     a = assigned.select(F.col("_id").alias("id_a"), F.col("_v").alias("va"), "cid")
     b = assigned.select(F.col("_id").alias("id_b"), F.col("_v").alias("vb"), "cid")
     return (
@@ -459,6 +512,7 @@ def embedding_near_dup(
             "id_a", "id_b", quantized_cosine(F.col("va"), F.col("vb")).alias("cosine")
         )
         .filter(F.col("cosine") >= threshold)
+        .distinct()
     )
 
 
@@ -467,7 +521,11 @@ def embedding_near_dup(
 # ---------------------------------------------------------------------------
 
 def connected_components(
-    edges: DataFrame, id_a: str = "id_a", id_b: str = "id_b", max_iter: int = 25
+    edges: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Min-label propagation to a fixpoint: (id, cluster_id=min id in
     component).
@@ -476,30 +534,41 @@ def connected_components(
     Each iteration is one join + one aggregate (label spread along edges);
     iterations needed = graph diameter, and near-dup graphs are shallow
     (dup clusters are cliques or near-cliques from LSH banding).
-    ``localCheckpoint`` truncates lineage every round so the plan doesn't
-    grow exponentially across iterations — the standard iterative-DataFrame
+    Checkpointing truncates lineage every round so the plan doesn't grow
+    exponentially across iterations — the standard iterative-DataFrame
     discipline.
+
+    ``checkpoint_dir`` selects durability: None (default) uses
+    ``localCheckpoint`` — fast, but stored on executors, so losing one
+    mid-run means recompute-from-nothing; a reliable path (HDFS/S3 on a
+    real cluster) switches to ``checkpoint()``, which survives executor
+    loss — the right choice for long 100 TB runs.
     """
+
+    def ckpt(df: DataFrame) -> DataFrame:
+        if checkpoint_dir is None:
+            return df.localCheckpoint()
+        df.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+        return df.checkpoint()
+
     # materialize the (usually expensive) edge computation once — without
     # this every iteration's join re-runs the full upstream pipeline
-    sym = (
+    sym = ckpt(
         edges.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .union(edges.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
-        .localCheckpoint()
     )
-    labels = (
+    labels = ckpt(
         sym.select(F.col("src").alias("id"))
         .distinct()
         .select("id", F.col("id").alias("label"))
-        .localCheckpoint()
     )
     for _ in range(max_iter):
         nbr = sym.join(labels, sym.dst == labels.id).select(
             F.col("src").alias("id"), F.col("label")
         )
-        new_labels = (
+        new_labels = ckpt(
             labels.union(nbr).groupBy("id").agg(F.min("label").alias("label"))
-        ).localCheckpoint()
+        )
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "id")
@@ -513,11 +582,13 @@ def connected_components(
     return labels.select(F.col("id"), F.col("label").alias("cluster_id"))
 
 
-def duplicate_clusters(pairs: DataFrame) -> DataFrame:
+def duplicate_clusters(
+    pairs: DataFrame, checkpoint_dir: str | None = None
+) -> DataFrame:
     """Cluster assignment for every document that appears in a near-dup
     pair: (doc_id, cluster_id), cluster_id = smallest doc id reachable
     through the pair graph.  Downstream keep-one-per-cluster is then a
     trivial filter(doc_id == cluster_id)."""
-    return connected_components(pairs).select(
+    return connected_components(pairs, checkpoint_dir=checkpoint_dir).select(
         F.col("id").alias("doc_id"), "cluster_id"
     )

@@ -136,6 +136,11 @@ def juice(kv: DataFrame, fn: ReduceFn, num_tasks: int | None = None) -> DataFram
     src/juice_helpers.go:107) via groupBy().applyInPandas.  Skewed keys can
     OOM a task — same failure mode as the reference's one-file-per-key; use
     :func:`juice_algebraic` when the reducer is associative.
+
+    The reference's ``delete_input={0,1}`` juice argument lives on
+    :func:`run_juice_job` (and the CLI ``juice`` verb): deleting the
+    intermediate prefix only makes sense after the result is durably
+    written, which a lazily-returned DataFrame cannot promise.
     """
     if num_tasks:
         kv = kv.repartition(num_tasks, "key")
@@ -185,6 +190,84 @@ def juice_algebraic(kv: DataFrame, agg: Column, num_tasks: int | None = None) ->
 # ---------------------------------------------------------------------------
 # end-to-end job (store-backed), mirroring the CLI verbs
 # ---------------------------------------------------------------------------
+
+def read_kv_lines(spark: SparkSession, paths: list[str] | str) -> DataFrame:
+    """Parse ``key SPACE value`` intermediate files back into kv rows —
+    the juice-side ingest of the reference protocol (the inverse of
+    :func:`write_kv_text`).  The value is everything after the FIRST
+    whitespace run, so values with internal spaces round-trip (the
+    documented upgrade over the reference's truncate-at-first-space,
+    src/node.go:931-939)."""
+    lines = (
+        read_lines(spark, paths)
+        .select(F.ltrim(F.col("value")).alias("line"))
+        .filter(F.col("line") != "")
+    )
+    parts = F.split(F.col("line"), r"\s+", 2)
+    return lines.select(
+        F.element_at(parts, 1).alias("key"),
+        F.coalesce(F.element_at(parts, 2), F.lit("")).alias("value"),
+    )
+
+
+def delete_intermediate_files(src: list[str] | str) -> list[str]:
+    """Delete maple-intermediate files matching ``src`` (a path, glob, or
+    directory — directories delete their directly-contained files, the
+    prefix-as-directory convention).  Returns the deleted paths."""
+    import glob as _glob
+
+    patterns = [src] if isinstance(src, str) else list(src)
+    deleted: list[str] = []
+    for pat in patterns:
+        for path in sorted(_glob.glob(pat)):
+            if os.path.isdir(path):
+                for inner in sorted(_glob.glob(os.path.join(path, "*"))):
+                    if os.path.isfile(inner):
+                        os.unlink(inner)
+                        deleted.append(inner)
+            elif os.path.isfile(path):
+                os.unlink(path)
+                deleted.append(path)
+    return deleted
+
+
+def run_juice_job(
+    spark: SparkSession,
+    src: list[str] | str,
+    dest: str,
+    *,
+    exe: str | None = None,
+    fn: ReduceFn | None = None,
+    agg: Column | None = None,
+    num_tasks: int | None = None,
+    delete_input: bool = False,
+    single_file: bool = False,
+) -> None:
+    """Standalone juice over maple-intermediate files — the reference's
+    ``juice <exe> <num_juices> <sdfs_prefix> <dest> delete_input={0,1}``
+    verb (README juice signature; worker delete at
+    src/juice_helpers.go:117-121, src/node.go:848-852).
+
+    ``delete_input=True`` removes the intermediate prefix files only
+    AFTER the result write completes — on any failure the intermediates
+    survive, which is strictly safer than the reference's
+    delete-as-you-go.  Reducer precedence: ``exe`` > ``fn`` > ``agg``
+    (default: per-key line count, the reference word-count reducer).
+    """
+    kv = read_kv_lines(spark, src)
+    if exe is not None:
+        out = juice_exe(kv, exe, num_tasks=num_tasks)
+    elif fn is not None:
+        out = juice(kv, fn, num_tasks=num_tasks)
+    else:
+        out = juice_algebraic(
+            kv, agg if agg is not None else F.count("*").cast("string"),
+            num_tasks=num_tasks,
+        )
+    write_kv_text(out, dest, single_file=single_file)
+    if delete_input:
+        delete_intermediate_files(src)
+
 
 def run_wordcount_job(
     spark: SparkSession,

@@ -49,11 +49,22 @@ def attach_binary_payload(df: DataFrame, id_col: str, text_col: str) -> DataFram
     )
 
 
-def decode_image_real(df: DataFrame, id_col: str) -> DataFrame:
-    """Real decode path — requires PIL, absent in this container.
+def have_pillow() -> bool:
+    """True when the optional Pillow extra is importable."""
+    import importlib.util
 
-    Kept as the documented seam: same mapInPandas shape as
-    :func:`decode_stats`, kernel swapped for a real codec.
+    return importlib.util.find_spec("PIL") is not None
+
+
+def decode_image_real(df: DataFrame, id_col: str) -> DataFrame:
+    """Real image decode — the optional-extras path, Pillow when present.
+
+    Same mapInPandas shape as :func:`decode_stats` with the kernel
+    swapped for an actual codec: per payload, decode → (width, height,
+    mode, grayscale mean pixel).  Raises ``NotImplementedError`` when
+    Pillow is absent (this container), keeping the seam explicit; the
+    Spark-side plumbing — schema, Arrow batching, partition parallelism —
+    is identical either way, so swapping codecs never touches the plan.
     """
     try:
         import PIL.Image  # noqa: F401
@@ -62,7 +73,35 @@ def decode_image_real(df: DataFrame, id_col: str) -> DataFrame:
             "image decoding requires Pillow, which is not installed in this "
             "environment; use decode_stats (deterministic fake) instead"
         ) from e
-    raise NotImplementedError("real decode kernel intentionally not implemented")
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+
+        from PIL import Image
+
+        for pdf in batches:
+            ids, ws, hs, modes, means = [], [], [], [], []
+            for _id, payload in zip(pdf[id_col], pdf["payload"], strict=True):
+                img = Image.open(io.BytesIO(bytes(payload)))
+                gray = list(img.convert("L").getdata())
+                ids.append(int(_id))
+                ws.append(img.width)
+                hs.append(img.height)
+                modes.append(img.mode)
+                means.append(float(sum(gray)) / max(len(gray), 1))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "width": pd.Series(ws, dtype="int64"),
+                    "height": pd.Series(hs, dtype="int64"),
+                    "mode": pd.Series(modes, dtype="object"),
+                    "mean_pixel": pd.Series(means, dtype="float64"),
+                }
+            )
+
+    return df.select(F.col(id_col), F.col("payload")).mapInPandas(
+        kernel, "doc_id long, width long, height long, mode string, mean_pixel double"
+    )
 
 
 def decode_stats(df: DataFrame, id_col: str) -> DataFrame:

@@ -34,7 +34,7 @@ MINHASH_N, MINHASH_BANDS, SHINGLE_K, JACCARD_THR = 12, 4, 3, 0.5
 MINHASH_SEED = 42
 NGRAM_N, NGRAM_LEN_BAND, NGRAM_THR = 3, 8, 0.55
 SIMHASH_MAX_HAMMING = 4
-IVF_CENTROIDS, COSINE_THR = 16, 0.4
+IVF_CENTROIDS, COSINE_THR, NEARDUP_NPROBE = 16, 0.4, 2
 EXACT_PREFIX = 80
 
 
@@ -115,40 +115,52 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _simhash_oracle() -> str:
+    half = dd.SIMHASH_BITS // 2
+    half_bands = dd.SIMHASH_BANDS // 2
     return f"""
     WITH tok AS (
-      SELECT DISTINCT doc_id AS id, {duck_hash60("t")} AS h
+      SELECT DISTINCT doc_id AS id,
+             {duck_hash60("t")} AS h1,
+             {duck_hash60(f"'{dd.SIMHASH_HI_SALT}' || t")} AS h2
       FROM (SELECT doc_id, unnest({duck_tokens("text")}) AS t FROM documents)
     ),
     votes AS (
-      SELECT id, bit, SUM(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS v
-      FROM tok, (SELECT unnest(range({dd.SIMHASH_BITS})) AS bit)
+      SELECT id, bit,
+             SUM(CASE WHEN (h1 >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS v1,
+             SUM(CASE WHEN (h2 >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS v2
+      FROM tok, (SELECT unnest(range({half})) AS bit)
       GROUP BY id, bit
     ),
     sigs AS (
       SELECT id,
-             CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << CAST(bit AS INT)) ELSE 0 END) AS BIGINT) AS sig
+             CAST(SUM(CASE WHEN v1 > 0 THEN (CAST(1 AS BIGINT) << CAST(bit AS INT)) ELSE 0 END) AS BIGINT) AS lo,
+             CAST(SUM(CASE WHEN v2 > 0 THEN (CAST(1 AS BIGINT) << CAST(bit AS INT)) ELSE 0 END) AS BIGINT) AS hi
       FROM votes GROUP BY id
     ),
     buckets AS (
-      SELECT id, sig, band, (sig >> CAST(8 * band AS INT)) & 255 AS bsig
+      SELECT id, lo, hi, band,
+             (CASE WHEN band < {half_bands} THEN lo >> CAST(8 * band AS INT)
+                   ELSE hi >> CAST(8 * (band - {half_bands}) AS INT) END) & 255 AS bsig
       FROM sigs, (SELECT unnest(range({dd.SIMHASH_BANDS})) AS band)
     ),
     pairs AS (
-      SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.sig AS sig_a, b.sig AS sig_b
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+             a.lo AS lo_a, a.hi AS hi_a, b.lo AS lo_b, b.hi AS hi_b
       FROM buckets a JOIN buckets b
         ON a.band = b.band AND a.bsig = b.bsig AND a.id < b.id
     )
-    SELECT id_a, id_b, CAST(bit_count(xor(sig_a, sig_b)) AS BIGINT) AS hamming
+    SELECT id_a, id_b,
+           CAST(bit_count(xor(lo_a, lo_b)) + bit_count(xor(hi_a, hi_b)) AS BIGINT) AS hamming
     FROM pairs
-    WHERE bit_count(xor(sig_a, sig_b)) <= {SIMHASH_MAX_HAMMING}
+    WHERE bit_count(xor(lo_a, lo_b)) + bit_count(xor(hi_a, hi_b)) <= {SIMHASH_MAX_HAMMING}
     """
 
 
 @query("dedup_simhash", oracle=_simhash_oracle())
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs: {SIMHASH_BITS}-bit token-vote signature,
-    8-bit band candidates, hamming ≤ {SIMHASH_MAX_HAMMING} verify."""
+    """SimHash near-dup pairs: 64-bit token-vote signature (two salted
+    32-bit halves), eight 8-bit band candidates (lossless for hamming ≤ 7),
+    hamming ≤ {SIMHASH_MAX_HAMMING} verify."""
     docs = load_table(spark, sf_dir, "documents")
     out = dd.simhash_dedup(docs, "doc_id", "text", max_hamming=SIMHASH_MAX_HAMMING)
     return out.select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
@@ -211,9 +223,9 @@ def _embedding_oracle() -> str:
       SELECT id, q, cid FROM (
         SELECT *, row_number() OVER (PARTITION BY id ORDER BY cos DESC, cid) AS rn
         FROM scored
-      ) WHERE rn = 1
+      ) WHERE rn <= {NEARDUP_NPROBE}
     )
-    SELECT a.id AS id_a, b.id AS id_b,
+    SELECT DISTINCT a.id AS id_a, b.id AS id_b,
            {duck_quantized_cosine("a.q", "b.q")} AS cosine
     FROM assigned a JOIN assigned b ON a.cid = b.cid AND a.id < b.id
     WHERE {duck_quantized_cosine("a.q", "b.q")} >= {COSINE_THR}
@@ -223,7 +235,8 @@ def _embedding_oracle() -> str:
 @query("dedup_embedding_cosine", oracle=_embedding_oracle())
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs within IVF cells ({IVF_CENTROIDS}
-    deterministic centroids), quantized cosine ≥ {COSINE_THR}."""
+    deterministic centroids, {NEARDUP_NPROBE}-probe assignment for
+    boundary recall), quantized cosine ≥ {COSINE_THR}."""
     emb = load_table(spark, sf_dir, "embeddings")
     return dd.embedding_near_dup(
         emb,
@@ -231,6 +244,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         "embedding",
         num_centroids=IVF_CENTROIDS,
         threshold=COSINE_THR,
+        nprobe=NEARDUP_NPROBE,
     )
 
 

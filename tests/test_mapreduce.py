@@ -101,3 +101,74 @@ def test_write_kv_text_roundtrip(spark, corpus, tmp_path):
         for r in spark.read.text(dest).collect()
     }
     assert {(k, str(v)) for k, v in python_wordcount(lines).items()} == back
+
+
+def test_read_kv_lines_roundtrips_write_kv_text(spark, tmp_path):
+    kv = spark.createDataFrame(
+        [("a", "1"), ("b", "multi word value"), ("c", "")], ["key", "value"]
+    )
+    dest = str(tmp_path / "kv")
+    mr.write_kv_text(kv, dest)
+    back = {(r["key"], r["value"]) for r in mr.read_kv_lines(spark, dest).collect()}
+    assert back == {("a", "1"), ("b", "multi word value"), ("c", "")}
+
+
+def test_juice_job_delete_input_flag(spark, corpus, tmp_path):
+    """Reference juice signature delete_input={0,1}
+    (src/juice_helpers.go:117-121): intermediates are deleted iff the flag
+    is set, and only after the result write succeeds."""
+    import glob
+
+    path, lines = corpus
+    kv = mr.maple(mr.read_lines(spark, path), lambda l: ((w, "1") for w in l.split()))
+
+    # delete_input=False: intermediates survive
+    prefix0 = str(tmp_path / "int0")
+    mr.write_kv_text(kv, prefix0)
+    dest0 = str(tmp_path / "out0")
+    mr.run_juice_job(spark, prefix0, dest0, delete_input=False)
+    assert glob.glob(f"{prefix0}/part-*"), "intermediates must survive without the flag"
+    got = {
+        tuple(r["value"].split(None, 1))
+        for r in spark.read.text(dest0).collect()
+    }
+    assert got == {(k, str(v)) for k, v in python_wordcount(lines).items()}
+
+    # delete_input=True: intermediates gone, result identical
+    prefix1 = str(tmp_path / "int1")
+    mr.write_kv_text(kv, prefix1)
+    dest1 = str(tmp_path / "out1")
+    mr.run_juice_job(spark, prefix1, dest1, delete_input=True)
+    assert not glob.glob(f"{prefix1}/part-*"), "flag must delete intermediates"
+    got1 = {
+        tuple(r["value"].split(None, 1))
+        for r in spark.read.text(dest1).collect()
+    }
+    assert got1 == got
+
+
+def test_cli_maple_juice_verbs_and_list_nodes(spark, corpus, tmp_path, capsys):
+    """The reference's separate maple / juice verbs replay through the CLI,
+    including delete_input=1; list-nodes surfaces scheduler membership."""
+    import glob
+
+    from mapreduceproject_spark.__main__ import main
+
+    path, lines = corpus
+    prefix = str(tmp_path / "cli_int")
+    dest = str(tmp_path / "cli_out")
+    assert main(["maple", "--src", path, "--prefix", prefix]) == 0
+    assert glob.glob(f"{prefix}/part-*")
+    assert (
+        main(["juice", "--prefix", prefix, "--dest", dest, "--delete-input", "1"]) == 0
+    )
+    assert not glob.glob(f"{prefix}/part-*")
+    got = {
+        tuple(r["value"].split(None, 1))
+        for r in spark.read.text(dest).collect()
+    }
+    assert got == {(k, str(v)) for k, v in python_wordcount(lines).items()}
+
+    assert main(["list-nodes"]) == 0
+    out = capsys.readouterr().out
+    assert "self: appId=" in out and "node host=" in out
