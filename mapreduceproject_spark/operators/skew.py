@@ -21,10 +21,21 @@ from pyspark.sql import functions as F
 
 
 def with_salt(df: DataFrame, from_cols: list[str], buckets: int) -> DataFrame:
-    """Deterministic salt in [0, buckets) derived from non-key columns, so
-    a hot key's rows spread evenly but reruns produce identical plans."""
+    """Salt in [0, buckets): content hash of non-key columns mixed with a
+    per-row id.  The per-row component matters for the classic skew case —
+    all-identical spam rows under one hot key — where any pure content
+    hash maps every duplicate to ONE bucket and the mitigation silently
+    degenerates to unsalted.  Downstream results are salt-invariant (the
+    two-stage agg sums partials; the replicated join carries every small
+    row in every bucket), so the nondeterministic component never leaks
+    into output."""
     return df.withColumn(
-        "_salt", F.pmod(F.xxhash64(*[F.col(c) for c in from_cols]), F.lit(buckets))
+        "_salt",
+        F.pmod(
+            F.xxhash64(*[F.col(c) for c in from_cols])
+            + F.monotonically_increasing_id(),
+            F.lit(buckets),
+        ),
     )
 
 
@@ -60,9 +71,7 @@ def replicated_broadcast_join(
     the standard salted-join pattern when the small side is broadcastable
     but the big side's key histogram is too skewed for a plain shuffle.
     """
-    salted_big = big.withColumn(
-        "_salt", F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(buckets))
-    )
+    salted_big = with_salt(big, big.columns, buckets)
     replicated = small.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(buckets - 1)).cast("array<long>"))
     )

@@ -35,6 +35,11 @@ def _canon_cell(v):
         return ("N",)
     if isinstance(v, float):
         if math.isnan(v):
+            # NaN ≡ NULL is INTENTIONAL: pandas materializes SQL NULL in a
+            # double column as NaN, so a DuckDB NULL and a Spark None in
+            # the same float column would otherwise spuriously diverge.
+            # The cost — a genuine engine-produced NaN masquerading as
+            # NULL — is accepted; no registered query emits NaN.
             return ("N",)
         return ("f", v)
     if isinstance(v, (list, tuple)):
@@ -46,17 +51,10 @@ def _canon_cell(v):
 
 def _canon_rows(pdf: pd.DataFrame) -> list[tuple]:
     cols = sorted(pdf.columns)
-    rows = [
+    return [
         tuple(_canon_cell(row[c]) for c in cols)
         for _, row in pdf.iterrows()
     ]
-    # Sort with floats coerced to a stable key (repr of rounded value).
-    def key(row):
-        return tuple(
-            (t[0], round(t[1], 6)) if t[0] == "f" else t for t in row
-        )
-
-    return sorted(rows, key=lambda r: repr([key(r)]))
 
 
 def _cells_equal(a, b) -> bool:
@@ -105,16 +103,33 @@ def compare_frames(name: str, spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame)
     if rep.spark_rows != rep.oracle_rows:
         rep.mismatches.append(f"rowcount spark={rep.spark_rows} oracle={rep.oracle_rows}")
         return rep
-    s_rows, o_rows = _canon_rows(spark_pdf), _canon_rows(oracle_pdf)
+    # Multiset matching with float tolerance — NOT sort-then-zip: two rows
+    # identical except for floats agreeing only to the sort key's precision
+    # can order differently on the two engines and produce false positional
+    # mismatches.  Rows group by their non-float cells (exact), and within
+    # a group each Spark row claims one tolerance-close oracle row.
+    from collections import defaultdict
+
+    def float_blind(row):
+        return tuple(("f",) if t[0] == "f" else t for t in row)
+
+    remaining: dict[tuple, list[tuple]] = defaultdict(list)
+    for row in _canon_rows(oracle_pdf):
+        remaining[float_blind(row)].append(row)
     bad = 0
-    for i, (sr, orow) in enumerate(zip(s_rows, o_rows)):
-        if not (len(sr) == len(orow) and all(_cells_equal(a, b) for a, b in zip(sr, orow))):
+    for srow in _canon_rows(spark_pdf):
+        cands = remaining.get(float_blind(srow), [])
+        for i, orow in enumerate(cands):
+            if all(_cells_equal(a, b) for a, b in zip(srow, orow)):
+                cands.pop(i)
+                break
+        else:
             if bad < 5:
-                rep.mismatches.append(f"row[{i}] spark={sr} oracle={orow}")
+                rep.mismatches.append(f"unmatched spark row {srow}")
             bad += 1
     rep.rows_match = bad == 0
     if bad:
-        rep.mismatches.append(f"{bad} mismatched rows total")
+        rep.mismatches.append(f"{bad} unmatched rows total")
     return rep
 
 

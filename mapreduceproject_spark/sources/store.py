@@ -79,8 +79,17 @@ class SdfsStore:
 
     # -- PUT ---------------------------------------------------------------
     def put(self, local: str | Path, name: str, confirm: str | None = None) -> Path:
-        """Upload ``local`` under ``name``; conflict-window semantics above."""
+        """Upload ``local`` under ``name``; conflict-window semantics above.
+
+        The conflict baseline is the in-memory last-write time within one
+        session, falling back to the stored file's mtime when this process
+        has no record — the reference master tracks last-writes for its
+        whole lifetime (src/master_helpers.go:27), and the mtime fallback
+        gives the same protection across separate CLI invocations (the
+        store facade is rebuilt per command).
+        """
         now = self._clock()
+        dest = self._path(name)
         last = self._last_write.get(name)
         pending = self._pending.get(name)
         if confirm is not None:
@@ -98,7 +107,14 @@ class SdfsStore:
             tok = uuid.uuid4().hex
             self._pending[name] = _Pending(tok, now)
             raise WriteConflict(name, tok, now - last)
-        dest = self._path(name)
+        elif last is None and dest.exists():
+            # cross-process conflict: mtime is wall-clock, so compare with
+            # wall time, not the injectable (possibly monotonic) clock
+            age = time.time() - dest.stat().st_mtime
+            if 0 <= age < CONFLICT_WINDOW_S:
+                tok = uuid.uuid4().hex
+                self._pending[name] = _Pending(tok, now)
+                raise WriteConflict(name, tok, age)
         shutil.copyfile(local, dest)
         self._last_write[name] = self._clock()
         return dest

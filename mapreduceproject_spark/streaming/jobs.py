@@ -127,12 +127,19 @@ def upsert_latest_per_key(
     parquet table across micro-batches.
 
     The pattern behind every streaming dim/state table: each batch merges
-    into the current table with a latest-timestamp-wins window.  The merged
-    frame is materialized (cache+count) before the overwrite so the write
-    doesn't read the files it is replacing; on Delta/Iceberg this whole
-    body collapses to a MERGE INTO.  Ties on ``ts_col`` break by the key
+    into the current table with a latest-timestamp-wins window.  The merge
+    writes to a TEMP directory and swaps it in by rename — the job never
+    deletes the files it is reading (cache is not a durability guarantee:
+    a lost executor would recompute cached partitions from just-deleted
+    files), and a crash mid-swap leaves either the old or the new table,
+    never a hole.  Rename is atomic on local FS and HDFS; on object
+    stores use Delta/Iceberg MERGE INTO instead, which is what this whole
+    body collapses to there.  Ties on ``ts_col`` break by the key
     columns, deterministically.
     """
+    import os
+    import shutil
+
     from pyspark.sql import Window
 
     def apply_batch(batch: DataFrame, _bid: int) -> None:
@@ -149,11 +156,15 @@ def upsert_latest_per_key(
             unioned.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)
             .drop("_rn")
-            .cache()
         )
-        merged.count()  # materialize before overwriting the source files
-        merged.write.mode("overwrite").parquet(path)
-        merged.unpersist()
+        swap = uuid.uuid4().hex[:8]
+        tmp = f"{path}.tmp-{swap}"
+        merged.write.mode("overwrite").parquet(tmp)  # reads old, writes new
+        old = f"{path}.old-{swap}"
+        if os.path.exists(path):
+            os.rename(path, old)
+        os.rename(tmp, path)
+        shutil.rmtree(old, ignore_errors=True)
 
     q = (
         stream.writeStream.foreachBatch(apply_batch)

@@ -81,7 +81,14 @@ def _sessionize_fn(
     out = []
     for t in pending:
         if t - last_us <= GAP_MS * 1000:
-            last_us, n = t, n + 1
+            # merge; an event out-of-order ACROSS micro-batches (arrives
+            # within allowed lateness but older than the stored last_us)
+            # must never move the session end backwards — shrinking
+            # session_end would mis-split later events vs the builtin
+            # session_window.  An early straggler may still extend start.
+            start_us = min(start_us, t)
+            last_us = max(last_us, t)
+            n += 1
         else:
             out.append((start_us, last_us, n))
             start_us, last_us, n = t, t, 1

@@ -80,3 +80,16 @@ def test_prefix_selection(store, local):
 def test_flat_namespace_enforced(store, local):
     with pytest.raises(ValueError):
         store.put(local, "dir/child")
+
+
+def test_conflict_window_survives_new_store_instance(tmp_path, local):
+    """The CLI builds a fresh SdfsStore per invocation; the file-mtime
+    fallback keeps the 60 s window (and --force) meaningful across
+    processes, like the reference master's lifetime last-write table."""
+    s1 = SdfsStore(tmp_path / "sdfs")
+    s1.put(local, "f1")
+    s2 = SdfsStore(tmp_path / "sdfs")  # simulates a second CLI run
+    with pytest.raises(WriteConflict) as ei:
+        s2.put(local, "f1")
+    # confirm path still works in the new process
+    s2.put(local, "f1", confirm=ei.value.token)
