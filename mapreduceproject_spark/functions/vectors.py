@@ -58,6 +58,26 @@ def quantized_cosine(a: Column, b: Column) -> Column:
     return d.cast("double") / (F.sqrt(na.cast("double")) * F.sqrt(nb.cast("double")))
 
 
+def quantized_norm2(q: Column) -> Column:
+    """Σ qᵢ² (long) over an already-quantized array."""
+    return F.aggregate(q, F.lit(0).cast("long"), lambda acc, x: acc + x * x)
+
+
+def prequantized_cosine(qa: Column, qb: Column, na2: Column, nb2: Column) -> Column:
+    """:func:`quantized_cosine` for pre-quantized arrays with precomputed
+    squared norms — identical arithmetic (same sums, same order, same
+    final division) so the result is bit-identical, but a candidate-pair
+    join that scores millions of pairs quantizes each vector ONCE
+    upstream instead of twice per pair, and skips both per-pair norm
+    aggregations."""
+    d = F.aggregate(
+        F.zip_with(qa, qb, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return d.cast("double") / (F.sqrt(na2.cast("double")) * F.sqrt(nb2.cast("double")))
+
+
 def duck_quantize(expr: str) -> str:
     return f"list_transform({expr}, x -> CAST(floor(CAST(x AS DOUBLE) * {QUANT_SCALE}) AS BIGINT))"
 

@@ -38,7 +38,12 @@ from mapreduceproject_spark.functions.textfn import (
     tokens,
     word_shingle_rows,
 )
-from mapreduceproject_spark.functions.vectors import quantized_cosine
+from mapreduceproject_spark.functions.vectors import (
+    prequantized_cosine,
+    quantize,
+    quantized_cosine,
+    quantized_norm2,
+)
 
 
 # ---------------------------------------------------------------------------
@@ -458,9 +463,11 @@ def ivf_assign(
     vec_col: str,
     nprobe: int = 1,
 ) -> DataFrame:
-    """Assign each vector to its ``nprobe`` max-cosine centroids
-    (deterministic ties → lowest centroid id).  centroids must be
-    broadcast-small.  One output row per (vector, probed cell)."""
+    """Rank every (vector, centroid) pair by cosine and keep each vector's
+    top-``nprobe`` cells (deterministic ties → lowest centroid id).
+    centroids must be broadcast-small.  One output row per (vector,
+    probed cell), with the probe rank in ``rn`` (rn=1 is the primary
+    cell)."""
     scored = vectors.select(
         F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")
     ).crossJoin(F.broadcast(centroids.select(F.col("cid"), F.col("cvec"))))
@@ -473,7 +480,7 @@ def ivf_assign(
     return (
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= nprobe)
-        .select("_id", "_v", "cid")
+        .select("_id", "_v", "cid", "rn")
     )
 
 
@@ -489,27 +496,72 @@ def embedding_near_dup(
 
     Centroids are the vectors with id < ``num_centroids`` — deterministic
     seeds (contiguous ids assumed), so the oracle can replicate the exact
-    cell assignment.  The all-pairs product is confined to each cell:
-    ~(nprobe·n/k)² per cell instead of n² total — the IVF scale pattern.
-    Multi-probe (same ``nprobe`` knob as :func:`ivf_topk`) recovers
-    boundary near-dups single-probe assignment misses: a pair split
-    across two cells is caught when either doc's probe list reaches the
-    other's cell.  Pairs sharing several probed cells are deduplicated by
-    the final distinct (cosine is deterministic per pair).  Cosines use
-    the quantized-integer path (functions/vectors.py) so results are
-    engine-exact.
+    cell assignment.  Candidate generation is the standard IVF search
+    shape: every vector is INDEXED in its primary (max-cosine) cell and
+    PROBES its top-``nprobe`` cells — a pair is a candidate when either
+    member's probe list reaches the other's primary cell, which recovers
+    the boundary near-dups single-probe misses.  Cost: each cell's
+    product is |primary members| × |probers| ≈ nprobe·(n/k)² vs the
+    (nprobe·n/k)² of probing both sides — 2× single-probe at nprobe=2,
+    not 4×.  Duplicate discoveries (both directions, several shared
+    cells) collapse in the final distinct; cosine is deterministic per
+    pair via the quantized-integer path (functions/vectors.py), so
+    results are engine-exact.
     """
-    centroids = vectors.filter(F.col(id_col) < num_centroids).select(
-        F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec")
+    # quantize every vector ONCE and carry (array, Σq²); all downstream
+    # cosines are prequantized_cosine — bit-identical to quantized_cosine
+    # but the candidate join never re-quantizes or re-norms a side
+    # persist() is a materialization barrier, not just reuse: without it
+    # CollapseProject inlines quantize() into every consumer expression,
+    # re-quantizing each vector once per centroid row in `scored`
+    base = (
+        vectors.select(
+            F.col(id_col).alias("_id"), quantize(F.col(vec_col)).alias("_q")
+        )
+        .withColumn("_n2", quantized_norm2(F.col("_q")))
+        .persist()
     )
-    assigned = ivf_assign(vectors, centroids, id_col, vec_col, nprobe=nprobe)
-    a = assigned.select(F.col("_id").alias("id_a"), F.col("_v").alias("va"), "cid")
-    b = assigned.select(F.col("_id").alias("id_b"), F.col("_v").alias("vb"), "cid")
+    cents = F.broadcast(
+        base.filter(F.col("_id") < num_centroids).select(
+            F.col("_id").alias("cid"),
+            F.col("_q").alias("cq"),
+            F.col("_n2").alias("cn2"),
+        )
+    )
+    from pyspark.sql import Window
+
+    scored = base.crossJoin(cents).select(
+        "_id",
+        "_q",
+        "_n2",
+        "cid",
+        prequantized_cosine(
+            F.col("_q"), F.col("cq"), F.col("_n2"), F.col("cn2")
+        ).alias("cos"),
+    )
+    w = Window.partitionBy("_id").orderBy(F.desc("cos"), F.asc("cid"))
+    # one ranking pass feeds both the index and the probe sides
+    assigned = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= nprobe)
+        .select("_id", "_q", "_n2", "cid", "rn")
+        .persist()
+    )
+    primary = assigned.filter(F.col("rn") == 1).select(
+        F.col("_id").alias("id_p"), F.col("_q").alias("qp"), F.col("_n2").alias("np2"), "cid"
+    )
+    probe = assigned.select(
+        F.col("_id").alias("id_q"), F.col("_q").alias("qq"), F.col("_n2").alias("nq2"), "cid"
+    )
     return (
-        a.join(b, "cid")
-        .filter(F.col("id_a") < F.col("id_b"))
+        probe.join(primary, "cid")
+        .filter(F.col("id_q") != F.col("id_p"))
         .select(
-            "id_a", "id_b", quantized_cosine(F.col("va"), F.col("vb")).alias("cosine")
+            F.least("id_q", "id_p").alias("id_a"),
+            F.greatest("id_q", "id_p").alias("id_b"),
+            prequantized_cosine(
+                F.col("qq"), F.col("qp"), F.col("nq2"), F.col("np2")
+            ).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
         .distinct()

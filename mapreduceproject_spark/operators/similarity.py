@@ -25,7 +25,28 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from mapreduceproject_spark.functions.vectors import quantized_cosine
+from mapreduceproject_spark.functions.vectors import (
+    prequantized_cosine,
+    quantize,
+    quantized_norm2,
+)
+
+
+def _quantized_side(df: DataFrame, id_col: str, vec_col: str, out_id: str) -> DataFrame:
+    """(id, quantized array, Σq²) — the per-vector scoring artifact.
+
+    Persisted: it feeds every pair-scoring expression downstream, and the
+    persist() barrier stops CollapseProject from inlining quantize() into
+    each consumer (which would re-quantize per scored pair — the exact
+    waste this projection exists to remove).  This is the 'index build'
+    half of similarity search: at corpus scale you materialize it once
+    and amortize over every query batch.
+    """
+    return (
+        df.select(F.col(id_col).alias(out_id), quantize(F.col(vec_col)).alias("_q"))
+        .withColumn("_n2", quantized_norm2(F.col("_q")))
+        .persist()
+    )
 
 
 def brute_force_topk(
@@ -41,21 +62,26 @@ def brute_force_topk(
 
     Output: (query_id, neighbor_id, cosine, rank), self-matches excluded.
     ``queries`` must be broadcast-small; the corpus scan is embarrassingly
-    parallel and the only shuffle is the per-query window top-k.
+    parallel and the only shuffle is the per-query window top-k.  Both
+    sides are quantized once up front; each of the Q·n scored pairs then
+    costs a single O(dim) integer dot product.
     """
     q = F.broadcast(
         queries.select(
-            F.col(query_id_col).alias("query_id"), F.col(query_vec_col).alias("_qv")
-        )
+            F.col(query_id_col).alias("query_id"),
+            quantize(F.col(query_vec_col)).alias("_qq"),
+        ).withColumn("_qn2", quantized_norm2(F.col("_qq")))
     )
+    cq = _quantized_side(corpus, id_col, vec_col, "neighbor_id")
     scored = (
-        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_v"))
-        .crossJoin(q)
+        cq.crossJoin(q)
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
             "neighbor_id",
-            quantized_cosine(F.col("_qv"), F.col("_v")).alias("cosine"),
+            prequantized_cosine(
+                F.col("_qq"), F.col("_q"), F.col("_qn2"), F.col("_n2")
+            ).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
@@ -82,48 +108,42 @@ def ivf_topk(
     Centroids are the corpus vectors with id < ``num_centroids`` —
     deterministic seeds so the oracle replicates cell assignment exactly.
     Corpus→cell is one broadcast pass; query→probe list likewise; the
-    candidate join shuffles on the cell id, sized ~nprobe/C of brute force.
+    candidate join shuffles on the cell id, sized ~nprobe/C of brute
+    force.  All scoring runs on once-quantized vectors.
     """
+    cq = _quantized_side(corpus, id_col, vec_col, "neighbor_id")
     centroids = F.broadcast(
-        corpus.filter(F.col(id_col) < num_centroids).select(
-            F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec")
+        cq.filter(F.col("neighbor_id") < num_centroids).select(
+            F.col("neighbor_id").alias("cid"),
+            F.col("_q").alias("cq"),
+            F.col("_n2").alias("cn2"),
         )
     )
 
-    corpus_scored = (
-        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_v"))
-        .crossJoin(centroids)
-        .select(
-            "neighbor_id",
-            "_v",
-            "cid",
-            quantized_cosine(F.col("_v"), F.col("cvec")).alias("ccos"),
-        )
-    )
+    ccos = prequantized_cosine(F.col("_q"), F.col("cq"), F.col("_n2"), F.col("cn2"))
     wc = Window.partitionBy("neighbor_id").orderBy(F.desc("ccos"), F.asc("cid"))
     cells = (
-        corpus_scored.withColumn("rn", F.row_number().over(wc))
+        cq.crossJoin(centroids)
+        .select("neighbor_id", "_q", "_n2", "cid", ccos.alias("ccos"))
+        .withColumn("rn", F.row_number().over(wc))
         .filter(F.col("rn") == 1)
-        .select("neighbor_id", "_v", "cid")
+        .select("neighbor_id", "_q", "_n2", "cid")
     )
 
-    probes = (
+    qq = F.broadcast(
         queries.select(
-            F.col(query_id_col).alias("query_id"), F.col(query_vec_col).alias("_qv")
-        )
-        .crossJoin(centroids)
-        .select(
-            "query_id",
-            "_qv",
-            "cid",
-            quantized_cosine(F.col("_qv"), F.col("cvec")).alias("ccos"),
-        )
+            F.col(query_id_col).alias("query_id"),
+            quantize(F.col(query_vec_col)).alias("_qq"),
+        ).withColumn("_qn2", quantized_norm2(F.col("_qq")))
     )
+    qcos = prequantized_cosine(F.col("_qq"), F.col("cq"), F.col("_qn2"), F.col("cn2"))
     wq = Window.partitionBy("query_id").orderBy(F.desc("ccos"), F.asc("cid"))
     probed = (
-        probes.withColumn("rn", F.row_number().over(wq))
+        qq.crossJoin(centroids)
+        .select("query_id", "_qq", "_qn2", "cid", qcos.alias("ccos"))
+        .withColumn("rn", F.row_number().over(wq))
         .filter(F.col("rn") <= nprobe)
-        .select("query_id", "_qv", "cid")
+        .select("query_id", "_qq", "_qn2", "cid")
     )
 
     cand = (
@@ -132,7 +152,9 @@ def ivf_topk(
         .select(
             "query_id",
             "neighbor_id",
-            quantized_cosine(F.col("_qv"), F.col("_v")).alias("cosine"),
+            prequantized_cosine(
+                F.col("_qq"), F.col("_q"), F.col("_qn2"), F.col("_n2")
+            ).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))

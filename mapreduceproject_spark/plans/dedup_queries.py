@@ -220,15 +220,15 @@ def _embedding_oracle() -> str:
       FROM qv, c
     ),
     assigned AS (
-      SELECT id, q, cid FROM (
+      SELECT id, q, cid, rn FROM (
         SELECT *, row_number() OVER (PARTITION BY id ORDER BY cos DESC, cid) AS rn
         FROM scored
       ) WHERE rn <= {NEARDUP_NPROBE}
     )
-    SELECT DISTINCT a.id AS id_a, b.id AS id_b,
-           {duck_quantized_cosine("a.q", "b.q")} AS cosine
-    FROM assigned a JOIN assigned b ON a.cid = b.cid AND a.id < b.id
-    WHERE {duck_quantized_cosine("a.q", "b.q")} >= {COSINE_THR}
+    SELECT DISTINCT LEAST(p.id, q.id) AS id_a, GREATEST(p.id, q.id) AS id_b,
+           {duck_quantized_cosine("p.q", "q.q")} AS cosine
+    FROM assigned q JOIN assigned p ON q.cid = p.cid AND p.rn = 1 AND q.id <> p.id
+    WHERE {duck_quantized_cosine("p.q", "q.q")} >= {COSINE_THR}
     """
 
 

@@ -12,7 +12,9 @@ from pyspark.sql import functions as F
 from mapreduceproject_spark.functions.vectors import (
     duck_quantize,
     duck_quantized_cosine,
-    quantized_cosine,
+    prequantized_cosine,
+    quantize,
+    quantized_norm2,
 )
 from mapreduceproject_spark.operators import similarity as sim
 from mapreduceproject_spark.plans.registry import query
@@ -147,16 +149,25 @@ def ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.filter(F.col("vec_id") < NUM_QUERIES).select(
             F.col("vec_id").alias("query_id"),
             F.col("label").alias("qlabel"),
-            F.col("embedding").alias("_qv"),
+            quantize(F.col("embedding")).alias("_qq"),
+        ).withColumn("_qn2", quantized_norm2(F.col("_qq")))
+    )
+    corpus = (
+        emb.select(
+            "vec_id", "label", quantize(F.col("embedding")).alias("_cq")
         )
+        .withColumn("_cn2", quantized_norm2(F.col("_cq")))
+        .persist()  # barrier: quantize once per vector, not per scored pair
     )
     scored = (
-        emb.select("vec_id", "label", "embedding")
+        corpus
         .join(q, (F.col("label") == F.col("qlabel")) & (F.col("vec_id") != F.col("query_id")))
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            quantized_cosine(F.col("_qv"), F.col("embedding")).alias("cosine"),
+            prequantized_cosine(
+                F.col("_qq"), F.col("_cq"), F.col("_qn2"), F.col("_cn2")
+            ).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
