@@ -603,12 +603,12 @@ def connected_components(
         df.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
         return df.checkpoint()
 
-    # materialize the (usually expensive) edge computation once — without
-    # this every iteration's join re-runs the full upstream pipeline
-    sym = ckpt(
-        edges.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-        .union(edges.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
-    )
+    # materialize the (usually expensive) edge computation once BEFORE the
+    # symmetrization union — union(e, e.swapped) evaluates its input twice,
+    # which would re-run the whole upstream near-dup pipeline; and without
+    # any checkpoint every iteration's join would re-run it too
+    e = ckpt(edges.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst")))
+    sym = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     labels = ckpt(
         sym.select(F.col("src").alias("id"))
         .distinct()

@@ -721,8 +721,13 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     count and literal TRUE, making the sketch's accuracy — not its
     internal registers — the contract under test."""
     ev = events(spark, sf_dir)
-    return ev.groupBy("event_type").agg(
-        F.count_distinct("user_id").alias("exact_users"),
+    # dedup first, then plain count + HLL: a combined COUNT(DISTINCT) +
+    # approx agg plans through Expand (row duplication per agg path),
+    # while HLL registers are max-of-hashes and therefore identical over
+    # the deduped set — same value, ~3× less work
+    dedup = ev.select("event_type", "user_id").distinct()
+    return dedup.groupBy("event_type").agg(
+        F.count("*").alias("exact_users"),
         F.approx_count_distinct("user_id", rsd=0.02).alias("_hll"),
     ).select(
         "event_type",
