@@ -7,6 +7,7 @@ stdin verb REPL (/root/reference/src/node.go:59-233).
     python -m mapreduceproject_spark maple --src 'DIR/*.txt' --prefix INT
     python -m mapreduceproject_spark juice --prefix INT --dest OUT --delete-input 1
     python -m mapreduceproject_spark list-nodes
+    python -m mapreduceproject_spark ping
     python -m mapreduceproject_spark store put|get|delete|ls|store ...
 
 Where the reference's verbs talked to a hand-rolled master, these drive
@@ -126,6 +127,25 @@ def cmd_list_nodes(args) -> int:
     return 0
 
 
+def cmd_ping(args) -> int:
+    """Liveness probe — the reference's ping membership verb
+    (/root/reference/README.md:17).  There a UDP round-trip to a peer;
+    here a minimal end-to-end scheduler round-trip (one 1-row job), which
+    is the meaningful liveness check for a Spark deployment: it proves
+    driver, scheduler and at least one executor slot are all responsive.
+    """
+    import time
+
+    spark = _spark(args.cpus)
+    sc = spark.sparkContext
+    t0 = time.perf_counter()
+    n = spark.range(1).count()
+    ms = (time.perf_counter() - t0) * 1000.0
+    ok = n == 1
+    print(f"ping {'ok' if ok else 'FAILED'} appId={sc.applicationId} rtt_ms={ms:.1f}")
+    return 0 if ok else 1
+
+
 def cmd_store(args) -> int:
     from mapreduceproject_spark.sources.store import SdfsStore, WriteConflict
 
@@ -194,6 +214,10 @@ def main(argv: list[str] | None = None) -> int:
         "--cpus", default=None
     )
 
+    sub.add_parser("ping", help="liveness probe (1-row scheduler round-trip)").add_argument(
+        "--cpus", default=None
+    )
+
     stp = sub.add_parser("store", help="SDFS-verb catalog operations")
     stp.add_argument("root", help="store root directory")
     stp.add_argument("verb", choices=["put", "get", "delete", "ls", "store"])
@@ -209,6 +233,7 @@ def main(argv: list[str] | None = None) -> int:
         "maple": cmd_maple,
         "juice": cmd_juice,
         "list-nodes": cmd_list_nodes,
+        "ping": cmd_ping,
         "store": cmd_store,
     }[args.cmd](args)
 

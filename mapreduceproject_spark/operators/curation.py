@@ -1,0 +1,203 @@
+"""Corpus-curation operators for LLM training-data pipelines.
+
+The reference stops at word counting (/root/reference/src/
+reduce_exe_word_count.go:20-32); these are the curation stages a real
+pretraining pipeline runs after tokenization and before sharding:
+repetition filtering (Gopher/MassiveText quality rules), benchmark
+decontamination (n-gram overlap à la GPT-3 appendix C), token-budget
+sequence packing, stratified deterministic sampling, and per-source
+quality rollups.
+
+All arithmetic is engine-portable (integer counts, int/int exact-double
+ratios, hash60 membership) so every operator carries a bit-exact DuckDB
+oracle.
+
+Scale notes, per operator:
+- repetition_metrics: explode + two-level agg keyed by doc id — linear,
+  partial-aggregated, no joins wider than doc id.
+- ngram_decontam: the benchmark side is an eval suite (bounded, small) —
+  its distinct shingle set is broadcast; the corpus side is one linear
+  scan + one agg.  No corpus-×-corpus join ever forms.
+- pack_contiguous: greedy contiguous fill is inherently sequential, so it
+  runs per (group, bucket) — parallelism = groups × buckets, each window
+  bounded; this is how distributed packing actually ships.
+- stratified_sample: pure per-row hash membership, zero shuffle before
+  the stats agg.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from mapreduceproject_spark.functions.hashing import hash60
+from mapreduceproject_spark.functions.textfn import tokens, word_shingle_rows
+
+
+def _shingle_dup_stats(
+    df: DataFrame, id_col: str, text_col, k: int, out_prefix: str
+) -> DataFrame:
+    """Per-doc (total, distinct) k-word-shingle counts via the linear
+    explode formulation (the array ``transform``-over-``slice`` variant is
+    O(words²) per doc — see functions/textfn.py)."""
+    rows = word_shingle_rows(df, text_col, k, keep=[id_col])
+    per_sh = rows.groupBy(id_col, "sh").agg(F.count("*").alias("c"))
+    return per_sh.groupBy(id_col).agg(
+        F.sum("c").cast("long").alias(f"{out_prefix}_total"),
+        F.count("*").cast("long").alias(f"{out_prefix}_distinct"),
+    )
+
+
+def repetition_metrics(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    top_frac_max: float = 0.2,
+    dup_bigram_max: float = 0.4,
+    dup_trigram_max: float = 0.3,
+) -> DataFrame:
+    """Gopher-style repetition quality rules (Rae et al. 2021, §A1.1).
+
+    Per document: fraction of tokens taken by the single most frequent
+    token, duplicate-bigram fraction, duplicate-trigram fraction, and a
+    ``repetitive`` flag when any exceeds its threshold.  These are the
+    standard "remove boilerplate / keyword-stuffing" filters.
+
+    All three metrics are exact integer ratios; the thresholds are the
+    published Gopher defaults (adapted to word 2/3-grams).
+    """
+    t = F.lower(F.col(text_col))
+    tok_rows = df.select(F.col(id_col), F.explode(tokens(t)).alias("tok"))
+    per_tok = tok_rows.groupBy(id_col, "tok").agg(F.count("*").alias("c"))
+    tok_stats = per_tok.groupBy(id_col).agg(
+        F.max("c").cast("long").alias("max_tok"),
+        F.sum("c").cast("long").alias("n_tokens"),
+    )
+    bi = _shingle_dup_stats(df, id_col, t, 2, "bi")
+    tri = _shingle_dup_stats(df, id_col, t, 3, "tri")
+    j = tok_stats.join(bi, id_col).join(tri, id_col)
+    top_frac = F.col("max_tok").cast("double") / F.col("n_tokens")
+    dup_bi = (F.col("bi_total") - F.col("bi_distinct")).cast("double") / F.col(
+        "bi_total"
+    )
+    dup_tri = (F.col("tri_total") - F.col("tri_distinct")).cast("double") / F.col(
+        "tri_total"
+    )
+    return j.select(
+        F.col(id_col),
+        F.col("n_tokens"),
+        top_frac.alias("top_token_frac"),
+        dup_bi.alias("dup_bigram_frac"),
+        dup_tri.alias("dup_trigram_frac"),
+        (
+            (top_frac > top_frac_max)
+            | (dup_bi > dup_bigram_max)
+            | (dup_tri > dup_trigram_max)
+        ).alias("repetitive"),
+    )
+
+
+def ngram_decontam(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bench_col: str,
+    k: int = 5,
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any
+    k-word shingle with the held-out benchmark set (GPT-3's 13-gram
+    method, shortened to k grams for the fixture corpus).
+
+    ``bench_col`` is a boolean column marking benchmark membership.
+    Returns one row per NON-benchmark doc: shared-shingle count +
+    ``contaminated`` flag.
+
+    The benchmark side is an eval suite — bounded and small by
+    construction — so its distinct shingle set is broadcast; the corpus
+    side never shuffles anything wider than (doc id, matched shingle).
+    """
+    sh = word_shingle_rows(
+        df, F.lower(F.col(text_col)), k, keep=[id_col, bench_col]
+    ).select(F.col(id_col), F.col(bench_col), F.col("sh")).distinct()
+    bench_grams = sh.filter(F.col(bench_col)).select("sh").distinct()
+    train = sh.filter(~F.col(bench_col))
+    shared = (
+        train.join(F.broadcast(bench_grams), "sh")
+        .groupBy(id_col)
+        .agg(F.count("*").cast("long").alias("n_shared"))
+    )
+    train_docs = df.filter(~F.col(bench_col)).select(id_col)
+    return train_docs.join(shared, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce(F.col("n_shared"), F.lit(0).cast("long")).alias("n_shared"),
+        (F.coalesce(F.col("n_shared"), F.lit(0)) > 0).alias("contaminated"),
+    )
+
+
+def pack_contiguous(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    group_col: str,
+    capacity: int,
+    n_buckets: int = 8,
+) -> DataFrame:
+    """Token-budget sequence packing: assign documents to fixed-capacity
+    shards by contiguous fill over a deterministic order (weight desc, id
+    asc), overflow-tolerant (a doc whose weight straddles the boundary
+    stays in the shard it started in — shards can exceed ``capacity`` by
+    at most one document).
+
+    Greedy fill is inherently sequential, so the corpus is first split
+    into ``n_buckets`` deterministic buckets per group (``id % n_buckets``)
+    and packed independently within each — parallelism = groups × buckets
+    with bounded per-window data, which is how packing distributes in
+    practice.  Shard ids are globally unique: bucket * 2^32 + local shard.
+
+    Returns shard-level stats: group, shard_id, n_docs, shard_weight.
+    """
+    bucket = (F.col(id_col) % n_buckets).alias("_bucket")
+    w = Window.partitionBy(group_col, "_bucket").orderBy(
+        F.desc(weight_col), F.asc(id_col)
+    )
+    cum = F.sum(weight_col).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    local_shard = F.floor((cum - F.col(weight_col)) / capacity)
+    assigned = df.select(
+        F.col(group_col), bucket, F.col(id_col), F.col(weight_col)
+    ).select(
+        F.col(group_col),
+        (F.col("_bucket") * F.lit(2**32).cast("long") + local_shard)
+        .cast("long")
+        .alias("shard_id"),
+        F.col(id_col),
+        F.col(weight_col),
+    )
+    return assigned.groupBy(group_col, "shard_id").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(weight_col).cast("long").alias("shard_weight"),
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    rates: dict[str, int],
+    default_rate: int,
+    key_col,
+    salt: str,
+) -> DataFrame:
+    """Deterministic per-stratum downsampling: keep a row iff
+    ``hash60(key || salt) % 100 < rate(stratum)``.
+
+    The keep decision is a pure function of content + salt — reproducible
+    across runs, engines and repartitions (rand()-based sampling is
+    none of those).  Zero shuffle: the membership test is a per-row
+    projection; only the stats agg moves data.
+
+    Returns the kept rows (caller aggregates or writes them).
+    """
+    rate = F.lit(default_rate)
+    for stratum, r in sorted(rates.items()):
+        rate = F.when(F.col(strata_col) == stratum, r).otherwise(rate)
+    bucket = hash60(F.concat(key_col, F.lit(salt))) % 100
+    return df.filter(bucket < rate)

@@ -13,6 +13,7 @@ from mapreduceproject_spark.plans import (  # noqa: F401,E402
     dedup_queries,
     similarity_queries,
     text_queries,
+    curation_queries,
     multimodal_queries,
     streaming_queries,
 )

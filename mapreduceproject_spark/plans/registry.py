@@ -28,6 +28,13 @@ ORACLES: dict[str, str] = {}
 # evidence, so they go first this round.  Names absent from the registry
 # are ignored; everything else follows in registration order.
 _FRONT: tuple[str, ...] = (
+    # Round-2 additions (never driver-checked) go first.
+    "text_repetition_metrics",
+    "decontam_ngram_overlap",
+    "pack_token_shards",
+    "stratified_sample_stats",
+    "source_quality_rollup",
+    "token_length_histogram",
     "dedup_clusters",
     "ann_bruteforce_topk",
     "ann_ivf_topk",

@@ -172,3 +172,7 @@ def test_cli_maple_juice_verbs_and_list_nodes(spark, corpus, tmp_path, capsys):
     assert main(["list-nodes"]) == 0
     out = capsys.readouterr().out
     assert "self: appId=" in out and "node host=" in out
+
+    assert main(["ping"]) == 0
+    out = capsys.readouterr().out
+    assert "ping ok" in out and "rtt_ms=" in out

@@ -125,3 +125,34 @@ def test_ngram_jaccard_linear_gram_build(spark, sf_dir):
     opt = _optimized(QUERIES["dedup_ngram_jaccard"](spark, sf_dir))
     assert "sequence(1," in opt
     assert "transform(" not in opt
+
+
+def test_decontam_broadcasts_benchmark_grams(spark, sf_dir):
+    # the benchmark shingle set is eval-suite-sized (bounded); the
+    # train⋈bench join must replicate it, never shuffle the corpus side
+    plan = _plan(QUERIES["decontam_ngram_overlap"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_pack_window_is_bucketed(spark, sf_dir):
+    # greedy fill is sequential per window: the window spec must include
+    # the bucket column, or one partition per lang serializes the corpus
+    plan = _plan(QUERIES["pack_token_shards"](spark, sf_dir))
+    spec = plan.split("windowspecdefinition(")[1].split(")")[0]
+    assert "lang" in spec and "_bucket" in spec, spec
+
+
+def test_repetition_partial_aggregation(spark, sf_dir):
+    # token/shingle counts must partial-aggregate map-side before the
+    # doc-id shuffle — at 100 TB the gram stream is the biggest flow
+    plan = _plan(QUERIES["text_repetition_metrics"](spark, sf_dir))
+    assert "partial_count" in plan or "partial_sum" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_stratified_sample_filter_before_agg(spark, sf_dir):
+    # hash membership is a per-row projection: the optimized plan must
+    # filter before any exchange (no shuffle of dropped rows)
+    opt = _optimized(QUERIES["stratified_sample_stats"](spark, sf_dir))
+    assert "Filter" in opt
