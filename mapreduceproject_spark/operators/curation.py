@@ -34,20 +34,6 @@ from mapreduceproject_spark.functions.hashing import hash60
 from mapreduceproject_spark.functions.textfn import tokens, word_shingle_rows
 
 
-def _shingle_dup_stats(
-    df: DataFrame, id_col: str, text_col, k: int, out_prefix: str
-) -> DataFrame:
-    """Per-doc (total, distinct) k-word-shingle counts via the linear
-    explode formulation (the array ``transform``-over-``slice`` variant is
-    O(words²) per doc — see functions/textfn.py)."""
-    rows = word_shingle_rows(df, text_col, k, keep=[id_col])
-    per_sh = rows.groupBy(id_col, "sh").agg(F.count("*").alias("c"))
-    return per_sh.groupBy(id_col).agg(
-        F.sum("c").cast("long").alias(f"{out_prefix}_total"),
-        F.count("*").cast("long").alias(f"{out_prefix}_distinct"),
-    )
-
-
 def repetition_metrics(
     df: DataFrame,
     id_col: str,
@@ -65,16 +51,57 @@ def repetition_metrics(
 
     All three metrics are exact integer ratios; the thresholds are the
     published Gopher defaults (adapted to word 2/3-grams).
+
+    One fused pass: tokens are posexploded once and both shingle sizes
+    come from lead(1)/lead(2) over the same per-doc window sort — one
+    Generate + one sort instead of three of each (shingle semantics match
+    ``word_shingles`` exactly, including the short-doc whole-text rule).
+    The token stream is persisted because token counts and the window
+    branch both consume it.
     """
     t = F.lower(F.col(text_col))
-    tok_rows = df.select(F.col(id_col), F.explode(tokens(t)).alias("tok"))
-    per_tok = tok_rows.groupBy(id_col, "tok").agg(F.count("*").alias("c"))
+    rows = (
+        df.select(F.col(id_col), tokens(t).alias("_toks"))
+        .select(
+            F.col(id_col),
+            F.size("_toks").alias("_n"),
+            F.posexplode("_toks").alias("_i", "tok"),
+        )
+        .persist()
+    )
+    per_tok = rows.groupBy(id_col, "tok").agg(F.count("*").alias("c"))
     tok_stats = per_tok.groupBy(id_col).agg(
         F.max("c").cast("long").alias("max_tok"),
         F.sum("c").cast("long").alias("n_tokens"),
     )
-    bi = _shingle_dup_stats(df, id_col, t, 2, "bi")
-    tri = _shingle_dup_stats(df, id_col, t, 3, "tri")
+    w = Window.partitionBy(id_col).orderBy("_i")
+    leads = rows.select(
+        F.col(id_col),
+        "_n",
+        "_i",
+        "tok",
+        F.lead("tok", 1).over(w).alias("_t1"),
+        F.lead("tok", 2).over(w).alias("_t2"),
+    )
+    # k-shingle rows: positions 0.._n-k for full docs; docs shorter than k
+    # emit one whole-text shingle at position 0 (concat_ws skips nulls, so
+    # the short-doc join of 1-2 tokens falls out of the same expression)
+    bi_rows = leads.filter(
+        (F.col("_i") <= F.col("_n") - 2) | ((F.col("_n") < 2) & (F.col("_i") == 0))
+    ).select(F.col(id_col), F.concat_ws(" ", "tok", "_t1").alias("sh"))
+    tri_rows = leads.filter(
+        (F.col("_i") <= F.col("_n") - 3) | ((F.col("_n") < 3) & (F.col("_i") == 0))
+    ).select(F.col(id_col), F.concat_ws(" ", "tok", "_t1", "_t2").alias("sh"))
+
+    def dup_stats(sh_rows: DataFrame, prefix: str) -> DataFrame:
+        per_sh = sh_rows.groupBy(id_col, "sh").agg(F.count("*").alias("c"))
+        return per_sh.groupBy(id_col).agg(
+            F.sum("c").cast("long").alias(f"{prefix}_total"),
+            F.count("*").cast("long").alias(f"{prefix}_distinct"),
+        )
+
+    bi = dup_stats(bi_rows, "bi")
+    tri = dup_stats(tri_rows, "tri")
     j = tok_stats.join(bi, id_col).join(tri, id_col)
     top_frac = F.col("max_tok").cast("double") / F.col("n_tokens")
     dup_bi = (F.col("bi_total") - F.col("bi_distinct")).cast("double") / F.col(
