@@ -364,11 +364,16 @@ def ngram_jaccard_dedup(
         F.col(length_col).alias("_len"),
         F.col(text_col).alias("_txt"),
     )
+    # block/length metadata is one row per DOCUMENT — corpus-sized at
+    # 100 TB — so it is NOT dragged through the gram-level pipeline (that
+    # would widen every gram shuffle by the metadata bytes) and NOT
+    # broadcast (that would OOM).  It re-attaches to the doc-level prefix
+    # rows below via an unhinted join that reuses the window's _id
+    # partitioning.
+    meta = base.select("_id", *[F.col(c) for c in block_cols], "_len")
     grams = (
-        char_ngram_rows(
-            base, F.lower(F.col("_txt")), n, keep=["_id", *block_cols, "_len"]
-        )
-        .select("_id", *block_cols, "_len", hash60(F.col("g")).alias("h"))
+        char_ngram_rows(base, F.lower(F.col("_txt")), n, keep=["_id"])
+        .select("_id", hash60(F.col("g")).alias("h"))
         .distinct()
         # grams feeds doc sizes, the prefix index, and both verify sides;
         # persist() makes the branches share one computation instead of
@@ -376,7 +381,7 @@ def ngram_jaccard_dedup(
         # canonicalized plan, so repeated builder calls also reuse it)
         .persist()
     )
-    docs = grams.groupBy("_id", *block_cols, "_len").agg(F.count("*").alias("n_grams"))
+    docs = grams.groupBy("_id").agg(F.count("*").alias("n_grams")).join(meta, "_id")
     cond = (F.col("id_a") < F.col("id_b")) & (
         F.abs(F.col("len_a") - F.col("len_b")) <= length_band
     )
@@ -385,12 +390,15 @@ def ngram_jaccard_dedup(
     if prefix_filter:
         from pyspark.sql import Window
 
-        freq = grams.groupBy("h").agg(F.count("*").alias("df"))
+        # gram document-frequency as a window count over h — one shuffle
+        # of the gram stream, where a groupBy(h)+self-join would shuffle
+        # it twice (once into the agg, once into the join)
+        wh = Window.partitionBy("h")
         wp = Window.partitionBy("_id")
         # α = ⌈t·n⌉ with a tiny epsilon so float noise can only *lengthen*
         # the prefix (shorter-than-exact prefixes would lose true pairs)
         pref = (
-            grams.join(freq, "h")
+            grams.withColumn("df", F.count("*").over(wh))
             .withColumn("rn", F.row_number().over(wp.orderBy("df", "h")))
             .withColumn("ng", F.count("*").over(wp))
             .filter(
@@ -399,6 +407,7 @@ def ngram_jaccard_dedup(
                 - F.ceil(F.col("ng") * F.lit(threshold) - F.lit(1e-9))
                 + 1
             )
+            .join(meta, "_id")
         )
         pa = pref.select(
             F.col("_id").alias("id_a"),
