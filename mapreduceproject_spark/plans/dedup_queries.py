@@ -14,6 +14,7 @@ from mapreduceproject_spark.functions.hashing import (
 )
 from mapreduceproject_spark.functions.hashing import (
     duck_hash60,
+    hash60,
     minhash_params,
 )
 from mapreduceproject_spark.functions.textfn import (
@@ -286,3 +287,55 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         seed=MINHASH_SEED,
     ).select("id_a", "id_b")
     return dd.duplicate_clusters(pairs)
+
+
+# -- incremental ingestion dedup --------------------------------------------
+INCR_SALT, INCR_NEW_PCT = "|ingest-v1", 10
+
+
+def _incremental_oracle() -> str:
+    arrival = duck_hash60(f"text || '{INCR_SALT}'")
+    key = duck_hash60("text")
+    return f"""
+    WITH d AS (
+      SELECT doc_id, lang, source,
+             {arrival} % 100 < {INCR_NEW_PCT} AS is_new,
+             {key} AS k
+      FROM documents
+    ),
+    corpus AS (SELECT DISTINCT k FROM d WHERE NOT is_new),
+    fresh AS (
+      SELECT d.* FROM d LEFT JOIN corpus USING (k)
+      WHERE d.is_new AND corpus.k IS NULL
+    )
+    SELECT doc_id, lang, source FROM (
+      SELECT *, row_number() OVER (PARTITION BY k ORDER BY doc_id) AS rn
+      FROM fresh) WHERE rn = 1
+    """
+
+
+@query("dedup_incremental", oracle=_incremental_oracle())
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingestion dedup — the production pattern for a corpus
+    that grows in batches: a new-arrivals batch (content-hash
+    {INCR_NEW_PCT}%) is checked against the already-ingested corpus by
+    exact content hash (anti-join: the corpus side stays a hash set, the
+    new batch never joins corpus-x-corpus), then deduped within itself
+    (keep lowest doc_id).  At 100 TB the corpus hash set is a bucketed
+    table the daily batch anti-joins against — linear in batch size, not
+    corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    is_new = hash60(F.concat(F.col("text"), F.lit(INCR_SALT))) % 100 < INCR_NEW_PCT
+    keyed = docs.select(
+        "doc_id", "lang", "source", is_new.alias("is_new"), hash60(F.col("text")).alias("k")
+    )
+    corpus = keyed.filter(~F.col("is_new")).select("k").distinct()
+    fresh = keyed.filter(F.col("is_new")).join(corpus, "k", "left_anti")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("k").orderBy("doc_id")
+    return (
+        fresh.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "lang", "source")
+    )

@@ -35,6 +35,10 @@ _FRONT: tuple[str, ...] = (
     "stratified_sample_stats",
     "source_quality_rollup",
     "token_length_histogram",
+    "stream_stream_join",
+    "agg_approx_percentile",
+    "dedup_incremental",
+    "window_distribution",
     "dedup_clusters",
     "ann_bruteforce_topk",
     "ann_ivf_topk",

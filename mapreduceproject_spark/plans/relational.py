@@ -703,6 +703,51 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "agg_approx_percentile",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           quantile_cont(value, 0.50) AS p50_exact,
+           TRUE AS within_rank_bound
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GK-sketch median per event_type (approx_percentile, accuracy 1e4) —
+    the constant-memory quantile that replaces the exact sort at 100 TB.
+    Sketch internals are engine/partitioning-specific, so the checkable
+    output is the exact median plus a rank-error flag: the count of values
+    ≤ the sketch's answer must sit within 1% of the target rank — two
+    orders of magnitude looser than the sketch's ε = 1/accuracy guarantee,
+    so the flag is deterministically TRUE for any valid execution.  Same
+    exact-value-plus-guarantee-bound contract as agg_approx_distinct."""
+    ev = events(spark, sf_dir)
+    acc = 10000
+    ap = ev.groupBy("event_type").agg(
+        F.percentile_approx("value", F.lit(0.5), F.lit(acc)).alias("_ap50"),
+        F.percentile("value", F.lit(0.5)).alias("p50_exact"),
+        F.count("*").alias("n"),
+    )
+    ranked = (
+        ev.join(ap, "event_type")
+        .groupBy("event_type", "n", "p50_exact", "_ap50")
+        .agg(
+            F.sum(
+                F.when(F.col("value") <= F.col("_ap50"), 1).otherwise(0)
+            ).alias("_le")
+        )
+    )
+    return ranked.select(
+        "event_type",
+        "n",
+        "p50_exact",
+        (
+            F.abs(F.col("_le") - 0.5 * F.col("n")) <= F.col("n") / 100.0 + 1
+        ).alias("within_rank_bound"),
+    )
+
+
+@query(
     "agg_approx_distinct",
     oracle="""
     SELECT event_type,
@@ -736,6 +781,39 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(F.col("_hll") - F.col("exact_users"))
             <= F.col("exact_users") * F.lit(0.10)
         ).alias("within_rsd_bound"),
+    )
+
+
+@query(
+    "window_distribution",
+    oracle="""
+    SELECT event_id, event_type,
+           percent_rank() OVER w AS pr,
+           cume_dist() OVER w AS cd,
+           first_value(event_id) OVER w AS first_ev,
+           nth_value(event_id, 2) OVER w AS second_ev
+    FROM events
+    WINDOW w AS (PARTITION BY event_type
+                 ORDER BY CAST(floor(value*100) AS BIGINT), event_id)
+    """,
+)
+def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions: PERCENT_RANK and CUME_DIST (exact
+    rank/(n−1) and rank/n rationals — engine-identical given the
+    fully-deterministic (cents, id) order), plus FIRST_VALUE/NTH_VALUE
+    under the default running frame.  One shared window spec = one
+    shuffle+sort serves all four."""
+    ev = events(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy(
+        F.floor(F.col("value") * 100).cast("long"), "event_id"
+    )
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+        F.first("event_id").over(w).alias("first_ev"),
+        F.nth_value("event_id", 2).over(w).alias("second_ev"),
     )
 
 

@@ -111,6 +111,29 @@ def session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_stream_join",
+    oracle="""
+    SELECT a.user_id,
+           a.event_id AS purchase_id,
+           b.event_id AS click_id,
+           a.ts AS purchase_ts,
+           b.ts AS click_ts
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND a.event_type = 'purchase' AND b.event_type = 'click'
+     AND b.ts BETWEEN a.ts - INTERVAL 1 HOUR AND a.ts
+    """,
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (last-hour click attribution per
+    purchase): watermarks on both sides + an event-time bound in the join
+    condition let Spark expire buffered rows — bounded state at any
+    stream length.  Append mode: inner-join matches emit as they occur."""
+    ev = jobs.read_events_stream(spark, sf_dir)
+    return jobs.run_to_df(jobs.interval_join_attribution(ev), spark, "append")
+
+
+@query(
     "stream_static_join",
     oracle="""
     SELECT c_mktsegment, COUNT(*) AS n_events,

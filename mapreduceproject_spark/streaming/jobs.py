@@ -101,6 +101,44 @@ def stream_dedup(events: DataFrame) -> DataFrame:
     )
 
 
+def interval_join_attribution(events: DataFrame) -> DataFrame:
+    """Stream-stream interval join: each purchase matched to the same
+    user's clicks in the preceding hour — the canonical last-touch
+    attribution join.
+
+    Both sides carry watermarks and the join condition bounds the two
+    event times against each other, so Spark can expire buffered state:
+    a click older than (purchase watermark − 1 h) can never match again
+    and is dropped.  Without the time bound the state store would grow
+    forever — this is THE stream-stream-join scale contract.
+    """
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "2 hours")
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "2 hours")
+    )
+    return purchases.join(
+        clicks,
+        (purchases.user_id == clicks.c_user)
+        & (clicks.click_ts >= purchases.purchase_ts - F.expr("INTERVAL 1 HOUR"))
+        & (clicks.click_ts <= purchases.purchase_ts),
+        "inner",
+    ).select("user_id", "purchase_id", "click_id", "purchase_ts", "click_ts")
+
+
 def run_to_df(stream: DataFrame, spark: SparkSession, mode: str) -> DataFrame:
     """Execute a finite stream with AvailableNow into a memory sink and
     return the materialized result table."""
