@@ -10,6 +10,7 @@ from mapreduceproject_spark.plans.registry import (  # noqa: F401
 from mapreduceproject_spark.plans import (  # noqa: F401,E402
     mapreduce_queries,
     relational,
+    tpch_deep,
     dedup_queries,
     similarity_queries,
     text_queries,

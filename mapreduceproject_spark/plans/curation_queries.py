@@ -324,3 +324,227 @@ def token_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         (F.floor(n / F.lit(HIST_WIDTH)) * HIST_WIDTH).cast("long").alias("bucket"),
     ).agg(F.count("*").cast("long").alias("n_docs"))
+
+
+# -- round-2 additions: span dedup, LM quality proxy, funnel report ----------
+SPAN_K = 20
+FUNNEL_MIN_TOKS, FUNNEL_MAX_TOKS = 30, 5000
+FUNNEL_TOP_PCT = 12  # top-token ratio ≤ 12% (compared multiplicatively)
+
+
+def _span_dedup_oracle() -> str:
+    h = duck_hash60("span")
+    return f"""
+    WITH tk AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    spans AS (
+      SELECT doc_id,
+             unnest(list_transform(range(0, (len(t) + {SPAN_K - 1}) // {SPAN_K}),
+                    j -> array_to_string(t[j*{SPAN_K}+1 : j*{SPAN_K}+{SPAN_K}], ' '))) AS span
+      FROM tk
+    ),
+    hashed AS (SELECT doc_id, {h} AS h FROM spans),
+    counted AS (
+      SELECT doc_id, h, COUNT(*) OVER (PARTITION BY h) AS global_c
+      FROM hashed
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_spans,
+           CAST(SUM(CASE WHEN global_c >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans,
+           CAST(SUM(CASE WHEN global_c >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS dup_ratio
+    FROM counted GROUP BY doc_id
+    """
+
+
+@query("dedup_span_exact", oracle=_span_dedup_oracle())
+def dedup_span_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level exact dedup profile — the line/paragraph-dedup analogue
+    (CCNet / RefinedWeb run it on lines; these fixtures have no newlines,
+    so the unit is a fixed {SPAN_K}-token span).  Each document is cut
+    into non-overlapping spans; a span occurring ≥2 times corpus-wide is
+    duplicated text.  Per-document output: span count, duplicated-span
+    count, duplication ratio — the signal used to drop boilerplate-heavy
+    documents.
+
+    Plan: tokens posexplode once (linear — no transform-over-slice, see
+    SCALING.md), spans assembled by ordered per-(doc, span) agg, then ONE
+    window count over the 60-bit span hash (shuffle key is a long, never
+    the span text).  At 100 TB the span-hash exchange is the only
+    corpus-wide shuffle, and it carries (doc_id, h) pairs only."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok_rows = docs.select(
+        "doc_id", F.posexplode(tokens(F.col("text"))).alias("i", "t")
+    )
+    spans = (
+        tok_rows.groupBy("doc_id", F.floor(F.col("i") / SPAN_K).alias("span_id"))
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("i", "t"))), lambda x: x["t"]
+                ),
+                " ",
+            ).alias("span")
+        )
+        .select("doc_id", hash60(F.col("span")).alias("h"))
+    )
+    from pyspark.sql import Window
+
+    global_c = F.count("*").over(Window.partitionBy("h"))
+    counted = spans.select("doc_id", global_c.alias("global_c"))
+    dup = F.sum(F.when(F.col("global_c") >= 2, 1).otherwise(0)).cast("long")
+    return counted.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_spans"),
+        dup.alias("n_dup_spans"),
+        (dup.cast("double") / F.count("*")).alias("dup_ratio"),
+    )
+
+
+def _unigram_logprob_oracle() -> str:
+    return f"""
+    WITH dt AS (
+      SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS c_dt
+      FROM (SELECT doc_id, unnest({_LTOKS}) AS tok FROM documents) GROUP BY 1, 2
+    ),
+    vocab AS (SELECT tok, CAST(SUM(c_dt) AS BIGINT) AS c_t FROM dt GROUP BY tok),
+    tot AS (SELECT CAST(SUM(c_t) AS BIGINT) AS big_t FROM vocab),
+    scored AS (
+      SELECT dt.doc_id,
+             dt.c_dt,
+             dt.c_dt * CAST(FLOOR(LN(CAST(big_t AS DOUBLE) / c_t) * 1000000.0) AS BIGINT) AS q
+      FROM dt JOIN vocab USING (tok), tot
+    )
+    SELECT doc_id,
+           CAST(SUM(c_dt) AS BIGINT) AS n_tokens,
+           CAST(SUM(q) AS DOUBLE) / 1000000.0 / SUM(c_dt) AS avg_nll
+    FROM scored GROUP BY doc_id
+    """
+
+
+@query("text_unigram_logprob", oracle=_unigram_logprob_oracle())
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model surprisal per document — the perplexity-proxy
+    quality filter (CCNet ranks documents by LM perplexity; the unigram
+    model is its distributable first rung).  avg_nll = mean over tokens of
+    −ln p(token) under the corpus unigram distribution; unusually low =
+    boilerplate/repetition, unusually high = noise/lang mismatch.
+
+    Determinism: per-token surprisal is micro-quantized (floor·1e6) to a
+    long BEFORE summation — float sums would be partial-agg-order-
+    dependent; integer sums bit-match any execution order and engine.
+
+    Scale: doc-term counts (one shuffle), vocab rollup (second, vocab-
+    sized), then a vocab join deliberately NOT broadcast-hinted — a
+    web-corpus vocabulary is tens of GB, so AQE picks broadcast only when
+    it truly fits (same contract as text_tfidf_top_terms).  The 1-row
+    corpus total does broadcast."""
+    docs = load_table(spark, sf_dir, "documents")
+    dt = (
+        docs.select(
+            "doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("tok")
+        )
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").cast("long").alias("c_dt"))
+    )
+    vocab = dt.groupBy("tok").agg(F.sum("c_dt").cast("long").alias("c_t"))
+    tot = vocab.agg(F.sum("c_t").cast("long").alias("big_t"))
+    q = F.col("c_dt") * F.floor(
+        F.log(F.col("big_t").cast("double") / F.col("c_t")) * 1000000.0
+    ).cast("long")
+    scored = dt.join(vocab, "tok").crossJoin(F.broadcast(tot)).select(
+        "doc_id", "c_dt", q.alias("q")
+    )
+    return scored.groupBy("doc_id").agg(
+        F.sum("c_dt").cast("long").alias("n_tokens"),
+        (F.sum("q").cast("double") / 1000000.0 / F.sum("c_dt")).alias("avg_nll"),
+    )
+
+
+def _funnel_oracle() -> str:
+    h = duck_hash60("text")
+    return f"""
+    WITH per AS (
+      SELECT doc_id,
+             CAST(len({_TOKS}) AS BIGINT) AS nt,
+             {h} AS h
+      FROM documents
+    ),
+    topr AS (
+      SELECT doc_id, CAST(MAX(c) AS BIGINT) AS mx FROM (
+        SELECT doc_id, tok, COUNT(*) AS c
+        FROM (SELECT doc_id, unnest({_LTOKS}) AS tok FROM documents) GROUP BY 1, 2
+      ) GROUP BY doc_id
+    ),
+    flags AS (
+      SELECT per.doc_id,
+             nt BETWEEN {FUNNEL_MIN_TOKS} AND {FUNNEL_MAX_TOKS} AS f_len,
+             mx * 100 <= nt * {FUNNEL_TOP_PCT} AS f_rep,
+             per.doc_id = MIN(per.doc_id) OVER (PARTITION BY h) AS f_uniq
+      FROM per JOIN topr ON topr.doc_id = per.doc_id
+    ),
+    agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS s0,
+             CAST(SUM(CASE WHEN f_len THEN 1 ELSE 0 END) AS BIGINT) AS s1,
+             CAST(SUM(CASE WHEN f_len AND f_rep THEN 1 ELSE 0 END) AS BIGINT) AS s2,
+             CAST(SUM(CASE WHEN f_len AND f_rep AND f_uniq THEN 1 ELSE 0 END) AS BIGINT) AS s3
+      FROM flags
+    )
+    SELECT stage, n_docs FROM (
+      SELECT 0 AS stage_ord, 'total' AS stage, s0 AS n_docs FROM agg
+      UNION ALL SELECT 1, 'length', s1 FROM agg
+      UNION ALL SELECT 2, 'repetition', s2 FROM agg
+      UNION ALL SELECT 3, 'exact_dedup', s3 FROM agg)
+    """
+
+
+@query("curation_funnel_report", oracle=_funnel_oracle())
+def curation_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation funnel observability: how many documents survive each
+    cumulative filter stage — total → length window → repetition cap →
+    exact-dedup keep-first.  The per-stage survivor counts are the
+    dashboard every production curation pipeline publishes per batch.
+
+    Flags are computed in one pass (token count and top-token count share
+    the doc-term agg; the dedup flag is a min-over-hash window), compared
+    multiplicatively (mx·100 ≤ nt·{FUNNEL_TOP_PCT}) so no ratio rounding,
+    then collapsed to a 4-row stack — output size is O(stages), never
+    O(corpus)."""
+    docs = load_table(spark, sf_dir, "documents")
+    dt = (
+        docs.select(
+            "doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("tok")
+        )
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("c"))
+    )
+    topr = dt.groupBy("doc_id").agg(
+        F.max("c").cast("long").alias("mx"), F.sum("c").cast("long").alias("nt")
+    )
+    from pyspark.sql import Window
+
+    per = docs.select("doc_id", hash60(F.col("text")).alias("h"))
+    f_uniq = F.col("doc_id") == F.min("doc_id").over(Window.partitionBy("h"))
+    flags = (
+        per.select("doc_id", f_uniq.alias("f_uniq"))
+        .join(topr, "doc_id")
+        .select(
+            F.col("nt").between(FUNNEL_MIN_TOKS, FUNNEL_MAX_TOKS).alias("f_len"),
+            (F.col("mx") * 100 <= F.col("nt") * FUNNEL_TOP_PCT).alias("f_rep"),
+            "f_uniq",
+        )
+    )
+    agg = flags.agg(
+        F.count("*").cast("long").alias("s0"),
+        F.sum(F.when(F.col("f_len"), 1).otherwise(0)).cast("long").alias("s1"),
+        F.sum(F.when(F.col("f_len") & F.col("f_rep"), 1).otherwise(0))
+        .cast("long")
+        .alias("s2"),
+        F.sum(
+            F.when(F.col("f_len") & F.col("f_rep") & F.col("f_uniq"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("s3"),
+    )
+    return agg.select(
+        F.expr(
+            "stack(4, 'total', s0, 'length', s1, 'repetition', s2, 'exact_dedup', s3)"
+        ).alias("stage", "n_docs")
+    )

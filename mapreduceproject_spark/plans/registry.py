@@ -29,6 +29,17 @@ ORACLES: dict[str, str] = {}
 # are ignored; everything else follows in registration order.
 _FRONT: tuple[str, ...] = (
     # Round-2 additions (never driver-checked) go first.
+    "dedup_span_exact",
+    "text_unigram_logprob",
+    "curation_funnel_report",
+    "q4_order_priority",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q21_waiting_suppliers",
     "text_repetition_metrics",
     "decontam_ngram_overlap",
     "pack_token_shards",
