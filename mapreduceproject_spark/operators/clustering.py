@@ -54,7 +54,10 @@ def kmeans_quantized(
         F.col(id_col).alias("id"),
         F.col(vec_col).cast("array<double>").alias("v"),
     )
-    qvecs = base.select("id", "v", quantize(F.col("v")).alias("q"))
+    # Every Lloyd iteration (and the final assignment) re-consumes qvecs;
+    # persist so the scan+quantize pipeline runs once instead of
+    # 2·iterations+1 times — the same corpus-caching MLlib's KMeans does.
+    qvecs = base.select("id", "v", quantize(F.col("v")).alias("q")).persist()
 
     centroids = base.filter(F.col("id") < k).select(
         F.col("id").alias("cid"), F.col("v").alias("cvec")

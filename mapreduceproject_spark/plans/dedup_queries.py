@@ -339,3 +339,42 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("doc_id", "lang", "source")
     )
+
+
+EDIT_PREFIX, EDIT_BLOCK, EDIT_BAND, EDIT_MAX = 40, 4, 8, 5
+
+
+@query(
+    "dedup_edit_distance",
+    oracle=f"""
+    WITH b AS (
+      SELECT doc_id AS id, lang, n_chars,
+             substr(lower(text), 1, {EDIT_PREFIX}) AS pfx,
+             substr(lower(text), 1, {EDIT_BLOCK}) AS blk
+      FROM documents
+    )
+    SELECT a.id AS id_a, b.id AS id_b,
+           CAST(levenshtein(a.pfx, b.pfx) AS BIGINT) AS edit_dist
+    FROM b a JOIN b b
+      ON a.blk = b.blk AND a.lang = b.lang AND a.id < b.id
+     AND abs(a.n_chars - b.n_chars) <= {EDIT_BAND}
+    WHERE levenshtein(a.pfx, b.pfx) <= {EDIT_MAX}
+    """,
+)
+def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Levenshtein fuzzy near-dup over {EDIT_PREFIX}-char prefixes, blocked
+    on (lang, first {EDIT_BLOCK} chars, |n_chars diff| ≤ {EDIT_BAND}) — the
+    entity-resolution primitive; blocking bounds the quadratic DP."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = dd.edit_distance_dedup(
+        docs,
+        "doc_id",
+        "text",
+        block_cols=["lang"],
+        length_col="n_chars",
+        prefix_chars=EDIT_PREFIX,
+        block_prefix=EDIT_BLOCK,
+        length_band=EDIT_BAND,
+        max_dist=EDIT_MAX,
+    )
+    return out.select("id_a", "id_b", F.col("edit_dist").cast("long").alias("edit_dist"))

@@ -29,9 +29,19 @@ ORACLES: dict[str, str] = {}
 # are ignored; everything else follows in registration order.
 _FRONT: tuple[str, ...] = (
     # Round-2 additions (never driver-checked) go first.
+    "dedup_edit_distance",
+    "events_gap_fill",
+    "q2_min_cost_supplier",
+    "q11_important_stock",
+    "q16_parts_supplier_diversity",
+    "q20_concentrated_suppliers",
     "dedup_span_exact",
     "text_unigram_logprob",
     "curation_funnel_report",
+    # Round-1's one red row (was no_oracle; reworked to exact value +
+    # rsd-bound boolean) — flipping it driver-green outranks one more
+    # never-checked slot.
+    "agg_approx_distinct",
     "q4_order_priority",
     "q7_volume_shipping",
     "q8_market_share",
@@ -75,8 +85,6 @@ _FRONT: tuple[str, ...] = (
     "stream_dedup_events",
     "session_window_stats",
     "stream_static_join",
-    # Round-1 red row, reworked this round — keep it in the window too.
-    "agg_approx_distinct",
     # Round-1 green but materially changed this round (64-bit simhash,
     # PPJoin prefix filter, multi-probe IVF) — must be re-verified.
     "dedup_simhash",

@@ -1326,3 +1326,77 @@ def error_context_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         "left",
     )
     return joined.groupBy("error_id").agg(F.count("xid").alias("n_prior_5min"))
+
+
+@query(
+    "events_gap_fill",
+    oracle="""
+    WITH daily AS (
+      SELECT user_id, CAST(ts AS DATE) AS d,
+             COUNT(*) AS n_events,
+             CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events GROUP BY 1, 2
+    ),
+    spine AS (
+      SELECT user_id, unnest(generate_series(MIN(d), MAX(d), INTERVAL 1 DAY))::DATE AS d
+      FROM daily GROUP BY user_id
+    ),
+    joined AS (
+      SELECT s.user_id, s.d, daily.n_events, daily.cents
+      FROM spine s LEFT JOIN daily ON daily.user_id = s.user_id AND daily.d = s.d
+    ),
+    grp AS (
+      SELECT *, COUNT(cents) OVER (PARTITION BY user_id ORDER BY d
+                                   ROWS UNBOUNDED PRECEDING) AS g
+      FROM joined
+    )
+    SELECT user_id, CAST(d AS TIMESTAMP) AS d, COALESCE(n_events, 0) AS n_events,
+           MAX(cents) OVER (PARTITION BY user_id, g) AS cents_filled,
+           n_events IS NULL AS is_gap
+    FROM grp
+    """,
+)
+def events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap fill: a daily spine per user (first→last active
+    day) left-joined to daily totals, missing days forward-filled with the
+    most recent day's cents — the resample/ffill primitive.
+
+    Forward fill avoids engine-specific IGNORE NULLS: a running count of
+    non-null days forms islands (each island starts at a real day), and a
+    per-island MAX propagates that day's value — identical semantics on
+    any engine with standard window frames.
+
+    Scale: the spine explodes to (active span in days) rows per user —
+    output-proportional, never corpus²; both windows share the user_id
+    shuffle, and the daily pre-aggregate is the only pass over raw
+    events."""
+    ev = events(spark, sf_dir)
+    daily = ev.groupBy(
+        "user_id", F.to_date("ts").alias("d")
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.floor(F.col("value") * 100).cast("long")).alias("cents"),
+    )
+    spine = (
+        daily.groupBy("user_id")
+        .agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
+        .select(
+            "user_id",
+            F.explode(F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))).alias("d"),
+        )
+    )
+    joined = spine.join(daily, ["user_id", "d"], "left")
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    grp = joined.withColumn("g", F.count("cents").over(w_run))
+    w_island = Window.partitionBy("user_id", "g")
+    return grp.select(
+        "user_id",
+        F.col("d").cast("timestamp_ntz").alias("d"),
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        F.max("cents").over(w_island).alias("cents_filled"),
+        F.col("n_events").isNull().alias("is_gap"),
+    )

@@ -43,6 +43,11 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Convert sort-merge to shuffled-hash at runtime when the build
+        # side's per-map shuffle output is actually small — saves the sort
+        # of wide verify-join intermediates locally, and self-disables at
+        # scale where maps exceed the threshold (unlike a static hint).
+        .config("spark.sql.adaptive.shuffledHashJoinLocalMapThreshold", "64m")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or 32))

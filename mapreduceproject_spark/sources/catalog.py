@@ -29,6 +29,26 @@ TABLES = (
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# Tables whose consumers are compute-heavy per row (gram explodes, hashing,
+# vector math, Arrow kernels) rather than scan-bound.  For these, a scan with
+# fewer splits than the cluster has cores serializes the expensive narrow
+# stage that follows — locally a sub-128MB parquet file is ONE split, so a
+# 32-core box runs the whole gram pipeline on one core.  spread_for_compute
+# fixes exactly that case and is a structural no-op at scale: a 100 TB corpus
+# scan has ~1e5 natural splits, so the condition never fires and no shuffle
+# is added.  Catalyst still pushes filters/pruning below the exchange (plan
+# asserted in tests/test_plans.py).
+_COMPUTE_HEAVY_TABLES = {"documents", "embeddings"}
+
+
+def spread_for_compute(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Repartition a narrow scan up to default parallelism — only when the
+    scan has fewer splits than cores (small/local files); no-op otherwise."""
+    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one fixture table. Plain parquet scan: pushdown/pruning-ready.
@@ -60,6 +80,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             "ts",
             F.timestamp_micros(F.expr("ts DIV 1000")).cast("timestamp_ntz"),
         )
+    if name in _COMPUTE_HEAVY_TABLES:
+        df = spread_for_compute(df)
     return df
 
 

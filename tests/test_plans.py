@@ -156,3 +156,27 @@ def test_stratified_sample_filter_before_agg(spark, sf_dir):
     # filter before any exchange (no shuffle of dropped rows)
     opt = _optimized(QUERIES["stratified_sample_stats"](spark, sf_dir))
     assert "Filter" in opt
+
+
+def test_spread_for_compute_keeps_pushdown(spark, sf_dir):
+    # documents/embeddings scans are conditionally repartitioned for local
+    # parallelism (sources/catalog.py); filters and pruning must still
+    # reach the parquet scan BELOW the added exchange.
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("lang") == "en").select(
+        "doc_id", "lang"
+    )
+    plan = _plan(docs)
+    read = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "doc_id" in read and "text" not in read, f"pruning lost: {read}"
+    pushed = plan.split("PushedFilters:")[1].splitlines()[0]
+    assert "lang" in pushed, f"filter not pushed below exchange: {pushed}"
+
+
+def test_spread_for_compute_noop_when_parallel(spark, sf_dir):
+    # already-parallel inputs (>= defaultParallelism partitions) must not
+    # gain an exchange — the at-scale no-op contract.
+    from mapreduceproject_spark.sources.catalog import spread_for_compute
+
+    par = spark.sparkContext.defaultParallelism
+    df = load_table(spark, sf_dir, "lineitem").repartition(par)
+    assert spread_for_compute(df) is df
