@@ -144,9 +144,12 @@ def verify_jaccard(pairs: DataFrame, hashed: DataFrame, threshold: float) -> Dat
 
     Intersections come from a hash-equi join restricted to candidate pairs;
     |A∪B| = |A|+|B|-|A∩B|.  Integer-ratio division → identical doubles on
-    every engine.  (An array_intersect-per-pair variant was measured and
-    rejected: carrying both gram arrays through the pair join shuffles
-    |pairs|·|doc| longs — 6× slower at sf0.1 on this high-overlap corpus.)
+    every engine.  (An array_intersect-per-pair variant was measured 6×
+    slower HERE, where LSH emits a large unfiltered candidate set and the
+    arrays ride a sort-merge join; :func:`ngram_jaccard_dedup` adopts the
+    array form because PPJoin pruning shrinks |pairs| enough for AQE to
+    hash/broadcast-join the array table — the tradeoff is candidate-set
+    size, not the formulation.)
     """
     sizes = hashed.groupBy("_id").agg(F.count("*").alias("n"))
     ha = hashed.select(F.col("_id").alias("id_a"), F.col("h").alias("ha"))
@@ -446,13 +449,29 @@ def ngram_jaccard_dedup(
             F.col("n_grams").alias("nb"),
         )
         pairs = a.join(b, cond).select("id_a", "id_b", "na", "nb")
-    ga = grams.select(F.col("_id").alias("id_a"), F.col("h").alias("ha"))
-    gb = grams.select(F.col("_id").alias("_idb"), F.col("h").alias("hb"))
+    # Verify: per-doc gram SETS as arrays, two joins to attach both sides,
+    # one array_intersect per pair (O(na+nb), JVM codegen).  This beats the
+    # exploded pairs×grams chain ~1.5× at sf0.1: the array table is small
+    # enough to hash- or broadcast-join (AQE decides), so no 10⁷-row
+    # intermediate is ever shuffled or sorted.  At 100 TB the array table
+    # is corpus-sized and these joins shuffle — but they carry the SAME
+    # bytes the exploded form would (one gram list per candidate side),
+    # packed one row per doc instead of one row per gram, so the array
+    # form is never worse.  (Round 1 measured array-verify 6× slower —
+    # that was BEFORE prefix filtering, when |pairs| was large enough that
+    # carrying arrays through a sort-merge join dominated; with PPJoin
+    # pruning + AQE hash-join conversion the tradeoff inverts.)
+    arrs = grams.groupBy("_id").agg(F.collect_list("h").alias("hs"))
     inter = (
-        pairs.join(ga, "id_a")
-        .join(gb, (F.col("id_b") == F.col("_idb")) & (F.col("ha") == F.col("hb")))
-        .groupBy("id_a", "id_b", "na", "nb")
-        .agg(F.count("*").alias("both"))
+        pairs.join(arrs.select(F.col("_id").alias("id_a"), F.col("hs").alias("ha")), "id_a")
+        .join(arrs.select(F.col("_id").alias("id_b"), F.col("hs").alias("hb")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "na",
+            "nb",
+            F.size(F.array_intersect("ha", "hb")).cast("long").alias("both"),
+        )
     )
     return inter.select(
         "id_a",

@@ -139,18 +139,38 @@ def interval_join_attribution(events: DataFrame) -> DataFrame:
     ).select("user_id", "purchase_id", "click_id", "purchase_ts", "click_ts")
 
 
-def run_to_df(stream: DataFrame, spark: SparkSession, mode: str) -> DataFrame:
+def run_to_df(
+    stream: DataFrame,
+    spark: SparkSession,
+    mode: str,
+    state_partitions: int = 8,
+) -> DataFrame:
     """Execute a finite stream with AvailableNow into a memory sink and
-    return the materialized result table."""
+    return the materialized result table.
+
+    ``state_partitions`` bounds the stateful-operator partition count for
+    this run (state partitioning is per-job and frozen at the first
+    checkpoint, so it is a parameter here, not a session constant).  The
+    default-8 suits a finite local replay: every state partition costs
+    per-batch store/commit file I/O, which dominates when state is small —
+    a 2-store stream-stream join measured 3× faster at 8 than at 32 on
+    local[32].  A production continuous job sizes this to key cardinality
+    and executor count instead (hundreds+), exactly like
+    ``spark.sql.shuffle.partitions`` for batch — pass it explicitly."""
     name = f"snk_{uuid.uuid4().hex[:10]}"
-    q = (
-        stream.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = (
+            stream.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)
 
 
