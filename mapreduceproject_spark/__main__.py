@@ -47,6 +47,21 @@ def cmd_run(args) -> int:
     return 0
 
 
+def cmd_explain(args) -> int:
+    """Print a registered query's optimized + physical plan — the
+    plan-inspection surface (`EXPLAIN` verb) the reference's opaque
+    maple/juice pipeline never had."""
+    from mapreduceproject_spark import plans
+
+    if args.query not in plans.QUERIES:
+        print(f"unknown query {args.query!r}; see `list`", file=sys.stderr)
+        return 2
+    spark = _spark(args.cpus)
+    df = plans.QUERIES[args.query](spark, args.sf_dir)
+    df.explain(mode=args.mode)
+    return 0
+
+
 def cmd_maple_juice(args) -> int:
     from pyspark.sql import functions as F
 
@@ -182,6 +197,16 @@ def main(argv: list[str] | None = None) -> int:
     runp.add_argument("--limit", type=int, default=20)
     runp.add_argument("--cpus", default=None)
 
+    exp = sub.add_parser("explain", help="print a registered query's plan")
+    exp.add_argument("query")
+    exp.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    exp.add_argument(
+        "--mode",
+        default="formatted",
+        choices=["simple", "extended", "codegen", "cost", "formatted"],
+    )
+    exp.add_argument("--cpus", default=None)
+
     mj = sub.add_parser("maple-juice", help="run a maple+juice job")
     mj.add_argument("--src", required=True, help="input path/glob of text files")
     mj.add_argument("--dest", required=True, help="output dir (key SPACE value lines)")
@@ -229,6 +254,7 @@ def main(argv: list[str] | None = None) -> int:
     return {
         "list": cmd_list,
         "run": cmd_run,
+        "explain": cmd_explain,
         "maple-juice": cmd_maple_juice,
         "maple": cmd_maple,
         "juice": cmd_juice,

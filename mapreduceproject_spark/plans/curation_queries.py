@@ -548,3 +548,49 @@ def curation_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "stack(4, 'total', s0, 'length', s1, 'repetition', s2, 'exact_dedup', s3)"
         ).alias("stage", "n_docs")
     )
+
+
+MIX_ALPHA_NUM, MIX_ALPHA_DEN = 1, 2  # alpha = 0.5 -> sqrt temperature
+
+
+@query(
+    "source_mix_weights",
+    oracle=f"""
+    WITH tok AS (
+      SELECT source, CAST(SUM(len({_TOKS})) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source
+    ),
+    pw AS (SELECT source, n_tokens, sqrt(CAST(n_tokens AS DOUBLE)) AS p FROM tok),
+    tot AS (SELECT SUM(p) AS z, SUM(n_tokens) AS t FROM pw)
+    SELECT source, n_tokens,
+           CAST(p / z AS DOUBLE) AS mix_weight,
+           CAST((p / z) * t / n_tokens AS DOUBLE) AS effective_epochs
+    FROM pw, tot
+    """,
+)
+def source_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix temperature sampling: per-source weights ∝ tokens^α
+    with α = {MIX_ALPHA_NUM}/{MIX_ALPHA_DEN} (the UnifiedQA / Pile-style
+    smoothing that up-samples small sources), plus the implied effective
+    epochs (>1 means the source repeats under the mix).
+
+    α = 1/2 makes the power an exact IEEE sqrt — identical on every
+    engine, unlike a general pow.  Scale: one agg to source cardinality,
+    then a 1-row broadcast normalizer; corpus is scanned once."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.groupBy("source").agg(
+        F.sum(F.size(tokens(F.col("text")))).cast("long").alias("n_tokens")
+    )
+    pw = tok.withColumn("p", F.sqrt(F.col("n_tokens").cast("double")))
+    tot = pw.agg(F.sum("p").alias("z"), F.sum("n_tokens").alias("t"))
+    return (
+        pw.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_tokens",
+            (F.col("p") / F.col("z")).cast("double").alias("mix_weight"),
+            ((F.col("p") / F.col("z")) * F.col("t") / F.col("n_tokens"))
+            .cast("double")
+            .alias("effective_epochs"),
+        )
+    )

@@ -55,10 +55,8 @@ _FRONT: tuple[str, ...] = (
     "pack_token_shards",
     "stratified_sample_stats",
     "source_quality_rollup",
-    "token_length_histogram",
     "stream_stream_join",
     "agg_approx_percentile",
-    "dedup_incremental",
     "window_distribution",
     "dedup_clusters",
     "ann_bruteforce_topk",
@@ -79,14 +77,20 @@ _FRONT: tuple[str, ...] = (
     "mm_frame_sample",
     "mm_audio_chunks",
     "mm_feature_extract",
-    "mm_resize_images",
     "stream_tumbling_counts",
     "stream_sliding_counts",
     "stream_dedup_events",
     "session_window_stats",
     "stream_static_join",
-    # Round-1 green but materially changed this round (64-bit simhash,
-    # PPJoin prefix filter, multi-probe IVF) — must be re-verified.
+    # --- Past the 50-query window from here: deferred to round 3's
+    # front-load (simple-shape queries with in-repo parity evidence, the
+    # remaining mm kernel, and the round-1-green-but-algorithm-changed
+    # dedup trio).
+    "token_length_histogram",
+    "mm_resize_images",
+    "source_mix_weights",
+    "join_full_outer",
+    "dedup_incremental",
     "dedup_simhash",
     "dedup_ngram_jaccard",
     "dedup_embedding_cosine",

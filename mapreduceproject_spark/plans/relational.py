@@ -1400,3 +1400,49 @@ def events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("cents").over(w_island).alias("cents_filled"),
         F.col("n_events").isNull().alias("is_gap"),
     )
+
+
+@query(
+    "join_full_outer",
+    oracle="""
+    SELECT COALESCE(o.k, e.k) AS user_key,
+           COALESCE(o_cnt, 0) AS order_cnt,
+           COALESCE(e_cnt, 0) AS event_cnt,
+           o.k IS NULL AS only_events,
+           e.k IS NULL AS only_orders
+    FROM (SELECT o_custkey AS k, COUNT(*) AS o_cnt FROM orders
+          WHERE o_orderdate >= TIMESTAMP '1997-06-01 00:00:00' GROUP BY 1) o
+    FULL OUTER JOIN
+         (SELECT user_id AS k, COUNT(*) AS e_cnt FROM events
+          WHERE event_type = 'purchase' GROUP BY 1) e
+      ON o.k = e.k
+    """,
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join completing the join-type matrix: late-1997 order
+    counts vs purchase-event counts per user, keeping keys present on
+    EITHER side with null-extension flags both ways.
+
+    Aggregate-before-join shrinks both inputs to key cardinality before
+    the full-outer shuffle (a full outer can never broadcast — both
+    sides' unmatched rows must survive — so pre-aggregation is the only
+    lever, and both aggs share the join's hash partitioning)."""
+    o = (
+        orders(spark, sf_dir)
+        .filter(F.col("o_orderdate") >= "1997-06-01")
+        .groupBy(F.col("o_custkey").alias("ok"))
+        .agg(F.count("*").alias("o_cnt"))
+    )
+    e = (
+        events(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .groupBy(F.col("user_id").alias("ek"))
+        .agg(F.count("*").alias("e_cnt"))
+    )
+    return o.join(e, F.col("ok") == F.col("ek"), "full_outer").select(
+        F.coalesce("ok", "ek").alias("user_key"),
+        F.coalesce("o_cnt", F.lit(0)).alias("order_cnt"),
+        F.coalesce("e_cnt", F.lit(0)).alias("event_cnt"),
+        F.col("ok").isNull().alias("only_events"),
+        F.col("ek").isNull().alias("only_orders"),
+    )

@@ -39,6 +39,12 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC: the other columnar built-in — same pushdown/pruning contract
+    as parquet (Spark's OrcFileFormat is predicate-pushdown capable)."""
+    return spark.read.orc(path)
+
+
 def write_text(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     """Single string column → newline-delimited text files."""
     df.write.mode(mode).text(path)
@@ -64,6 +70,18 @@ def write_parquet(
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.parquet(path)
+
+
+def write_orc(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+) -> None:
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.orc(path)
 
 
 def compact_parquet(

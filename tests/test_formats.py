@@ -77,3 +77,19 @@ def test_compact_parquet_reduces_files(spark, sf_dir, tmp_path):
     n = compact_parquet(spark, fragmented, dest, target_mb=128)
     assert n == 1 and len(glob.glob(f"{dest}/part-*")) == 1
     assert _sorted_rows(spark.read.parquet(dest)) == _sorted_rows(docs)
+
+
+def test_orc_roundtrip_and_pushdown(spark, sf_dir, tmp_path):
+    docs = _docs(spark, sf_dir)
+    path = str(tmp_path / "orc")
+    formats.write_orc(docs, path)
+    back = formats.read_orc(spark, path)
+    assert _sorted_rows(back) == _sorted_rows(docs)
+    # ORC scans take predicate pushdown like parquet
+    plan = (
+        back.filter(F.col("n_chars") > 100)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters" in plan and "n_chars" in plan.split("PushedFilters")[1][:200]

@@ -176,3 +176,11 @@ def test_cli_maple_juice_verbs_and_list_nodes(spark, corpus, tmp_path, capsys):
     assert main(["ping"]) == 0
     out = capsys.readouterr().out
     assert "ping ok" in out and "rtt_ms=" in out
+
+
+def test_cli_explain(spark, sf_dir, capsys):
+    from mapreduceproject_spark.__main__ import main
+
+    assert main(["explain", "q6_forecast_revenue", "--sf-dir", sf_dir]) == 0
+    out = capsys.readouterr().out
+    assert "Physical Plan" in out and "PushedFilters" in out
