@@ -63,3 +63,31 @@ def test_embedding_near_dup_multiprobe_superset(spark):
     }
     assert single <= multi
     assert len(multi) >= len(single)
+
+
+def test_edit_distance_dedup_invariants(spark):
+    """Canonical ordering, threshold bound, and zero-distance for
+    byte-identical prefixes sharing a block."""
+    from mapreduceproject_spark.operators.dedup import edit_distance_dedup
+
+    rows = [
+        (1, "en", 20, "hello world padding xyz"),
+        (2, "en", 21, "hello world padding xyzq"),   # 1 edit inside prefix
+        (3, "en", 20, "hello world padding xyz"),    # identical to 1
+        (4, "en", 300, "hello world padding xyz"),   # same text, len-band excluded
+        (5, "de", 20, "hello world padding xyz"),    # same text, lang-block excluded
+        (6, "en", 20, "zzzzz totally different"),    # different block prefix
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, n_chars long, text string")
+    out = edit_distance_dedup(
+        df, "doc_id", "text", block_cols=["lang"], length_col="n_chars",
+        prefix_chars=40, block_prefix=4, length_band=8, max_dist=5,
+    ).collect()
+    pairs = {(r["id_a"], r["id_b"]): r["edit_dist"] for r in out}
+    assert all(a < b for a, b in pairs)                  # canonical order
+    assert all(d <= 5 for d in pairs.values())           # threshold bound
+    assert pairs[(1, 3)] == 0                            # identical -> 0
+    assert pairs[(1, 2)] == 1                            # one insertion
+    assert (1, 4) not in pairs and (3, 4) not in pairs   # length band enforced
+    assert not any(5 in p for p in pairs)                # lang block enforced
+    assert not any(6 in p for p in pairs)                # prefix block enforced
