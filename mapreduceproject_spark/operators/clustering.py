@@ -50,7 +50,11 @@ def kmeans_quantized(
 ) -> DataFrame:
     """Deterministic k-means; returns (vec_id, cluster_id) after
     ``iterations`` Lloyd updates + one final assignment."""
-    base = vectors.select(
+    from mapreduceproject_spark.sources.catalog import spread_for_compute
+
+    # spread: per-vector quantize + k cosine scores per Lloyd pass is the
+    # expensive narrow stage; a single-split local scan would serialize it
+    base = spread_for_compute(vectors).select(
         F.col(id_col).alias("id"),
         F.col(vec_col).cast("array<double>").alias("v"),
     )

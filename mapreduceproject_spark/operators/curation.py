@@ -59,9 +59,11 @@ def repetition_metrics(
     The token stream is persisted because token counts and the window
     branch both consume it.
     """
+    from mapreduceproject_spark.sources.catalog import spread_for_compute
+
     t = F.lower(F.col(text_col))
     rows = (
-        df.select(F.col(id_col), tokens(t).alias("_toks"))
+        spread_for_compute(df).select(F.col(id_col), tokens(t).alias("_toks"))
         .select(
             F.col(id_col),
             F.size("_toks").alias("_n"),

@@ -24,7 +24,9 @@ pressure valves.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+import uuid
+
+from pyspark.sql import Column, DataFrame, Observation
 from pyspark.sql import functions as F
 
 from mapreduceproject_spark.functions.hashing import (
@@ -33,6 +35,7 @@ from mapreduceproject_spark.functions.hashing import (
     minhash_params,
     minhash_perm,
 )
+from mapreduceproject_spark.sources.catalog import spread_for_compute
 from mapreduceproject_spark.functions.textfn import (
     char_ngram_rows,
     tokens,
@@ -192,8 +195,10 @@ def minhash_lsh_dedup(
     candidate count.
     """
     # hashed feeds signatures, sizes, and both verify sides — persist so
-    # the shingle pipeline runs once, not once per consumer branch
-    hashed = shingle_hashes(df, id_col, text_col, shingle_k).persist()
+    # the shingle pipeline runs once, not once per consumer branch.
+    # spread first: the shingle explode + hashing is the expensive narrow
+    # stage, and a single-split local scan would run it on one core.
+    hashed = shingle_hashes(spread_for_compute(df), id_col, text_col, shingle_k).persist()
     sigs = minhash_signatures(hashed, num_hashes, seed)
     buckets = lsh_band_buckets(sigs, num_hashes, bands)
     pairs = candidate_pairs_from_buckets(buckets)
@@ -273,8 +278,9 @@ def simhash_dedup(
     generation is exact (zero recall loss) for ``max_hamming`` ≤ 7.
     """
     # sigs feeds both sides of the bucket self-join — persist so the
-    # token explode + 64-vote aggregation runs once
-    sigs = simhash_signature(df, id_col, text_col).persist()
+    # token explode + 64-vote aggregation runs once; spread so the token
+    # hashing stage parallelizes even off a single-split local scan
+    sigs = simhash_signature(spread_for_compute(df), id_col, text_col).persist()
     band_structs = [
         F.struct(
             F.lit(b).alias("band"),
@@ -361,7 +367,8 @@ def ngram_jaccard_dedup(
     Rarest-first ordering makes prefix grams low-frequency, so the
     prefix equi-join explodes far less than the block cross product.
     """
-    base = df.select(
+    # spread: the char-ngram explode below is the dominant narrow stage
+    base = spread_for_compute(df).select(
         F.col(id_col).alias("_id"),
         *[F.col(c) for c in block_cols],
         F.col(length_col).alias("_len"),
@@ -543,9 +550,8 @@ def embedding_near_dup(
     # CollapseProject inlines quantize() into every consumer expression,
     # re-quantizing each vector once per centroid row in `scored`
     base = (
-        vectors.select(
-            F.col(id_col).alias("_id"), quantize(F.col(vec_col)).alias("_q")
-        )
+        spread_for_compute(vectors)
+        .select(F.col(id_col).alias("_id"), quantize(F.col(vec_col)).alias("_q"))
         .withColumn("_n2", quantized_norm2(F.col("_q")))
         .persist()
     )
@@ -646,18 +652,23 @@ def connected_components(
         nbr = sym.join(labels, sym.dst == labels.id).select(
             F.col("src").alias("id"), F.col("label")
         )
-        new_labels = ckpt(
-            labels.union(nbr).groupBy("id").agg(F.min("label").alias("label"))
+        # one Spark job per iteration: carry each id's own (old) label
+        # through the min-aggregate and piggyback the convergence count on
+        # the checkpoint's materialization via observe() — no separate
+        # old-vs-new join job (round 2 ran one per iteration)
+        tagged = labels.withColumn("own", F.lit(True)).unionByName(
+            nbr.withColumn("own", F.lit(False))
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
+        agged = tagged.groupBy("id").agg(
+            F.min("label").alias("label"),
+            F.min(F.when(F.col("own"), F.col("label"))).alias("_old"),
         )
-        labels = new_labels
-        if changed == 0:
+        obs = Observation(f"cc_changed_{uuid.uuid4().hex[:8]}")
+        flagged = agged.observe(
+            obs, F.sum((F.col("label") < F.col("_old")).cast("long")).alias("changed")
+        )
+        labels = ckpt(flagged.select("id", "label"))
+        if obs.get["changed"] == 0:
             break
     return labels.select(F.col("id"), F.col("label").alias("cluster_id"))
 

@@ -30,6 +30,7 @@ from mapreduceproject_spark.functions.vectors import (
     quantize,
     quantized_norm2,
 )
+from mapreduceproject_spark.sources.catalog import spread_for_compute
 
 
 def _quantized_side(df: DataFrame, id_col: str, vec_col: str, out_id: str) -> DataFrame:
@@ -40,10 +41,12 @@ def _quantized_side(df: DataFrame, id_col: str, vec_col: str, out_id: str) -> Da
     each consumer (which would re-quantize per scored pair — the exact
     waste this projection exists to remove).  This is the 'index build'
     half of similarity search: at corpus scale you materialize it once
-    and amortize over every query batch.
+    and amortize over every query batch.  Spread first so the per-vector
+    scoring that follows parallelizes even off a single-split local scan.
     """
     return (
-        df.select(F.col(id_col).alias(out_id), quantize(F.col(vec_col)).alias("_q"))
+        spread_for_compute(df)
+        .select(F.col(id_col).alias(out_id), quantize(F.col(vec_col)).alias("_q"))
         .withColumn("_n2", quantized_norm2(F.col("_q")))
         .persist()
     )

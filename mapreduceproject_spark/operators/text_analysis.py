@@ -104,8 +104,10 @@ def winnowing_fingerprints(
     # re-evaluates the gram build O(len) times — O(len²) per document.
     # char_ngram_rows materializes the lowered string once and explodes
     # gram start positions; each gram is built and hashed exactly once.
+    from mapreduceproject_spark.sources.catalog import spread_for_compute
+
     pos = char_ngram_rows(
-        df, F.lower(F.col(text_col)), k, keep=[id_col], pos_col="pos"
+        spread_for_compute(df), F.lower(F.col(text_col)), k, keep=[id_col], pos_col="pos"
     ).select(F.col(id_col), "pos", hash60(F.col("g")).alias("h"))
     wf = Window.partitionBy(id_col).orderBy("pos").rowsBetween(0, window - 1)
     wn = Window.partitionBy(id_col)
@@ -140,8 +142,10 @@ def langid_ngram(
     profile join — the Cavnar–Trenkle n-gram profile method in DataFrame
     form.
     """
+    from mapreduceproject_spark.sources.catalog import spread_for_compute
+
     grams = char_ngram_rows(
-        df.select(
+        spread_for_compute(df).select(
             F.col(id_col).alias("_id"),
             F.col(lang_col).alias("_lang"),
             F.col(text_col),

@@ -22,25 +22,40 @@ QUERIES: dict[str, QueryFn] = {}
 ORACLES: dict[str, str] = {}
 
 # The driver's correctness window covers the first 50 registry entries in
-# order.  Round 1 verified the relational/mapreduce tier (CORRECTNESS_r01);
-# these 25 — the dedup-cluster / ANN / k-means / text / multimodal /
-# streaming tier — were beyond position 50 and have only repo-internal
-# evidence, so they go first this round.  Names absent from the registry
+# order.  After rounds 1+2, 96/106 queries have a valid driver-green row;
+# the remaining 10 — 3 stale (dedup trio reworked after their r1 rows) and
+# 7 never-checked — go first this round so every registry entry ends up
+# verified against its *current* algorithm.  dedup_clusters follows because
+# its convergence check changed this round.  Names absent from the registry
 # are ignored; everything else follows in registration order.
 _FRONT: tuple[str, ...] = (
-    # Round-2 additions (never driver-checked) go first.
+    # Stale: algorithms changed after their round-1 green rows
+    # (64-bit simhash, PPJoin prefix filter, multi-probe IVF).
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "dedup_embedding_cosine",
+    # Never driver-checked (beyond the window in rounds 1-2).
+    "dedup_incremental",
+    "join_full_outer",
+    "mm_resize_images",
+    "source_mix_weights",
+    "token_length_histogram",
+    "q19_disjunctive_revenue",
+    "q22_dormant_customers",
+    # Changed this round: connected-components convergence folded into the
+    # label aggregate (one job per iteration).
+    "dedup_clusters",
+    # Re-verification of the heaviest / most algorithmically dense tier —
+    # all r2-green; fills the window in descending value of a fresh row.
     "dedup_edit_distance",
+    "dedup_span_exact",
     "events_gap_fill",
     "q2_min_cost_supplier",
     "q11_important_stock",
     "q16_parts_supplier_diversity",
     "q20_concentrated_suppliers",
-    "dedup_span_exact",
     "text_unigram_logprob",
     "curation_funnel_report",
-    # Round-1's one red row (was no_oracle; reworked to exact value +
-    # rsd-bound boolean) — flipping it driver-green outranks one more
-    # never-checked slot.
     "agg_approx_distinct",
     "q4_order_priority",
     "q7_volume_shipping",
@@ -58,7 +73,6 @@ _FRONT: tuple[str, ...] = (
     "stream_stream_join",
     "agg_approx_percentile",
     "window_distribution",
-    "dedup_clusters",
     "ann_bruteforce_topk",
     "ann_ivf_topk",
     "ann_filtered_topk",
@@ -82,18 +96,6 @@ _FRONT: tuple[str, ...] = (
     "stream_dedup_events",
     "session_window_stats",
     "stream_static_join",
-    # --- Past the 50-query window from here: deferred to round 3's
-    # front-load (simple-shape queries with in-repo parity evidence, the
-    # remaining mm kernel, and the round-1-green-but-algorithm-changed
-    # dedup trio).
-    "token_length_histogram",
-    "mm_resize_images",
-    "source_mix_weights",
-    "join_full_outer",
-    "dedup_incremental",
-    "dedup_simhash",
-    "dedup_ngram_jaccard",
-    "dedup_embedding_cosine",
 )
 
 

@@ -30,8 +30,9 @@ _CENTS = "CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents"
 def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """1-hour tumbling-window counts + exact cents per event_type, run as
     a real streaming query (file source → availableNow → memory sink)."""
-    ev = jobs.read_events_stream(spark, sf_dir)
-    return jobs.run_to_df(jobs.tumbling_counts(ev), spark, "complete")
+    s = jobs.streaming_session(spark)
+    ev = jobs.read_events_stream(s, sf_dir)
+    return jobs.run_to_df(jobs.tumbling_counts(ev), mode="complete")
 
 
 @query(
@@ -49,8 +50,9 @@ def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """1-hour windows sliding every 30 min (each event lands in exactly
     two windows), streaming execution, exact-cents sums."""
-    ev = jobs.read_events_stream(spark, sf_dir)
-    return jobs.run_to_df(jobs.sliding_counts(ev), spark, "complete")
+    s = jobs.streaming_session(spark)
+    ev = jobs.read_events_stream(s, sf_dir)
+    return jobs.run_to_df(jobs.sliding_counts(ev), mode="complete")
 
 
 @query(
@@ -60,8 +62,9 @@ def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming dropDuplicates on (user_id, event_type) — one state row
     per key, first arrival wins."""
-    ev = jobs.read_events_stream(spark, sf_dir)
-    return jobs.run_to_df(jobs.stream_dedup(ev), spark, "append")
+    s = jobs.streaming_session(spark)
+    ev = jobs.read_events_stream(s, sf_dir)
+    return jobs.run_to_df(jobs.stream_dedup(ev), mode="append")
 
 
 @query(
@@ -129,8 +132,9 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     purchase): watermarks on both sides + an event-time bound in the join
     condition let Spark expire buffered rows — bounded state at any
     stream length.  Append mode: inner-join matches emit as they occur."""
-    ev = jobs.read_events_stream(spark, sf_dir)
-    return jobs.run_to_df(jobs.interval_join_attribution(ev), spark, "append")
+    s = jobs.streaming_session(spark)
+    ev = jobs.read_events_stream(s, sf_dir)
+    return jobs.run_to_df(jobs.interval_join_attribution(ev), mode="append")
 
 
 @query(
@@ -147,15 +151,14 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     dimension (broadcast per micro-batch — the standard streaming dim-join;
     the static side is re-resolvable so slowly-changing dims just work),
     then aggregates per market segment."""
-    ev = jobs.read_events_stream(spark, sf_dir)
-    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    s = jobs.streaming_session(spark)
+    ev = jobs.read_events_stream(s, sf_dir)
+    cust = load_table(s, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     joined = ev.join(F.broadcast(cust), ev.user_id == cust.c_custkey)
     # exact COUNT(DISTINCT) isn't supported inside streaming aggs; the join
     # runs streaming (enrichment per micro-batch), the distinct runs on the
     # materialized finite result
-    out = jobs.run_to_df(
-        joined.select("c_mktsegment", "user_id"), spark, "append"
-    )
+    out = jobs.run_to_df(joined.select("c_mktsegment", "user_id"), mode="append")
     return out.groupBy("c_mktsegment").agg(
         F.count("*").alias("n_events"),
         F.countDistinct("user_id").alias("n_users"),

@@ -29,21 +29,27 @@ TABLES = (
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-# Tables whose consumers are compute-heavy per row (gram explodes, hashing,
-# vector math, Arrow kernels) rather than scan-bound.  For these, a scan with
-# fewer splits than the cluster has cores serializes the expensive narrow
-# stage that follows — locally a sub-128MB parquet file is ONE split, so a
-# 32-core box runs the whole gram pipeline on one core.  spread_for_compute
-# fixes exactly that case and is a structural no-op at scale: a 100 TB corpus
-# scan has ~1e5 natural splits, so the condition never fires and no shuffle
-# is added.  Catalyst still pushes filters/pruning below the exchange (plan
-# asserted in tests/test_plans.py).
-_COMPUTE_HEAVY_TABLES = {"documents", "embeddings"}
-
-
 def spread_for_compute(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     """Repartition a narrow scan up to default parallelism — only when the
-    scan has fewer splits than cores (small/local files); no-op otherwise."""
+    scan has fewer splits than cores (small/local files); no-op otherwise.
+
+    Opt-in, called by compute-heavy operators (gram explodes, hashing,
+    vector math) at their entry points — NOT table-global: for scan-bound
+    queries the added exchange is a pure tax (round 2 measured 2.2–2.8×
+    on `kv_swap`/`word_count`-class queries), while for gram/vector
+    pipelines it is a 2× win because a sub-128MB local parquet file is ONE
+    split and the expensive narrow stage would otherwise run on one core.
+    Structural no-op at scale: a 100 TB corpus has ~1e5 natural splits, so
+    the condition never fires and no shuffle is added.  Catalyst still
+    pushes filters/pruning below the exchange (tests/test_plans.py).
+
+    The ``df.rdd.getNumPartitions()`` probe converts the plan once; that
+    cost is amortized into multi-second operators now that the call sits
+    at heavy-operator entry points instead of on every ``load_table``
+    (it is also the only probe that respects upstream repartitions —
+    ``inputFiles()`` would undercount an already-spread frame and add a
+    useless second exchange).
+    """
     target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
@@ -80,8 +86,6 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             "ts",
             F.timestamp_micros(F.expr("ts DIV 1000")).cast("timestamp_ntz"),
         )
-    if name in _COMPUTE_HEAVY_TABLES:
-        df = spread_for_compute(df)
     return df
 
 

@@ -29,8 +29,9 @@ from pyspark.sql.types import (
     StructType,
 )
 
-# With spark.sql.legacy.parquet.nanosAsLong the fixture's TIMESTAMP(NANOS)
-# column arrives as a nanosecond long (same handling as sources/catalog.py).
+# Fallback schema for fixtures whose ts is TIMESTAMP(NANOS): under
+# spark.sql.legacy.parquet.nanosAsLong that column arrives as a nanosecond
+# long (same handling as sources/catalog.py).
 EVENTS_RAW_SCHEMA = StructType(
     [
         StructField("event_id", LongType()),
@@ -44,20 +45,35 @@ EVENTS_RAW_SCHEMA = StructType(
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-source streaming read of the events fixture (ts → timestamp_ntz)."""
+    """File-source streaming read of the events fixture.
+
+    The fixture's ts physical type is not under our control
+    (TIMESTAMP(MICROS) in current driver-generated data, TIMESTAMP(NANOS)
+    in earlier rounds), and the file stream source needs an explicit
+    schema — so probe the batch reader's resolved schema (driver-side
+    footer read, no data scan) and branch: a Spark-native timestamp
+    streams as-is; a nanosAsLong bigint gets the ns→µs conversion.
+    Assuming one scale silently shifts every event time 1000× on the
+    other kind of file — windows collapse and interval joins explode.
+    """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = f"{sf_dir.rstrip('/')}/events.parquet"
+    batch_schema = spark.read.parquet(path).schema
+    nanos = dict((f.name, f.dataType.simpleString()) for f in batch_schema).get("ts") == "bigint"
     # glob (not a bare file path): the file stream source requires its
     # basePath to be a directory, and the pattern keeps it scoped to the
     # events table inside the shared fixture dir.
     raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(EVENTS_RAW_SCHEMA if nanos else batch_schema)
         .parquet(f"{sf_dir.rstrip('/')}/events*.parquet")
     )
     # watermarks require TIMESTAMP (not NTZ); session tz is UTC so the
     # wall time is identical to the batch catalog's timestamp_ntz view.
-    return raw.withColumn(
-        "ts", F.timestamp_micros(F.expr("ts DIV 1000")).cast("timestamp")
-    )
+    if nanos:
+        return raw.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts DIV 1000")).cast("timestamp")
+        )
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def cents(col: F.Column) -> F.Column:
@@ -139,10 +155,26 @@ def interval_join_attribution(events: DataFrame) -> DataFrame:
     ).select("user_id", "purchase_id", "click_id", "purchase_ts", "click_ts")
 
 
+def streaming_session(spark: SparkSession, state_partitions: int = 8) -> SparkSession:
+    """A cloned session (shared SparkContext + catalog cache, isolated SQL
+    conf) for running one streaming job.
+
+    Streams built on the clone plan against its ``shuffle.partitions``
+    without ever touching the parent's — a batch query planned concurrently
+    on the parent keeps its own parallelism.  (Mutate-and-restore on the
+    shared session was round 2's approach; the restore ran in ``finally``
+    but any concurrent batch plan inside the window silently got the
+    streaming value.)
+    """
+    s = spark.newSession()
+    s.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    return s
+
+
 def run_to_df(
     stream: DataFrame,
-    spark: SparkSession,
-    mode: str,
+    spark: SparkSession | None = None,
+    mode: str = "append",
     state_partitions: int = 8,
 ) -> DataFrame:
     """Execute a finite stream with AvailableNow into a memory sink and
@@ -156,10 +188,16 @@ def run_to_df(
     a 2-store stream-stream join measured 3× faster at 8 than at 32 on
     local[32].  A production continuous job sizes this to key cardinality
     and executor count instead (hundreds+), exactly like
-    ``spark.sql.shuffle.partitions`` for batch — pass it explicitly."""
+    ``spark.sql.shuffle.partitions`` for batch — pass it explicitly.
+
+    The conf is set on the STREAM's own session (``spark`` is accepted for
+    backwards compatibility but ignored); build the stream on
+    :func:`streaming_session` so the setting never leaks to the parent.
+    """
+    sess = stream.sparkSession
     name = f"snk_{uuid.uuid4().hex[:10]}"
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    prev = sess.conf.get("spark.sql.shuffle.partitions")
+    sess.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
     try:
         q = (
             stream.writeStream.format("memory")
@@ -170,8 +208,8 @@ def run_to_df(
         )
         q.awaitTermination()
     finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
-    return spark.table(name)
+        sess.conf.set("spark.sql.shuffle.partitions", prev)
+    return sess.table(name)
 
 
 def upsert_latest_per_key(
@@ -180,33 +218,49 @@ def upsert_latest_per_key(
     path: str,
     key_cols: list[str],
     ts_col: str,
+    num_buckets: int = 16,
 ) -> DataFrame:
     """foreachBatch keyed upsert: maintain the latest row per key in a
     parquet table across micro-batches.
 
     The pattern behind every streaming dim/state table: each batch merges
-    into the current table with a latest-timestamp-wins window.  The merge
-    writes to a TEMP directory and swaps it in by rename — the job never
-    deletes the files it is reading (cache is not a durability guarantee:
-    a lost executor would recompute cached partitions from just-deleted
-    files), and a crash mid-swap leaves either the old or the new table,
-    never a hole.  Rename is atomic on local FS and HDFS; on object
-    stores use Delta/Iceberg MERGE INTO instead, which is what this whole
-    body collapses to there.  Ties on ``ts_col`` break by the key
-    columns, deterministically.
+    into the current table with a latest-timestamp-wins window.  The table
+    is laid out partitioned by ``_kb = pmod(xxhash64(keys), num_buckets)``
+    so a batch only READS and REWRITES the buckets its keys hash into —
+    per-batch cost is O(touched buckets), not O(table), and untouched
+    buckets' files are never opened or replaced (byte-identical across
+    batches; tests prove it).  Size ``num_buckets`` so one bucket ≈ a few
+    parquet files at the target state size.
+
+    Durability: each touched bucket is merged into a TEMP directory first
+    and swapped in by rename — the job never deletes files it is reading
+    (cache is not a durability guarantee: a lost executor would recompute
+    from just-deleted files), and a crash mid-swap leaves every bucket
+    either old or new, never a hole (per-bucket atomicity; buckets are
+    independent key sets, so a partial swap is still a consistent table).
+    Rename is atomic on local FS and HDFS; on object stores use
+    Delta/Iceberg MERGE INTO instead, which is what this whole body
+    collapses to there.  Ties on ``ts_col`` break by the key columns,
+    deterministically.
     """
     import os
     import shutil
 
     from pyspark.sql import Window
 
+    kb = F.pmod(F.xxhash64(*[F.col(c) for c in key_cols]), F.lit(num_buckets))
+
     def apply_batch(batch: DataFrame, _bid: int) -> None:
         s = batch.sparkSession
+        b = batch.withColumn("_kb", kb)
+        buckets = sorted(r["_kb"] for r in b.select("_kb").distinct().collect())
+        if not buckets:
+            return
         try:
-            current = s.read.parquet(path)
-            unioned = current.unionByName(batch)
+            current = s.read.parquet(path).filter(F.col("_kb").isin(buckets))
+            unioned = current.unionByName(b)
         except Exception:  # first batch: no table yet
-            unioned = batch
+            unioned = b
         w = Window.partitionBy(*key_cols).orderBy(
             F.desc(ts_col), *[F.asc(c) for c in key_cols]
         )
@@ -217,12 +271,19 @@ def upsert_latest_per_key(
         )
         swap = uuid.uuid4().hex[:8]
         tmp = f"{path}.tmp-{swap}"
-        merged.write.mode("overwrite").parquet(tmp)  # reads old, writes new
-        old = f"{path}.old-{swap}"
-        if os.path.exists(path):
-            os.rename(path, old)
-        os.rename(tmp, path)
-        shutil.rmtree(old, ignore_errors=True)
+        merged.write.mode("overwrite").partitionBy("_kb").parquet(tmp)
+        os.makedirs(path, exist_ok=True)
+        for bk in buckets:
+            src_dir = os.path.join(tmp, f"_kb={bk}")
+            if not os.path.exists(src_dir):
+                continue
+            dst_dir = os.path.join(path, f"_kb={bk}")
+            old = f"{dst_dir}.old-{swap}"
+            if os.path.exists(dst_dir):
+                os.rename(dst_dir, old)
+            os.rename(src_dir, dst_dir)
+            shutil.rmtree(old, ignore_errors=True)
+        shutil.rmtree(tmp, ignore_errors=True)
 
     q = (
         stream.writeStream.foreachBatch(apply_batch)
@@ -230,4 +291,4 @@ def upsert_latest_per_key(
         .start()
     )
     q.awaitTermination()
-    return spark.read.parquet(path)
+    return spark.read.parquet(path).drop("_kb")

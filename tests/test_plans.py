@@ -159,11 +159,15 @@ def test_stratified_sample_filter_before_agg(spark, sf_dir):
 
 
 def test_spread_for_compute_keeps_pushdown(spark, sf_dir):
-    # documents/embeddings scans are conditionally repartitioned for local
-    # parallelism (sources/catalog.py); filters and pruning must still
-    # reach the parquet scan BELOW the added exchange.
-    docs = load_table(spark, sf_dir, "documents").filter(F.col("lang") == "en").select(
-        "doc_id", "lang"
+    # heavy operators opt into spread_for_compute at their entry points
+    # (sources/catalog.py); filters and pruning must still reach the
+    # parquet scan BELOW the added exchange.
+    from mapreduceproject_spark.sources.catalog import spread_for_compute
+
+    docs = (
+        spread_for_compute(load_table(spark, sf_dir, "documents"))
+        .filter(F.col("lang") == "en")
+        .select("doc_id", "lang")
     )
     plan = _plan(docs)
     read = plan.split("ReadSchema:")[1].splitlines()[0]

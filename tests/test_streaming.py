@@ -209,3 +209,124 @@ def test_checkpoint_resume_is_exactly_once(spark, tmp_path):
     second = sorted(r["event_id"] for r in spark.read.parquet(str(out)).collect())
     # exactly-once: old rows appear once, new rows appended once
     assert second == [1, 2, 3, 4, 5]
+
+
+def test_stream_ts_scale_matches_batch(spark, sf_dir):
+    """The streaming events read must land on the same event times as the
+    batch catalog regardless of the fixture's physical timestamp type
+    (TIMESTAMP(MICROS) in current driver data, TIMESTAMP(NANOS) earlier).
+    A wrong scale assumption compresses/expands all times 1000x: windows
+    collapse and interval joins explode."""
+    from mapreduceproject_spark.sources.catalog import load_table
+
+    ev = jobs.read_events_stream(spark, sf_dir)
+    got = jobs.run_to_df(
+        ev.groupBy().agg(
+            F.min("ts").alias("mn"), F.max("ts").alias("mx"), F.count("*").alias("n")
+        ),
+        mode="complete",
+    ).collect()[0]
+    exp = (
+        load_table(spark, sf_dir, "events")
+        .agg(F.min("ts").alias("mn"), F.max("ts").alias("mx"), F.count("*").alias("n"))
+        .collect()[0]
+    )
+    assert got["n"] == exp["n"]
+    # batch side is timestamp_ntz, stream side timestamp; session tz is UTC
+    # so the wall-clock values must be identical
+    assert got["mn"].replace(tzinfo=None) == exp["mn"]
+    assert got["mx"].replace(tzinfo=None) == exp["mx"]
+
+
+def test_streaming_session_scopes_shuffle_conf(spark, sf_dir):
+    """Running a streaming job must not mutate the parent session's
+    shuffle.partitions — the stream plans on a cloned session."""
+    parent_before = spark.conf.get("spark.sql.shuffle.partitions")
+    s = jobs.streaming_session(spark, state_partitions=5)
+    assert s is not spark
+    assert s.conf.get("spark.sql.shuffle.partitions") == "5"
+    assert spark.conf.get("spark.sql.shuffle.partitions") == parent_before
+
+    ev = jobs.read_events_stream(s, sf_dir)
+    out = jobs.run_to_df(jobs.stream_dedup(ev), mode="append", state_partitions=5)
+    assert out.count() > 0
+    assert spark.conf.get("spark.sql.shuffle.partitions") == parent_before
+
+
+def test_upsert_rewrites_only_touched_buckets(spark, tmp_path):
+    """Second batch touching one key must leave every other bucket's files
+    byte-identical (partition-pruned merge, not a full-table rewrite)."""
+    import hashlib as hl
+
+    path = str(tmp_path / "state_tbl")
+
+    def stream_of(rows, subdir):
+        src = tmp_path / subdir
+        src.mkdir()
+        _write_parquet(src / "x.parquet", rows)
+        from pyspark.sql.types import (
+            LongType,
+            StructField,
+            StructType,
+        )
+
+        schema = StructType(
+            [
+                StructField("k", LongType()),
+                StructField("ts", LongType()),
+                StructField("v", LongType()),
+            ]
+        )
+        return spark.readStream.schema(schema).parquet(str(src))
+
+    got1 = jobs.upsert_latest_per_key(
+        stream_of({"k": list(range(50)), "ts": [1] * 50, "v": [10] * 50}, "b1"),
+        spark,
+        path,
+        ["k"],
+        "ts",
+        num_buckets=8,
+    )
+    assert got1.count() == 50
+
+    import os
+
+    def file_hashes():
+        out = {}
+        for root, _dirs, files in os.walk(path):
+            for f in files:
+                if f.startswith(("_", ".")):
+                    continue
+                p = os.path.join(root, f)
+                out[p] = hl.md5(open(p, "rb").read()).hexdigest()
+        return out
+
+    before = file_hashes()
+
+    got2 = jobs.upsert_latest_per_key(
+        stream_of({"k": [7], "ts": [2], "v": [99]}, "b2"),
+        spark,
+        path,
+        ["k"],
+        "ts",
+        num_buckets=8,
+    )
+    rows = {r["k"]: r["v"] for r in got2.collect()}
+    assert rows[7] == 99 and len(rows) == 50
+
+    after = file_hashes()
+    from pyspark.sql import functions as FF
+
+    touched = (
+        spark.range(1)
+        .select(FF.pmod(FF.xxhash64(FF.lit(7).cast("long")), FF.lit(8)).alias("b"))
+        .collect()[0]["b"]
+    )
+    touched_dir = os.path.join(path, f"_kb={touched}")
+    untouched_before = {p: h for p, h in before.items() if not p.startswith(touched_dir)}
+    untouched_after = {p: h for p, h in after.items() if not p.startswith(touched_dir)}
+    assert untouched_before == untouched_after and len(untouched_before) > 0
+    # and the touched bucket WAS rewritten
+    assert {p: h for p, h in before.items() if p.startswith(touched_dir)} != {
+        p: h for p, h in after.items() if p.startswith(touched_dir)
+    }
