@@ -144,6 +144,9 @@ def langid_ngram(
     """
     from mapreduceproject_spark.sources.catalog import spread_for_compute
 
+    # persist: grams feeds BOTH the profile build (executed eagerly as the
+    # broadcast side) and the per-doc scoring plan — without it the whole
+    # gram explode pipeline runs twice
     grams = char_ngram_rows(
         spread_for_compute(df).select(
             F.col(id_col).alias("_id"),
@@ -153,7 +156,7 @@ def langid_ngram(
         F.lower(F.col(text_col)),
         n,
         keep=["_id", "_lang"],
-    )
+    ).persist()
     lang_counts = grams.groupBy("_lang", "g").agg(F.count("*").alias("cnt"))
     wp = Window.partitionBy("_lang").orderBy(F.desc("cnt"), F.asc("g"))
     profile = (

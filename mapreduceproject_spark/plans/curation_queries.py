@@ -594,3 +594,68 @@ def source_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("effective_epochs"),
         )
     )
+
+
+# -- weighted training-order interleave --------------------------------------
+INTERLEAVE_N = 1000
+
+
+@query(
+    "training_interleave",
+    oracle=f"""
+    WITH cnt AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY source
+    ),
+    zt AS (SELECT SUM(sqrt(CAST(n AS DOUBLE))) AS z FROM cnt),
+    pos AS (
+      SELECT doc_id, source,
+             CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id) AS DOUBLE) AS p
+      FROM documents
+    ),
+    vt AS (
+      SELECT doc_id, pos.source, p * z / sqrt(CAST(n AS DOUBLE)) AS v
+      FROM pos JOIN cnt USING (source) CROSS JOIN zt
+    )
+    SELECT CAST(row_number() OVER (ORDER BY v, source, doc_id) AS BIGINT) AS global_pos,
+           doc_id, source
+    FROM (SELECT * FROM vt ORDER BY v, source, doc_id LIMIT {INTERLEAVE_N})
+    """,
+)
+def training_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted interleaving of sources into a global
+    training order (first {INTERLEAVE_N} positions): each source advances
+    at a rate ∝ √(its size) — the same α=1/2 temperature as
+    `source_mix_weights` — via virtual time v = pos·Z/√n_source, the
+    classic weighted-fair-queueing schedule.  Small sources surface early
+    and repeat-interleave instead of clumping at the tail.
+
+    Scale: per-source positions are a partitioned window; the global
+    cut is orderBy+limit (TakeOrderedAndProject — per-partition heaps,
+    never a full sort); only the {INTERLEAVE_N}-row result passes through
+    the final single-partition position numbering.  √ and ·/÷ are
+    exact-rounded IEEE, so ordering is engine-identical."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    cnt = docs.groupBy("source").agg(F.count("*").cast("long").alias("n"))
+    zt = F.broadcast(cnt.agg(F.sum(F.sqrt(F.col("n").cast("double"))).alias("z")))
+    wp = Window.partitionBy("source").orderBy("doc_id")
+    pos = docs.select(
+        "doc_id", "source", F.row_number().over(wp).cast("double").alias("p")
+    )
+    vt = (
+        pos.join(cnt, "source")
+        .crossJoin(zt)
+        .select(
+            "doc_id",
+            "source",
+            (F.col("p") * F.col("z") / F.sqrt(F.col("n").cast("double"))).alias("v"),
+        )
+    )
+    top = vt.orderBy("v", "source", "doc_id").limit(INTERLEAVE_N)
+    wg = Window.orderBy("v", "source", "doc_id")
+    return top.select(
+        F.row_number().over(wg).cast("long").alias("global_pos"),
+        "doc_id",
+        "source",
+    )

@@ -45,6 +45,9 @@ _FRONT: tuple[str, ...] = (
     # Changed this round: connected-components convergence folded into the
     # label aggregate (one job per iteration).
     "dedup_clusters",
+    # New this round — BM25 retrieval + weighted training-order interleave.
+    "bm25_search",
+    "training_interleave",
     # Re-verification of the heaviest / most algorithmically dense tier —
     # all r2-green; fills the window in descending value of a fresh row.
     "dedup_edit_distance",

@@ -344,3 +344,73 @@ def vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats.select(
         "term", "tf", "df", F.row_number().over(w).cast("long").alias("zipf_rank")
     )
+
+
+# -- BM25 relevance search ---------------------------------------------------
+BM25_QUERIES = [
+    ("q_hash_join", "hash join"),
+    ("q_stream", "stream window agg"),
+    ("q_vector", "vector scan"),
+]
+BM25_TOPK = 10
+
+
+def _bm25_oracle() -> str:
+    from mapreduceproject_spark.functions.textfn import duck_tokens
+    from mapreduceproject_spark.operators.search import BM25_B, BM25_K1
+
+    terms = sorted({t for _, qt in BM25_QUERIES for t in qt.split()})
+    in_list = ", ".join(f"'{t}'" for t in terms)
+    qvals = ", ".join(
+        f"('{qid}', '{t}')"
+        for qid, qt in BM25_QUERIES
+        for t in dict.fromkeys(qt.split())
+    )
+    k1p1, one_b = repr(BM25_K1 + 1.0), repr(1.0 - BM25_B)
+    return f"""
+    WITH rws AS (
+      SELECT doc_id, unnest({duck_tokens("text")}) AS term FROM documents
+    ),
+    dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM rws GROUP BY doc_id),
+    tf AS (
+      SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM rws WHERE term IN ({in_list}) GROUP BY doc_id, term
+    ),
+    dft AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+    stats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+      FROM dl
+    ),
+    q AS (SELECT * FROM (VALUES {qvals}) t(query_id, term)),
+    scored AS (
+      SELECT q.query_id, tf.doc_id,
+             SUM(
+               ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+               * (tf * {k1p1}) / (tf + {BM25_K1!r} * ({one_b} + {BM25_B!r} * dl / avgdl))
+             ) AS score
+      FROM tf
+      JOIN q USING (term)
+      JOIN dl USING (doc_id)
+      JOIN dft USING (term)
+      CROSS JOIN stats
+      GROUP BY 1, 2
+    )
+    SELECT query_id, doc_id, score, CAST(rank AS BIGINT) AS rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+      FROM scored
+    ) WHERE rank <= {BM25_TOPK}
+    """
+
+
+@query("bm25_search", oracle=_bm25_oracle())
+def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-{BM25_TOPK} documents for a fixed query set — the corpus
+    retrieval probe (eval-leak hunts, topic audits, hard-negative mining).
+    Query terms broadcast; the only corpus-sized shuffle is the (doc,
+    term) tf aggregation; doc frequencies are vocabulary-sized
+    (operators/search.py)."""
+    from mapreduceproject_spark.operators.search import bm25_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bm25_topk(docs, "doc_id", "text", BM25_QUERIES, topk=BM25_TOPK)

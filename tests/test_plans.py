@@ -184,3 +184,17 @@ def test_spread_for_compute_noop_when_parallel(spark, sf_dir):
     par = spark.sparkContext.defaultParallelism
     df = load_table(spark, sf_dir, "lineitem").repartition(par)
     assert spread_for_compute(df) is df
+
+
+def test_training_interleave_uses_topk_not_full_sort(spark, sf_dir):
+    # the global cut must be TakeOrderedAndProject (per-partition heaps),
+    # never a full single-partition sort of the corpus
+    plan = _plan(QUERIES["training_interleave"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_bm25_broadcasts_query_terms(spark, sf_dir):
+    # the query-term set is tiny and must ride broadcast joins; the only
+    # corpus-sized shuffle is the (doc, term) tf aggregation
+    plan = _plan(QUERIES["bm25_search"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
