@@ -106,25 +106,53 @@ def build(spark) -> None:
 
 def skew_split_check(spark) -> bool:
     """Pathological spam bucket: one key owns ~90% of a 2M-row fact.  With
-    AQE skew-join on, the final adaptive sort-merge join must mark the hot
-    partition 'isSkew=true' (split into multiple tasks)."""
+    AQE skew-join on, the final adaptive sort-merge join must carry the
+    'skew=true' marker (hot partition split across tasks).
+
+    Both broadcast thresholds are disabled so the tiny dim can't dodge the
+    shuffle join, and the probe action runs on the join's OWN
+    QueryExecution (a write would execute a separate command QE whose
+    adaptive plan is not visible from the DataFrame)."""
     from pyspark.sql import functions as F
 
     spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
     spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "1m")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
-    big = spark.range(2_000_000).select(
-        F.when(F.col("id") % 10 != 0, F.lit(0)).otherwise(F.col("id")).alias("k"),
-        F.sha2(F.col("id").cast("string"), 256).alias("pad"),
-    )
-    dim = spark.range(200_000).select(F.col("id").alias("k"), F.lit("x").alias("v"))
-    j = big.join(dim, "k")
-    j.write.format("noop").mode("overwrite").save()
-    plan = j._jdf.queryExecution().executedPlan().toString()
-    spark.conf.unset("spark.sql.adaptive.skewJoin.skewedPartitionFactor")
-    spark.conf.unset("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes")
-    spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
-    return "isSkew=true" in plan or "skew=true" in plan
+    try:
+        big = spark.range(2_000_000).select(
+            F.when(F.col("id") % 10 != 0, F.lit(0)).otherwise(F.col("id")).alias("k"),
+            F.sha2(F.col("id").cast("string"), 256).alias("pad"),
+        )
+        dim = spark.range(200_000).select(F.col("id").alias("k"), F.lit("x").alias("v"))
+        j = big.join(dim, "k")
+        j.tail(1)
+        plan = j._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.unset("spark.sql.adaptive.skewJoin.skewedPartitionFactor")
+        spark.conf.unset("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes")
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    return "skew=true" in plan
+
+
+def ivf_centroid_scaling_check(spark) -> dict:
+    """The dedup_embedding_cosine 10x-fixture run shows the documented IVF
+    cliff: fixed C=16 means 10x corpus -> (n/C)^2 = 100x per-cell pairs.
+    The documented answer is raising C with corpus size; this runs the
+    same operator at C=160 on the same fixture to show the knob works."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from mapreduceproject_spark.operators.dedup import embedding_near_dup
+
+    emb = spark.read.parquet(f"{OUT_DIR}/embeddings.parquet")
+    t0 = time.perf_counter()
+    embedding_near_dup(
+        emb, "vec_id", "embedding", num_centroids=16 * REPLICAS, threshold=0.4, nprobe=2
+    ).write.format("noop").mode("overwrite").save()
+    return {"c_scaled": 16 * REPLICAS, "sec": round(time.perf_counter() - t0, 2)}
 
 
 def main() -> None:
@@ -148,6 +176,7 @@ def main() -> None:
         ).save()
         timings[name] = round(time.perf_counter() - t0, 2)
     skew_ok = skew_split_check(spark)
+    ivf = ivf_centroid_scaling_check(spark)
     print(
         json.dumps(
             {
@@ -156,6 +185,7 @@ def main() -> None:
                 "queries": timings,
                 "total": round(sum(timings.values()), 2),
                 "aqe_skew_split_fired": skew_ok,
+                "ivf_centroids_scaled": ivf,
             }
         )
     )
