@@ -130,6 +130,33 @@ def word_shingle_rows(
     return long_sh.unionByName(short_sh)
 
 
+def token_rows(df, text: Column, keep: list[str], tok_col: str = "tok", pos_col: str = "pos"):
+    """One row per whitespace token with its 1-based position.
+
+    The token array is projected into a materialized column first, then
+    posexploded — the same two-step that keeps :func:`char_ngram_rows`
+    linear (a lambda indexing a *computed* array re-evaluates the inner
+    expression per element; a posexplode of a projected column does not).
+    """
+    return (
+        df.select(*keep, tokens(text).alias("_tr_toks"))
+        .select(*keep, F.posexplode("_tr_toks").alias("_tr_i", tok_col))
+        .select(*keep, (F.col("_tr_i") + 1).alias(pos_col), tok_col)
+    )
+
+
+def duck_token_rows(expr: str, keep: str, from_clause: str = "documents") -> str:
+    """DuckDB twin of :func:`token_rows`: subquery yielding
+    (keep..., pos, tok) — carry the token list through an unnest of its
+    index range, then index it (DuckDB's lateral-unnest-in-SELECT idiom)."""
+    toks = duck_tokens(expr)
+    return (
+        f"(SELECT {keep}, CAST(pos AS BIGINT) AS pos, t[CAST(pos AS INT)] AS tok FROM "
+        f"(SELECT {keep}, t, unnest(range(1, len(t)+1)) AS pos FROM "
+        f"(SELECT {keep}, {toks} AS t FROM {from_clause})))"
+    )
+
+
 def char_ngrams(col: Column, n: int = 3) -> Column:
     """Character n-grams of a string (for fingerprinting / jaccard)."""
     length = F.length(col)

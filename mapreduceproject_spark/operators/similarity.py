@@ -33,6 +33,104 @@ from mapreduceproject_spark.functions.vectors import (
 from mapreduceproject_spark.sources.catalog import spread_for_compute
 
 
+# -- random-hyperplane LSH (cosine sketch) ----------------------------------
+# Integer hyperplane coefficients from an LCG over (plane, dim) so the
+# DuckDB oracle regenerates the identical planes: exact integer dot
+# products, no float seed divergence.  |coeff| < 2^30 and |quantized
+# component| <= ~1e6, so a 64-dim dot stays far below 2^63.
+_LCG_A, _LCG_C, _LCG_M = 1103515245, 12345, 2**31
+
+
+def hyperplane_coeffs(num_bits: int, dim: int) -> list[list[int]]:
+    """num_bits lists of dim signed integer coefficients (deterministic)."""
+    return [
+        [
+            ((_LCG_A * (j * dim + d) + _LCG_C) % _LCG_M) - _LCG_M // 2
+            for d in range(dim)
+        ]
+        for j in range(num_bits)
+    ]
+
+
+def _signature(q_col, planes: list[list[int]]):
+    """Bit j of the signature = sign of <q, plane_j> (>= 0 -> 1)."""
+    sig = F.lit(0).cast("long")
+    for j, plane in enumerate(planes):
+        lits = F.array(*[F.lit(w).cast("long") for w in plane])
+        dot = F.aggregate(
+            F.zip_with(q_col, lits, lambda x, w: x * w),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        sig = sig + F.when(dot >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+    return sig
+
+
+def hyperplane_lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_id_col: str,
+    query_vec_col: str,
+    num_bits: int = 8,
+    dim: int = 64,
+    k: int = 5,
+) -> DataFrame:
+    """Random-hyperplane LSH top-k: candidates share the query's signature
+    bucket or any 1-bit-flip neighbor (multi-probe), then exact quantized
+    cosine reranks.
+
+    The IVF alternative when no centroid set exists: signatures are one
+    embarrassingly-parallel pass, the candidate join shuffles on the
+    bucket id (2^num_bits buckets — size num_bits for ~corpus/2^bits
+    occupancy), and scoring touches only co-bucketed pairs.  Probing all
+    1-bit flips trades (num_bits+1)x candidate volume for the recall lost
+    to near-orthogonal-boundary vectors.
+    """
+    planes = hyperplane_coeffs(num_bits, dim)
+    cq = _quantized_side(corpus, id_col, vec_col, "neighbor_id").withColumn(
+        "_sig", _signature(F.col("_q"), planes)
+    )
+    probes = F.array(*[F.lit(m) for m in [0] + [1 << j for j in range(num_bits)]])
+    qq = F.broadcast(
+        queries.select(
+            F.col(query_id_col).alias("query_id"),
+            quantize(F.col(query_vec_col)).alias("_qq"),
+        )
+        .withColumn("_qn2", quantized_norm2(F.col("_qq")))
+        .withColumn("_qsig", _signature(F.col("_qq"), planes))
+        .withColumn("_probe", F.explode(probes))
+        .withColumn("_bucket", F.col("_qsig").bitwiseXOR(F.col("_probe")))
+        .drop("_qsig", "_probe")
+    )
+    cand = (
+        cq.join(qq, cq["_sig"] == qq["_bucket"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            prequantized_cosine(
+                F.col("_qq"), F.col("_q"), F.col("_qn2"), F.col("_n2")
+            ).alias("cosine"),
+        )
+    )
+    # no dedup needed: the probe masks are distinct, so the probed buckets
+    # are distinct and a corpus vector's single signature matches at most
+    # one probe per query
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "cosine",
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
 def _quantized_side(df: DataFrame, id_col: str, vec_col: str, out_id: str) -> DataFrame:
     """(id, quantized array, Σq²) — the per-vector scoring artifact.
 

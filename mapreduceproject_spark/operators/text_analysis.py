@@ -236,3 +236,50 @@ def tfidf_top_terms(
             F.col("rnk").cast("long").alias("rnk"),
         )
     )
+
+
+def bigram_lm_top(
+    df: DataFrame, id_col: str, text_col: str, top_n: int = 20, add_k: float = 0.5
+) -> DataFrame:
+    """Smoothed bigram language model: top-N bigrams by corpus count with
+    their add-k conditional log-probability ln((c(w1,w2)+k)/(c1(w1)+k*V)).
+
+    c1(w1) counts w1 *as a bigram head* and V is the distinct-continuation
+    vocabulary — both derived from the bigram table itself, so the model
+    is self-contained (no separate unigram pass).  Shape: one posexplode,
+    a lead() over the per-document window (shuffle on id), one bigram
+    groupBy, a head-count window, and a broadcast of the single-row V —
+    linear end to end, the exact plan you'd run over a 100 TB corpus to
+    seed a KenLM-style count table.
+    """
+    from mapreduceproject_spark.functions.textfn import token_rows
+
+    toks = token_rows(df.select(id_col, text_col), F.lower(F.col(text_col)), [id_col])
+    wd = Window.partitionBy(id_col).orderBy("pos")
+    bigrams = (
+        toks.withColumn("w2", F.lead("tok").over(wd))
+        .filter(F.col("w2").isNotNull())
+        .select(F.col("tok").alias("w1"), "w2")
+    )
+    c2 = bigrams.groupBy("w1", "w2").agg(F.count("*").cast("long").alias("n_bigram"))
+    wh = Window.partitionBy("w1")
+    with_head = c2.withColumn("n_head", F.sum("n_bigram").over(wh).cast("long"))
+    vocab = c2.agg(F.countDistinct("w2").alias("_v"))
+    scored = with_head.crossJoin(F.broadcast(vocab)).select(
+        "w1",
+        "w2",
+        "n_bigram",
+        "n_head",
+        F.log(
+            (F.col("n_bigram") + F.lit(add_k))
+            / (F.col("n_head") + F.lit(add_k) * F.col("_v"))
+        ).alias("logp"),
+    )
+    # TakeOrdered top-N first (per-partition heaps + merge), THEN rank the
+    # survivors — a global row_number window would single-partition the
+    # whole bigram table before discarding all but N rows
+    top = scored.orderBy(F.desc("n_bigram"), F.asc("w1"), F.asc("w2")).limit(top_n)
+    wt = Window.orderBy(F.desc("n_bigram"), F.asc("w1"), F.asc("w2"))
+    return top.withColumn("rnk", F.row_number().over(wt).cast("long")).select(
+        "w1", "w2", "n_bigram", "n_head", "logp", "rnk"
+    )

@@ -17,4 +17,5 @@ from mapreduceproject_spark.plans import (  # noqa: F401,E402
     curation_queries,
     multimodal_queries,
     streaming_queries,
+    governance_queries,
 )

@@ -378,3 +378,70 @@ def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_dist=EDIT_MAX,
     )
     return out.select("id_a", "id_b", F.col("edit_dist").cast("long").alias("edit_dist"))
+
+
+# -- content-defined chunking dedup -----------------------------------------
+
+
+def _cdc_oracle() -> str:
+    from mapreduceproject_spark.functions.textfn import duck_token_rows
+    from mapreduceproject_spark.operators.chunking import CDC_AVG_TOKENS
+
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, source, pos, tok
+      FROM {duck_token_rows("lower(text)", "doc_id, source")}
+    ),
+    cut AS (
+      SELECT doc_id, source, pos,
+             CASE WHEN ({duck_hash60("tok")}) % {CDC_AVG_TOKENS} = 0
+                  THEN 1 ELSE 0 END AS c,
+             tok
+      FROM tok
+    ),
+    chunked AS (
+      SELECT doc_id, source, pos, tok,
+             COALESCE(SUM(c) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_idx
+      FROM cut
+    ),
+    chunks0 AS (
+      SELECT doc_id, source, chunk_idx,
+             array_to_string(list(tok ORDER BY pos), ' ') AS ct,
+             COUNT(*) AS n_tokens
+      FROM chunked GROUP BY 1, 2, 3
+    ),
+    chunks AS (
+      SELECT doc_id, source, chunk_idx, n_tokens,
+             {duck_hash60("ct")} AS chunk_hash
+      FROM chunks0
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (
+               PARTITION BY chunk_hash ORDER BY doc_id, chunk_idx) AS rn
+      FROM chunks
+    )
+    SELECT source,
+           COUNT(*) AS n_chunks,
+           COUNT(DISTINCT chunk_hash) AS n_distinct_chunks,
+           CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_occurrences,
+           CAST(SUM(CASE WHEN rn > 1 THEN n_tokens ELSE 0 END) AS BIGINT) AS dup_tokens
+    FROM ranked GROUP BY 1
+    """
+
+
+@query("cdc_chunk_dedup", oracle=_cdc_oracle())
+def cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunk dedup (word-level gear CDC, cut on
+    hash60(token) % avg == 0): per-source chunk counts, distinct hashes,
+    and the duplicate occurrences / token volume chunk-level dedup would
+    reclaim — the shift-resistant storage-dedup primitive
+    (operators/chunking.py)."""
+    from mapreduceproject_spark.operators.chunking import (
+        cdc_chunk_rows,
+        chunk_dup_rollup,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = cdc_chunk_rows(docs, "doc_id", "text", keep=["source"])
+    return chunk_dup_rollup(chunks, "doc_id", "source")

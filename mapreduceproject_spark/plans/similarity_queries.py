@@ -287,3 +287,64 @@ def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.count("an").cast("double") / F.count("*")).alias("recall_at_k"),
         F.count("*").alias("n_truth_pairs"),
     )
+
+
+# -- random-hyperplane LSH --------------------------------------------------
+LSH_BITS = 8
+
+
+def _hyperplane_oracle() -> str:
+    planes = sim.hyperplane_coeffs(LSH_BITS, 64)
+
+    def sig_expr(q: str) -> str:
+        terms = []
+        for j, plane in enumerate(planes):
+            lits = "[" + ", ".join(str(w) for w in plane) + "]"
+            dot = (
+                f"list_aggregate(list_transform(range(1, 65), "
+                f"i -> ({q})[i] * ({lits})[i]), 'sum')"
+            )
+            terms.append(f"CASE WHEN {dot} >= 0 THEN {1 << j} ELSE 0 END")
+        return " + ".join(terms)
+
+    masks = "[" + ", ".join(str(m) for m in [0] + [1 << j for j in range(LSH_BITS)]) + "]"
+    return f"""
+    {_QUANT_CTE},
+    sigs AS (SELECT id, q, {sig_expr("q")} AS sig FROM v),
+    qsig AS (SELECT query_id, qq, {sig_expr("qq")} AS sig FROM qs),
+    probes AS (
+      SELECT query_id, qq, xor(sig, m) AS bucket
+      FROM qsig, (SELECT unnest({masks}) AS m)
+    ),
+    cand AS (
+      SELECT p.query_id, s.id AS neighbor_id,
+             {duck_quantized_cosine("p.qq", "s.q")} AS cosine
+      FROM probes p JOIN sigs s ON s.sig = p.bucket AND s.id <> p.query_id
+    )
+    SELECT query_id, neighbor_id, cosine, CAST(rnk AS BIGINT) AS rnk
+    FROM (SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+          FROM cand)
+    WHERE rnk <= {TOP_K}
+    """
+
+
+@query("ann_hyperplane_topk", oracle=_hyperplane_oracle())
+def ann_hyperplane_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH top-{TOP_K}: {LSH_BITS}-bit integer-LCG
+    sign signatures, 1-bit-flip multi-probe, exact quantized-cosine
+    rerank on co-bucketed candidates — the centroid-free ANN scale path
+    alongside IVF (operators/similarity.py)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = sim.hyperplane_lsh_topk(
+        emb,
+        emb.filter(F.col("vec_id") < NUM_QUERIES),
+        "vec_id",
+        "embedding",
+        "vec_id",
+        "embedding",
+        num_bits=LSH_BITS,
+        dim=64,
+        k=TOP_K,
+    )
+    return out.withColumnRenamed("rank", "rnk")

@@ -414,3 +414,56 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return bm25_topk(docs, "doc_id", "text", BM25_QUERIES, topk=BM25_TOPK)
+
+
+# -- bigram language model --------------------------------------------------
+BIGRAM_TOP, BIGRAM_ADD_K = 20, 0.5
+
+
+def _bigram_oracle() -> str:
+    from mapreduceproject_spark.functions.textfn import duck_token_rows
+
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, pos, tok FROM {duck_token_rows("lower(text)", "doc_id")}
+    ),
+    bg AS (
+      SELECT tok AS w1,
+             lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+      FROM tok
+    ),
+    c2 AS (
+      SELECT w1, w2, COUNT(*) AS n_bigram FROM bg
+      WHERE w2 IS NOT NULL GROUP BY 1, 2
+    ),
+    h AS (
+      SELECT w1, w2, CAST(n_bigram AS BIGINT) AS n_bigram,
+             CAST(SUM(n_bigram) OVER (PARTITION BY w1) AS BIGINT) AS n_head
+      FROM c2
+    ),
+    v AS (SELECT COUNT(DISTINCT w2) AS vv FROM c2)
+    SELECT w1, w2, n_bigram, n_head,
+           ln((n_bigram + {BIGRAM_ADD_K}) / (n_head + {BIGRAM_ADD_K} * vv)) AS logp,
+           rnk
+    FROM (
+      SELECT h.*, vv, CAST(row_number() OVER (
+               ORDER BY n_bigram DESC, w1, w2) AS BIGINT) AS rnk
+      FROM h, v
+    )
+    WHERE rnk <= {BIGRAM_TOP}
+    """
+
+
+@query("bigram_lm_top", oracle=_bigram_oracle())
+def bigram_lm_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Add-k-smoothed bigram LM over lowercased tokens: top-{BIGRAM_TOP}
+    bigrams with head counts and conditional log-probability — the
+    KenLM-style count-table seed; linear plan, TakeOrdered (not a global
+    window) for the final top-N (operators/text_analysis.py)."""
+    return ta.bigram_lm_top(
+        load_table(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        top_n=BIGRAM_TOP,
+        add_k=BIGRAM_ADD_K,
+    )

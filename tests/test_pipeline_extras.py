@@ -1,0 +1,128 @@
+"""Behavioral tests for the round-3 pipeline additions: PII scan/redact,
+content-defined chunking, bigram LM, hyperplane-LSH ANN.
+
+Oracle parity (tests/test_oracle_parity.py) proves engine-vs-engine
+equality; these prove the *semantics* on hand-built inputs where the
+right answer is known independently.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mapreduceproject_spark.operators import pii
+from mapreduceproject_spark.operators.chunking import cdc_chunk_rows
+from mapreduceproject_spark.operators.similarity import (
+    brute_force_topk,
+    hyperplane_coeffs,
+    hyperplane_lsh_topk,
+)
+from mapreduceproject_spark.operators.text_analysis import bigram_lm_top
+
+
+def test_pii_counts_and_redaction(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail a@b.com and c.d+x@e.org, ip 10.0.0.1, card 4111-1111-1111-0042"),
+            (2, "call 555-123-4567 twice: 555-123-4567"),
+            (3, "nothing here"),
+        ],
+        ["id", "text"],
+    )
+    rows = {r["id"]: r for r in pii.scan_and_redact(df, "id", "text").collect()}
+    assert rows[1]["n_email"] == 2
+    assert rows[1]["n_ipv4"] == 1
+    assert rows[1]["n_card"] == 1
+    assert rows[2]["n_phone"] == 2
+    assert rows[3]["n_pii"] == 0
+
+    red = df.select("id", pii.redact(F.col("text")).alias("r")).collect()
+    by_id = {r["id"]: r["r"] for r in red}
+    assert by_id[1] == "mail <EMAIL> and <EMAIL>, ip <IP>, card <CARD>"
+    assert by_id[2] == "call <PHONE> twice: <PHONE>"
+    # idempotence: the tags themselves match no pattern
+    twice = df.select(pii.redact(pii.redact(F.col("text"))).alias("r")).collect()
+    assert [r["r"] for r in twice] == [by_id[1], by_id[2], "nothing here"]
+
+
+def test_cdc_chunks_resynchronize_after_edit(spark):
+    """The CDC guarantee fixed-width spans lack: an edit near the front
+    changes only chunks up to the next cut boundary — later chunk hashes
+    are identical, because cut points depend on content, not position."""
+    base = " ".join(f"w{i}" for i in range(400))
+    edited = "INSERTED " + base
+    df = spark.createDataFrame([(1, base), (2, edited)], ["id", "text"])
+    chunks = cdc_chunk_rows(df, "id", "text").collect()
+    h1 = [r["chunk_hash"] for r in sorted(chunks, key=lambda r: (r["id"], r["chunk_idx"])) if r["id"] == 1]
+    h2 = [r["chunk_hash"] for r in sorted(chunks, key=lambda r: (r["id"], r["chunk_idx"])) if r["id"] == 2]
+    assert len(h1) > 5  # the fixture is long enough to chunk many times
+    # all but the first chunk of the edited doc realign with the original
+    assert h2[1:] == h1[1:] or h2[-len(h1) + 1 :] == h1[1:]
+    # and the edit really did change the leading chunk
+    assert h2[0] != h1[0]
+
+
+def test_cdc_chunks_cover_document_exactly(spark):
+    text = " ".join(f"tok{i}" for i in range(100))
+    df = spark.createDataFrame([(1, text)], ["id", "text"])
+    chunks = cdc_chunk_rows(df, "id", "text").collect()
+    assert sum(r["n_tokens"] for r in chunks) == 100
+    idxs = sorted(r["chunk_idx"] for r in chunks)
+    assert idxs == list(range(len(chunks)))  # contiguous, zero-based
+
+
+def test_bigram_lm_hand_counts(spark):
+    df = spark.createDataFrame(
+        [(1, "a b a b c"), (2, "a b")], ["doc_id", "text"]
+    )
+    out = {(r["w1"], r["w2"]): r for r in bigram_lm_top(df, "doc_id", "text", top_n=10).collect()}
+    # bigrams: doc1 -> (a,b),(b,a),(a,b),(b,c); doc2 -> (a,b)
+    assert out[("a", "b")]["n_bigram"] == 3
+    assert out[("b", "a")]["n_bigram"] == 1
+    assert out[("b", "c")]["n_bigram"] == 1
+    assert out[("a", "b")]["n_head"] == 3  # 'a' heads 3 bigrams
+    assert out[("b", "a")]["n_head"] == 2  # 'b' heads 2
+    assert out[("a", "b")]["rnk"] == 1
+    import math
+
+    # V = distinct continuations = {a, b, c} = 3
+    expect = math.log((3 + 0.5) / (3 + 0.5 * 3))
+    assert abs(out[("a", "b")]["logp"] - expect) < 1e-12
+
+
+def test_hyperplane_lsh_subset_of_bruteforce(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 4)
+    exact = brute_force_topk(
+        emb, q, "vec_id", "embedding", "vec_id", "embedding", k=3
+    ).collect()
+    approx = hyperplane_lsh_topk(
+        emb, q, "vec_id", "embedding", "vec_id", "embedding", num_bits=8, k=3
+    ).collect()
+    # every approx pair's cosine must equal the exact cosine for that pair
+    exact_cos = {
+        (r["query_id"], r["neighbor_id"]): r["cosine"] for r in exact
+    }
+    all_pairs = {
+        (r["query_id"], r["neighbor_id"]): r["cosine"]
+        for r in brute_force_topk(
+            emb, q, "vec_id", "embedding", "vec_id", "embedding", k=10**9
+        ).collect()
+    }
+    for r in approx:
+        assert all_pairs[(r["query_id"], r["neighbor_id"])] == r["cosine"]
+    # recall is data-dependent but the candidate machinery must return
+    # *something* for this fixture
+    assert len(approx) > 0
+    assert len({(r["query_id"], r["rank"]) for r in approx}) == len(approx)
+
+
+def test_hyperplane_coeffs_deterministic_and_bounded():
+    a = hyperplane_coeffs(8, 64)
+    b = hyperplane_coeffs(8, 64)
+    assert a == b
+    flat = [w for plane in a for w in plane]
+    assert all(abs(w) <= 2**30 for w in flat)
+    # signs should be roughly balanced (sanity on the LCG, not a proof)
+    neg = sum(1 for w in flat if w < 0)
+    assert 0.3 < neg / len(flat) < 0.7
