@@ -1,0 +1,87 @@
+"""Exact heavy hitters at unbounded vocabulary: Misra-Gries candidates,
+then exact verification.
+
+The reference's word count (src/reduce_exe_word_count.go) shuffles every
+distinct key; at 100 TB with a web-scale vocabulary that shuffle IS the
+bottleneck.  The classic fix is two passes:
+
+1. **Candidate pass** — each partition runs a Misra-Gries summary with
+   capacity M (bounded memory, one Arrow-batched scan, no shuffle).  MG
+   guarantees any item with partition count > N_p/(M+1) survives; by
+   weighted pigeonhole, any item with global frequency >= phi*N exceeds
+   that bar in at least one partition whenever M+1 > 1/phi.  The union of
+   per-partition survivors is therefore a SUPERSET of the true heavy
+   hitters — tiny (<= partitions*M rows) and broadcastable.
+2. **Verify pass** — re-scan, keep only candidate tokens (broadcast semi
+   join, no full-vocabulary shuffle), count exactly, filter >= phi*N.
+
+The output is EXACT — approximation lives only in the pruning — which is
+what makes the DuckDB oracle a plain GROUP BY ... HAVING.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _misra_gries_partition(capacity: int, col: str):
+    """Weighted (batched) Misra-Gries: each Arrow batch is pre-aggregated
+    with value_counts (C speed), merged into the counter dict, then the
+    classic decrement step runs by the MINIMUM counter until <= capacity
+    survive.  The guarantee is unchanged: every decrement round subtracts
+    d from >= capacity+1 counters at once, so total decremented mass
+    <= N_p/(capacity+1) and any item with partition count above that bar
+    keeps a positive counter."""
+
+    def summarize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for tok, cnt in pdf[col].value_counts().items():
+                counters[tok] = counters.get(tok, 0) + int(cnt)
+            while len(counters) > capacity:
+                d = min(counters.values())
+                counters = {k: v - d for k, v in counters.items() if v > d}
+        yield pd.DataFrame({col: list(counters.keys())})
+
+    return summarize
+
+
+def heavy_hitters_exact(
+    tokens: DataFrame, col: str, phi: float, capacity: int | None = None
+) -> DataFrame:
+    """Tokens with exact frequency >= ``phi`` of the stream, via the
+    MG-candidates + exact-verify two-pass.
+
+    ``capacity`` defaults to ceil(2/phi) (safely above the 1/phi bound
+    that makes the candidate set a guaranteed superset).  Output:
+    (col, cnt, freq) — exact counts, exact ratios.
+    """
+    if capacity is None:
+        capacity = int(2.0 / phi) + 1
+    # The stream feeds three consumers (MG pass, total, verify count) and
+    # is deliberately NOT persisted: re-running a codegen'd tokenize scan
+    # costs ~1/5th of materializing the exploded token stream (measured
+    # 1.6 s vs 7.1 s at sf0.1) — caching pays only when the upstream is
+    # expensive relative to its output volume, the opposite case here.
+    stream = tokens.select(col)
+    candidates = stream.mapInPandas(
+        _misra_gries_partition(capacity, col), schema=f"{col} string"
+    ).distinct()
+    # stream size stays in-plan (broadcast 1-row agg), never a driver scalar
+    total = stream.agg(F.count("*").cast("long").alias("_total"))
+    return (
+        stream.join(F.broadcast(candidates), col)
+        .groupBy(col)
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("cnt") >= F.lit(phi) * F.col("_total"))
+        .select(
+            col,
+            "cnt",
+            (F.col("cnt").cast("double") / F.col("_total")).alias("freq"),
+        )
+    )

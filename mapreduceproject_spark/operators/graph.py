@@ -1,0 +1,162 @@
+"""Link analysis over a similarity graph: PageRank on IVF-cell-bounded
+kNN edges.
+
+No reference analogue (its graph is the membership ring,
+/root/reference/src/master_helpers.go:103-139 — topology, not data);
+this is the corpus-centrality operator: rank documents/embeddings by how
+often their neighbors' neighbors point back, for curation weighting or
+representative selection.
+
+Scale shape: edges come from within-IVF-cell pairs only (the same cell
+assignment as ann_ivf_topk — one broadcast centroid pass), so edge
+generation is Σ cell² not corpus², and every PageRank iteration is one
+shuffle on dst plus a broadcast-free groupBy — the standard Pregel-free
+DataFrame formulation.  Iterations are a fixed unrolled count
+(deterministic, oracle-replicable), not convergence-tested.
+
+Dangling nodes (empty cells of size 1 → no out-edges) simply leak their
+mass: scores stay deterministic and comparable, we document rather than
+redistribute (redistribution needs a per-iteration global scalar, a
+needless barrier at this operator's job — relative ranking).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from mapreduceproject_spark.functions.vectors import prequantized_cosine
+
+DAMPING = 0.85
+# Fixed-point PageRank scale: scores are integers in units of 1e-12.
+# Integer sums are order-independent, so two engines summing edge
+# contributions in different orders still produce IDENTICAL scores —
+# float inflow sums straddled value-hash rounding boundaries run-to-run.
+PR_SCALE = 10**12
+
+
+def knn_edges_ivf(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    num_centroids: int = 16,
+    k: int = 4,
+) -> DataFrame:
+    """(src, dst) top-k cosine edges among same-IVF-cell vectors.
+
+    Cell assignment matches ann_ivf_topk exactly: centroids are the
+    vectors with id < num_centroids, cells by max quantized cosine
+    (ties: lowest centroid id).
+    """
+    from mapreduceproject_spark.operators.similarity import _quantized_side
+
+    cq = _quantized_side(corpus, id_col, vec_col, "id")
+    centroids = F.broadcast(
+        cq.filter(F.col("id") < num_centroids).select(
+            F.col("id").alias("cid"), F.col("_q").alias("cq"), F.col("_n2").alias("cn2")
+        )
+    )
+    ccos = prequantized_cosine(F.col("_q"), F.col("cq"), F.col("_n2"), F.col("cn2"))
+    wc = Window.partitionBy("id").orderBy(F.desc("ccos"), F.asc("cid"))
+    cells = (
+        cq.crossJoin(centroids)
+        .select("id", "_q", "_n2", "cid", ccos.alias("ccos"))
+        .withColumn("rn", F.row_number().over(wc))
+        .filter(F.col("rn") == 1)
+        .select("id", "_q", "_n2", "cid")
+    )
+    a = cells.select(
+        F.col("cid"), F.col("id").alias("src"), F.col("_q").alias("qa"), F.col("_n2").alias("na")
+    )
+    b = cells.select(
+        F.col("cid"), F.col("id").alias("dst"), F.col("_q").alias("qb"), F.col("_n2").alias("nb")
+    )
+    pairs = (
+        a.join(b, "cid")
+        .filter(F.col("src") != F.col("dst"))
+        .select(
+            "src",
+            "dst",
+            prequantized_cosine(
+                F.col("qa"), F.col("qb"), F.col("na"), F.col("nb")
+            ).alias("cosine"),
+        )
+    )
+    we = Window.partitionBy("src").orderBy(F.desc("cosine"), F.asc("dst"))
+    return (
+        pairs.withColumn("rn", F.row_number().over(we))
+        .filter(F.col("rn") <= k)
+        .select("src", "dst")
+    )
+
+
+def pagerank(
+    nodes: DataFrame,
+    edges: DataFrame,
+    id_col: str,
+    iterations: int = 2,
+    damping: float = DAMPING,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Fixed-iteration PageRank in exact fixed-point arithmetic:
+    p0 = SCALE/N (floor), then
+    p_{t+1}(v) = floor((1-d)·SCALE/N) + Σ_{(u,v)} floor(d·p_t(u)/outdeg(u))
+    with d as the rational damping·100/100 — every operation is integer,
+    so the edge-contribution sum is order-independent and two engines (or
+    two runs) produce bit-identical scores; float inflow sums differ in
+    the last ulps run-to-run, enough to straddle a value-hash rounding
+    boundary.  Each floor truncates < 1/SCALE of mass — invisible next
+    to the documented dangling-node leak.
+
+    N is kept in-plan (broadcast 1-row count); per iteration: one join
+    edges→scores on src (shuffle on src, reusable), one groupBy dst.
+    Output: (id_col, pr as double = p_int/SCALE) for every node.
+
+    Each iteration's score table is checkpointed (local by default,
+    durable when ``checkpoint_dir`` is given — same contract as
+    connected_components): without the lineage cut, iteration t's plan
+    contains t copies of the join chain and Catalyst optimization time
+    grows faster than the data does.
+    """
+    d_num = int(round(damping * 100))  # damping as an exact rational /100
+
+    def ckpt(df: DataFrame) -> DataFrame:
+        if checkpoint_dir is None:
+            return df.localCheckpoint()
+        df.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+        return df.checkpoint()
+
+    n_df = F.broadcast(nodes.agg(F.count("*").cast("long").alias("_n")))
+    outdeg = edges.groupBy("src").agg(F.count("*").cast("long").alias("_deg"))
+    ranked = (
+        nodes.select(F.col(id_col).alias("_v"))
+        .crossJoin(n_df)
+        .select("_v", "_n", F.expr(f"{PR_SCALE}L div _n").alias("p"))
+    )
+    ed = ckpt(edges.join(outdeg, "src"))
+    for _ in range(iterations):
+        contrib = (
+            ed.join(ranked.select(F.col("_v").alias("src"), "p"), "src")
+            .select(
+                F.col("dst").alias("_v"),
+                F.expr(f"({d_num}L * p) div (100L * _deg)").alias("c"),
+            )
+            .groupBy("_v")
+            .agg(F.sum("c").cast("long").alias("inflow"))
+        )
+        ranked = ckpt(
+            ranked.select("_v", "_n")
+            .join(contrib, "_v", "left")
+            .select(
+                "_v",
+                "_n",
+                (
+                    F.expr(f"({100 - d_num}L * {PR_SCALE}L) div (100L * _n)")
+                    + F.coalesce(F.col("inflow"), F.lit(0).cast("long"))
+                ).alias("p"),
+            )
+        )
+    return ranked.select(
+        F.col("_v").alias(id_col),
+        (F.col("p").cast("double") / F.lit(float(PR_SCALE))).alias("pr"),
+    )

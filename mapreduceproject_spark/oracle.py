@@ -130,7 +130,31 @@ def compare_frames(name: str, spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame)
     rep.rows_match = bad == 0
     if bad:
         rep.mismatches.append(f"{bad} unmatched rows total")
+        return rep
+    # Second gate: the DRIVER's hash is stricter than tolerance matching —
+    # repr(round(float, 6)) per cell, so (a) a float sitting ON a rounding
+    # boundary where the engines differ in the last ulps, and (b) a NULL
+    # boolean (pandas None on one engine, NaN on the other) both flip it
+    # while passing the tolerance compare.  Replicate it exactly so pytest
+    # fails where the driver would (caught pagerank_knn + is_anomaly).
+    if _driver_hash(spark_pdf) != _driver_hash(oracle_pdf):
+        rep.rows_match = False
+        rep.mismatches.append("driver-style value hash differs (round-6 repr)")
     return rep
+
+
+def _driver_hash(pdf: pd.DataFrame) -> str:
+    import hashlib
+
+    cols = sorted(pdf.columns)
+    rows = sorted(
+        tuple(
+            repr(round(v, 6)) if isinstance(v, float) else repr(v)
+            for v in (r[c] for c in cols)
+        )
+        for _, r in pdf.iterrows()
+    )
+    return hashlib.md5(repr(rows).encode()).hexdigest()
 
 
 def check_query(spark, name: str, sf_dir: str) -> ParityReport:

@@ -18,4 +18,5 @@ from mapreduceproject_spark.plans import (  # noqa: F401,E402
     multimodal_queries,
     streaming_queries,
     governance_queries,
+    observability_queries,
 )

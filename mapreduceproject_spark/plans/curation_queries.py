@@ -659,3 +659,32 @@ def training_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "source",
     )
+
+
+# -- exact heavy hitters (MG candidates + exact verify) ---------------------
+HH_PHI = 0.02
+
+
+@query(
+    "heavy_hitters",
+    oracle=f"""
+    WITH t AS (SELECT unnest({_LTOKS}) AS term FROM documents),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM t)
+    SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt,
+           CAST(COUNT(*) AS DOUBLE) / total AS freq
+    FROM t, n GROUP BY term, total
+    HAVING COUNT(*) >= {HH_PHI} * total
+    """,
+)
+def heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact vocabulary heavy hitters (frequency >= {HH_PHI}): bounded-
+    memory Misra-Gries candidate pass per partition, then broadcast-
+    filtered exact verification — the full-vocabulary shuffle never
+    happens, but the output is exact (operators/frequency.py), which is
+    why the oracle is a plain GROUP BY ... HAVING."""
+    from mapreduceproject_spark.operators.frequency import heavy_hitters_exact
+    from mapreduceproject_spark.sources.catalog import spread_for_compute
+
+    docs = spread_for_compute(load_table(spark, sf_dir, "documents"))
+    toks = docs.select(F.explode(tokens(F.lower(F.col("text")))).alias("term"))
+    return heavy_hitters_exact(toks, "term", phi=HH_PHI)

@@ -1,0 +1,181 @@
+"""Warehouse-observability suite: table profiling and event-rate anomaly
+detection.
+
+The reference exposes no introspection beyond `ls`/`store` listings
+(/root/reference/src/master.go:121-298); a production engine needs a data
+profiler (the ANALYZE/stats surface) and rate-anomaly monitoring over its
+event stream.  Both are single-pass declarative plans.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from mapreduceproject_spark.plans.registry import query
+from mapreduceproject_spark.sources.catalog import load_table
+
+# -- data_profile -----------------------------------------------------------
+# (column, kind) — the single source of truth both engines profile from.
+PROFILE_COLS: tuple[tuple[str, str], ...] = (
+    ("l_orderkey", "num"),
+    ("l_partkey", "num"),
+    ("l_suppkey", "num"),
+    ("l_linenumber", "num"),
+    ("l_quantity", "num"),
+    ("l_extendedprice", "num"),
+    ("l_discount", "num"),
+    ("l_tax", "num"),
+    ("l_returnflag", "str"),
+    ("l_linestatus", "str"),
+    ("l_shipdate", "ts"),
+)
+
+
+def _profile_oracle() -> str:
+    aggs = ["CAST(COUNT(*) AS BIGINT) AS n_rows"]
+    for c, kind in PROFILE_COLS:
+        aggs.append(f"CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_{c}")
+        aggs.append(f"CAST(COUNT(DISTINCT {c}) AS BIGINT) AS nd_{c}")
+        if kind == "num":
+            aggs.append(f"CAST(MIN({c}) AS DOUBLE) AS mn_{c}")
+            aggs.append(f"CAST(MAX({c}) AS DOUBLE) AS mx_{c}")
+        elif kind == "ts":
+            aggs.append(f"CAST(epoch_us(MIN({c})) AS DOUBLE) AS mn_{c}")
+            aggs.append(f"CAST(epoch_us(MAX({c})) AS DOUBLE) AS mx_{c}")
+        else:
+            aggs.append(f"MIN({c}) AS mn_{c}")
+            aggs.append(f"MAX({c}) AS mx_{c}")
+    rows = []
+    for c, kind in PROFILE_COLS:
+        num = kind in ("num", "ts")
+        rows.append(
+            f"SELECT '{c}' AS col_name, '{kind}' AS dtype, n_rows,"
+            f" nn_{c} AS n_nulls, nd_{c} AS n_distinct,"
+            f" {f'mn_{c}' if num else 'CAST(NULL AS DOUBLE)'} AS min_num,"
+            f" {f'mx_{c}' if num else 'CAST(NULL AS DOUBLE)'} AS max_num,"
+            f" {f'mn_{c}' if not num else 'CAST(NULL AS VARCHAR)'} AS min_str,"
+            f" {f'mx_{c}' if not num else 'CAST(NULL AS VARCHAR)'} AS max_str"
+            " FROM a"
+        )
+    body = "\n    UNION ALL ".join(rows)
+    return f"""
+    WITH a AS (SELECT {", ".join(aggs)} FROM lineitem)
+    {body}
+    """
+
+
+@query("data_profile", oracle=_profile_oracle())
+def data_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiler over lineitem: null count, exact distinct, typed
+    min/max (numerics as double, timestamps as epoch-µs, strings as-is)
+    — one pruned-scan branch per column, unioned; the stats backbone for
+    cost-based planning and data-quality gates."""
+    li = load_table(spark, sf_dir, "lineitem")
+    # One branch per column, unioned: each branch scans ONLY its column
+    # (columnar pruning) and carries a single countDistinct, so Catalyst
+    # plans a two-stage partial distinct per branch.  The all-in-one-agg
+    # alternative (11 distinct aggregates in one Aggregate) triggers an
+    # Expand that multiplies every scanned row 12x — measured 46 s vs ~3 s
+    # at sf0.1.
+    n_rows = F.broadcast(li.agg(F.count("*").cast("long").alias("n_rows")))
+    branches = []
+    for c, kind in PROFILE_COLS:
+        num = kind in ("num", "ts")
+        if kind == "num":
+            mn = F.min(c).cast("double")
+            mx = F.max(c).cast("double")
+        elif kind == "ts":
+            mn = F.unix_micros(F.min(c).cast("timestamp")).cast("double")
+            mx = F.unix_micros(F.max(c).cast("timestamp")).cast("double")
+        else:
+            mn = F.min(c)
+            mx = F.max(c)
+        branches.append(
+            li.select(c).agg(
+                F.lit(c).alias("col_name"),
+                F.lit(kind).alias("dtype"),
+                F.sum(F.col(c).isNull().cast("long")).alias("n_nulls"),
+                F.countDistinct(c).alias("n_distinct"),
+                (mn if num else F.lit(None).cast("double")).alias("min_num"),
+                (mx if num else F.lit(None).cast("double")).alias("max_num"),
+                (mn if not num else F.lit(None).cast("string")).alias("min_str"),
+                (mx if not num else F.lit(None).cast("string")).alias("max_str"),
+            )
+        )
+    out = branches[0]
+    for b in branches[1:]:
+        out = out.unionByName(b)
+    return out.crossJoin(n_rows).select(
+        "col_name", "dtype", "n_rows", "n_nulls", "n_distinct",
+        "min_num", "max_num", "min_str", "max_str",
+    )
+
+
+# -- event_anomaly_zscore ---------------------------------------------------
+ANOM_TRAIL, ANOM_Z = 7, 2.0
+
+
+@query(
+    "event_anomaly_zscore",
+    oracle=f"""
+    WITH c AS (
+      SELECT event_type,
+             CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT) AS day_idx,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM events GROUP BY 1, 2
+    ),
+    w AS (
+      SELECT *,
+             AVG(n_events) OVER t AS trail_mean,
+             stddev_samp(n_events) OVER t AS trail_sd,
+             COUNT(*) OVER t AS trail_n
+      FROM c
+      WINDOW t AS (PARTITION BY event_type ORDER BY day_idx
+                   ROWS BETWEEN {ANOM_TRAIL} PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_type, day_idx, n_events, trail_mean, trail_sd,
+           CASE WHEN trail_n >= 2 AND trail_sd > 0
+                THEN (n_events - trail_mean) / trail_sd END AS zscore,
+           COALESCE(CASE WHEN trail_n >= 2 AND trail_sd > 0
+                THEN abs((n_events - trail_mean) / trail_sd) > {ANOM_Z} END,
+                FALSE) AS is_anomaly
+    FROM w
+    """,
+)
+def event_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily event-rate anomaly detection per event type: z-score of each
+    day's count against its trailing-{ANOM_TRAIL}-day window (mean +
+    sample stddev).  One groupBy and one window over (type, day) — the
+    monitoring query that watches a 100 TB/day ingest for silent
+    upstream breakage."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.datediff(F.to_date("ts"), F.to_date(F.lit("2024-01-01"))).cast("long")
+    c = ev.groupBy(
+        "event_type", day.alias("day_idx")
+    ).agg(F.count("*").cast("long").alias("n_events"))
+    t = (
+        Window.partitionBy("event_type")
+        .orderBy("day_idx")
+        .rowsBetween(-ANOM_TRAIL, -1)
+    )
+    w = (
+        c.withColumn("trail_mean", F.avg("n_events").over(t))
+        .withColumn("trail_sd", F.stddev_samp("n_events").over(t))
+        .withColumn("trail_n", F.count("n_events").over(t))
+    )
+    usable = (F.col("trail_n") >= 2) & (F.col("trail_sd") > 0)
+    z = (F.col("n_events") - F.col("trail_mean")) / F.col("trail_sd")
+    return w.select(
+        "event_type",
+        "day_idx",
+        "n_events",
+        "trail_mean",
+        "trail_sd",
+        F.when(usable, z).alias("zscore"),
+        # never-null boolean: a NULL bool round-trips as pandas NaN on one
+        # engine and None on the other, spuriously failing the value hash
+        F.coalesce(F.when(usable, F.abs(z) > ANOM_Z), F.lit(False)).alias(
+            "is_anomaly"
+        ),
+    )

@@ -48,11 +48,16 @@ _FRONT: tuple[str, ...] = (
     # New this round — BM25 retrieval + weighted training-order interleave.
     "bm25_search",
     "training_interleave",
-    # New this round — governance, chunk dedup, bigram LM, hyperplane LSH.
+    # New this round — governance, chunk dedup, bigram LM, hyperplane LSH,
+    # heavy hitters, profiling, anomaly detection, graph centrality.
     "pii_scan_redact",
     "cdc_chunk_dedup",
     "bigram_lm_top",
     "ann_hyperplane_topk",
+    "heavy_hitters",
+    "data_profile",
+    "event_anomaly_zscore",
+    "pagerank_knn",
     # Re-verification of the heaviest / most algorithmically dense tier —
     # all r2-green; fills the window in descending value of a fresh row.
     "dedup_edit_distance",

@@ -348,3 +348,76 @@ def ann_hyperplane_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=TOP_K,
     )
     return out.withColumnRenamed("rank", "rnk")
+
+
+# -- PageRank over the IVF-cell kNN graph -----------------------------------
+PR_K, PR_ITERS, PR_DAMP = 4, 2, 0.85
+from mapreduceproject_spark.operators.graph import PR_SCALE as SCALE  # noqa: E402
+
+
+def _pagerank_oracle() -> str:
+    parts = [
+        f"""c AS (SELECT id AS cid, q AS cq FROM v WHERE id < {IVF_CENTROIDS}),
+    cor AS (
+      SELECT v.id, v.q, c.cid, {duck_quantized_cosine("v.q", "c.cq")} AS ccos
+      FROM v, c
+    ),
+    cells AS (
+      SELECT id, q, cid FROM (
+        SELECT *, row_number() OVER (PARTITION BY id ORDER BY ccos DESC, cid) AS rn
+        FROM cor) WHERE rn = 1
+    ),
+    pairs AS (
+      SELECT a.id AS src, b.id AS dst,
+             {duck_quantized_cosine("a.q", "b.q")} AS cosine
+      FROM cells a JOIN cells b ON a.cid = b.cid AND a.id <> b.id
+    ),
+    edges AS (
+      SELECT src, dst FROM (
+        SELECT *, row_number() OVER (PARTITION BY src ORDER BY cosine DESC, dst) AS rn
+        FROM pairs) WHERE rn <= {PR_K}
+    ),
+    deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM edges GROUP BY 1),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM v),
+    p0 AS (SELECT id AS vid, {SCALE} // nn AS p FROM v, n)"""
+    ]
+    # fixed-point integer recurrence (operators/graph.py): order-independent
+    # integer sums, bit-identical across engines
+    d_num = int(round(PR_DAMP * 100))
+    for i in range(PR_ITERS):
+        parts.append(
+            f"""inf{i} AS (
+      SELECT e.dst AS vid,
+             CAST(SUM(({d_num} * p.p) // (100 * d.deg)) AS BIGINT) AS inflow
+      FROM edges e JOIN deg d USING (src) JOIN p{i} p ON p.vid = e.src
+      GROUP BY 1
+    ),
+    p{i + 1} AS (
+      SELECT b.vid,
+             ({100 - d_num} * {SCALE}) // (100 * nn) + COALESCE(i.inflow, 0) AS p
+      FROM (SELECT vid FROM p{i}) b LEFT JOIN inf{i} i USING (vid), n
+    )"""
+        )
+    body = ",\n    ".join(parts)
+    return f"""
+    {_QUANT_CTE},
+    {body}
+    SELECT vid AS vec_id, CAST(p AS DOUBLE) / {float(SCALE)} AS pr FROM p{PR_ITERS}
+    """
+
+
+@query("pagerank_knn", oracle=_pagerank_oracle())
+def pagerank_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank ({PR_ITERS} unrolled iterations, d={PR_DAMP}) over the
+    top-{PR_K} cosine kNN graph built from same-IVF-cell pairs — corpus
+    centrality for curation weighting; edge generation is cell-bounded
+    (never corpus²) and each iteration is one src-join + one dst-groupBy
+    (operators/graph.py).  Dangling-node mass deliberately leaks (no
+    global redistribution barrier); documented in the operator."""
+    from mapreduceproject_spark.operators.graph import knn_edges_ivf, pagerank
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    edges = knn_edges_ivf(
+        emb, "vec_id", "embedding", num_centroids=IVF_CENTROIDS, k=PR_K
+    )
+    return pagerank(emb, edges, "vec_id", iterations=PR_ITERS, damping=PR_DAMP)

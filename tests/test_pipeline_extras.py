@@ -126,3 +126,43 @@ def test_hyperplane_coeffs_deterministic_and_bounded():
     # signs should be roughly balanced (sanity on the LCG, not a proof)
     neg = sum(1 for w in flat if w < 0)
     assert 0.3 < neg / len(flat) < 0.7
+
+
+def test_heavy_hitters_exact_on_skewed_stream(spark):
+    """MG candidates must be a superset of true heavy hitters, so the
+    two-pass output equals a plain exact groupBy + threshold."""
+    import itertools
+
+    # 10_000 tokens: 'hot' 30%, 'warm' 10%, tail of 6000 singletons-ish
+    toks = (
+        ["hot"] * 3000
+        + ["warm"] * 1000
+        + [f"t{i}" for i in itertools.chain.from_iterable([range(6000)])]
+    )
+    df = spark.createDataFrame([(t,) for t in toks], ["term"]).repartition(8)
+    from mapreduceproject_spark.operators.frequency import heavy_hitters_exact
+
+    out = {r["term"]: r for r in heavy_hitters_exact(df, "term", phi=0.05).collect()}
+    assert set(out) == {"hot", "warm"}
+    assert out["hot"]["cnt"] == 3000
+    assert out["warm"]["cnt"] == 1000
+    assert abs(out["hot"]["freq"] - 0.3) < 1e-12
+
+
+def test_pagerank_hand_graph(spark):
+    """Star graph a->c, b->c, c->a: c collects the most mass; total mass
+    stays <= 1 (dangling leak documented) and every node keeps the
+    (1-d)/N floor."""
+    from mapreduceproject_spark.operators.graph import pagerank
+
+    nodes = spark.createDataFrame([(i,) for i in ["a", "b", "c"]], ["id"])
+    edges = spark.createDataFrame(
+        [("a", "c"), ("b", "c"), ("c", "a")], ["src", "dst"]
+    )
+    # enough iterations for the a<->c oscillation (decay 0.85^2 per step)
+    # to settle below the converged 0.023 gap between them
+    pr = {r["id"]: r["pr"] for r in pagerank(nodes, edges, "id", iterations=25).collect()}
+    assert pr["c"] > pr["a"] > pr["b"]
+    assert abs(sum(pr.values()) - 1.0) < 1e-9  # fully stochastic here: no dangling
+    floor = (1 - 0.85) / 3
+    assert all(v >= floor - 1e-12 for v in pr.values())
