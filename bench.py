@@ -34,8 +34,14 @@ def main() -> None:
     from mapreduceproject_spark.session import get_spark
 
     spark = get_spark(app_name="bench", master=f"local[{CPUS}]")
-    # Warmup: JVM + codegen + parquet footer caches.
+    # Warmup: JVM + codegen + parquet footer caches, plus one tiny
+    # mapInPandas round-trip so Python-worker startup (a session-wide
+    # one-time cost: N workers x pandas import) isn't billed to whichever
+    # Arrow-kernel query happens to run first.
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    spark.range(int(CPUS) * 4).repartition(int(CPUS)).mapInPandas(
+        lambda it: it, schema="id long"
+    ).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name in sorted(plans.QUERIES):
@@ -43,6 +49,12 @@ def main() -> None:
         t0 = time.perf_counter()
         fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
+        # Drop this query's persisted frames before the next one: across
+        # 100+ queries the accumulated caches fill storage memory and the
+        # resulting evictions/GC land on RANDOM later queries (observed:
+        # the same query swinging 7.8 s <-> 25 s between runs).  Clearing
+        # outside the timer keeps every query's bill independent.
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     print(

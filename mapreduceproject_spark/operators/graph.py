@@ -64,6 +64,8 @@ def knn_edges_ivf(
         .withColumn("rn", F.row_number().over(wc))
         .filter(F.col("rn") == 1)
         .select("id", "_q", "_n2", "cid")
+        .persist()  # feeds BOTH sides of the pair self-join — without the
+        # barrier the whole assignment pipeline runs twice
     )
     a = cells.select(
         F.col("cid"), F.col("id").alias("src"), F.col("_q").alias("qa"), F.col("_n2").alias("na")
@@ -97,6 +99,7 @@ def pagerank(
     iterations: int = 2,
     damping: float = DAMPING,
     checkpoint_dir: str | None = None,
+    ckpt_every: int = 3,
 ) -> DataFrame:
     """Fixed-iteration PageRank in exact fixed-point arithmetic:
     p0 = SCALE/N (floor), then
@@ -112,17 +115,21 @@ def pagerank(
     edges→scores on src (shuffle on src, reusable), one groupBy dst.
     Output: (id_col, pr as double = p_int/SCALE) for every node.
 
-    Each iteration's score table is checkpointed (local by default,
-    durable when ``checkpoint_dir`` is given — same contract as
-    connected_components): without the lineage cut, iteration t's plan
-    contains t copies of the join chain and Catalyst optimization time
-    grows faster than the data does.
+    Every ``ckpt_every``-th iteration's score table is checkpointed
+    (local+lazy by default, durable when ``checkpoint_dir`` is given —
+    same contract as connected_components): without the periodic lineage
+    cut, iteration t's plan contains t copies of the join chain and
+    Catalyst optimization time grows faster than the data does; cutting
+    EVERY iteration wastes a materialization job each on short runs.
     """
     d_num = int(round(damping * 100))  # damping as an exact rational /100
 
     def ckpt(df: DataFrame) -> DataFrame:
         if checkpoint_dir is None:
-            return df.localCheckpoint()
+            # lazy: the lineage cut happens at first materialization, so
+            # no extra per-iteration job is spent eagerly caching frames
+            # that the next iteration immediately consumes anyway
+            return df.localCheckpoint(eager=False)
         df.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
         return df.checkpoint()
 
@@ -134,7 +141,7 @@ def pagerank(
         .select("_v", "_n", F.expr(f"{PR_SCALE}L div _n").alias("p"))
     )
     ed = ckpt(edges.join(outdeg, "src"))
-    for _ in range(iterations):
+    for it in range(iterations):
         contrib = (
             ed.join(ranked.select(F.col("_v").alias("src"), "p"), "src")
             .select(
@@ -144,7 +151,7 @@ def pagerank(
             .groupBy("_v")
             .agg(F.sum("c").cast("long").alias("inflow"))
         )
-        ranked = ckpt(
+        ranked = (
             ranked.select("_v", "_n")
             .join(contrib, "_v", "left")
             .select(
@@ -156,6 +163,8 @@ def pagerank(
                 ).alias("p"),
             )
         )
+        if (it + 1) % ckpt_every == 0:
+            ranked = ckpt(ranked)
     return ranked.select(
         F.col("_v").alias(id_col),
         (F.col("p").cast("double") / F.lit(float(PR_SCALE))).alias("pr"),

@@ -52,18 +52,23 @@ def hyperplane_coeffs(num_bits: int, dim: int) -> list[list[int]]:
     ]
 
 
-def _signature(q_col, planes: list[list[int]]):
-    """Bit j of the signature = sign of <q, plane_j> (>= 0 -> 1)."""
-    sig = F.lit(0).cast("long")
+def _signature(q_col_name: str, planes: list[list[int]]):
+    """Bit j of the signature = sign of <q, plane_j> (>= 0 -> 1).
+
+    Built as ONE SQL string parsed once: assembling the 512 coefficient
+    literals as individual Column objects costs ~2 s of Py4J round-trips
+    per query construction; the SQL parser swallows the same literals in
+    milliseconds.
+    """
+    terms = []
     for j, plane in enumerate(planes):
-        lits = F.array(*[F.lit(w).cast("long") for w in plane])
-        dot = F.aggregate(
-            F.zip_with(q_col, lits, lambda x, w: x * w),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
+        arr = ", ".join(f"{w}L" for w in plane)
+        terms.append(
+            f"(CASE WHEN aggregate(zip_with({q_col_name}, array({arr}), "
+            "(x, w) -> x * w), 0L, (acc, x) -> acc + x) >= 0 "
+            f"THEN {1 << j}L ELSE 0L END)"
         )
-        sig = sig + F.when(dot >= 0, F.lit(1 << j)).otherwise(F.lit(0))
-    return sig
+    return F.expr(" + ".join(terms))
 
 
 def hyperplane_lsh_topk(
@@ -90,7 +95,7 @@ def hyperplane_lsh_topk(
     """
     planes = hyperplane_coeffs(num_bits, dim)
     cq = _quantized_side(corpus, id_col, vec_col, "neighbor_id").withColumn(
-        "_sig", _signature(F.col("_q"), planes)
+        "_sig", _signature("_q", planes)
     )
     probes = F.array(*[F.lit(m) for m in [0] + [1 << j for j in range(num_bits)]])
     qq = F.broadcast(
@@ -99,7 +104,7 @@ def hyperplane_lsh_topk(
             quantize(F.col(query_vec_col)).alias("_qq"),
         )
         .withColumn("_qn2", quantized_norm2(F.col("_qq")))
-        .withColumn("_qsig", _signature(F.col("_qq"), planes))
+        .withColumn("_qsig", _signature("_qq", planes))
         .withColumn("_probe", F.explode(probes))
         .withColumn("_bucket", F.col("_qsig").bitwiseXOR(F.col("_probe")))
         .drop("_qsig", "_probe")
