@@ -445,3 +445,68 @@ def cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     chunks = cdc_chunk_rows(docs, "doc_id", "text", keep=["source"])
     return chunk_dup_rollup(chunks, "doc_id", "source")
+
+
+# -- keep-best canonical selection over duplicate clusters ------------------
+
+
+def _keep_best_oracle() -> str:
+    from mapreduceproject_spark.plans.text_queries import _quality_oracle
+
+    return f"""
+    WITH clusters AS ({_clusters_oracle()}),
+    q AS (SELECT doc_id, quality FROM ({_quality_oracle()}))
+    SELECT cluster_id, kept_doc_id, kept_quality,
+           CAST(n_members AS BIGINT) AS n_members,
+           CAST(n_members - 1 AS BIGINT) AS n_dropped
+    FROM (
+      SELECT c.cluster_id,
+             first(c.doc_id ORDER BY q.quality DESC, c.doc_id) AS kept_doc_id,
+             first(q.quality ORDER BY q.quality DESC, c.doc_id) AS kept_quality,
+             COUNT(*) AS n_members
+      FROM clusters c JOIN q USING (doc_id)
+      GROUP BY 1
+    )
+    """
+
+
+@query("dedup_keep_best", oracle=_keep_best_oracle())
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-document selection: MinHash-LSH duplicate clusters joined
+    with heuristic quality scores; each cluster keeps its highest-quality
+    member (ties: lowest doc_id).  The end-to-end dedup decision a corpus
+    pipeline actually ships — cluster, pick survivor, count the drops —
+    composed entirely from existing operators (operators/dedup.py +
+    operators/text_analysis.py)."""
+    from pyspark.sql import Window
+
+    from mapreduceproject_spark.operators import text_analysis as ta
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dd.minhash_lsh_dedup(
+        docs,
+        "doc_id",
+        "text",
+        num_hashes=MINHASH_N,
+        bands=MINHASH_BANDS,
+        shingle_k=SHINGLE_K,
+        threshold=JACCARD_THR,
+        seed=MINHASH_SEED,
+    ).select("id_a", "id_b")
+    clusters = dd.duplicate_clusters(pairs)
+    quality = ta.quality_scores(docs, "doc_id", "text").select("doc_id", "quality")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("quality"), F.asc("doc_id")
+    )
+    ranked = clusters.join(quality, "doc_id").withColumn(
+        "_rn", F.row_number().over(w)
+    )
+    return (
+        ranked.groupBy("cluster_id")
+        .agg(
+            F.max(F.when(F.col("_rn") == 1, F.col("doc_id"))).alias("kept_doc_id"),
+            F.max(F.when(F.col("_rn") == 1, F.col("quality"))).alias("kept_quality"),
+            F.count("*").cast("long").alias("n_members"),
+        )
+        .withColumn("n_dropped", (F.col("n_members") - 1).cast("long"))
+    )

@@ -58,6 +58,8 @@ _FRONT: tuple[str, ...] = (
     "data_profile",
     "event_anomaly_zscore",
     "pagerank_knn",
+    "dedup_keep_best",
+    "scd2_intervals",
     # Re-verification of the heaviest / most algorithmically dense tier —
     # all r2-green; fills the window in descending value of a fresh row.
     "dedup_edit_distance",

@@ -1446,3 +1446,64 @@ def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ok").isNull().alias("only_events"),
         F.col("ek").isNull().alias("only_orders"),
     )
+
+
+# -- SCD Type-2 dimension build (gaps-and-islands) --------------------------
+
+
+@query(
+    "scd2_intervals",
+    oracle="""
+    WITH daily AS (
+      SELECT user_id,
+             CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT) AS day_idx,
+             event_type
+      FROM (
+        SELECT *, row_number() OVER (
+                 PARTITION BY user_id, CAST(ts AS DATE)
+                 ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+      ) WHERE rn = 1
+    ),
+    islands AS (
+      SELECT *, day_idx - row_number() OVER (
+               PARTITION BY user_id, event_type ORDER BY day_idx) AS grp
+      FROM daily
+    )
+    SELECT user_id, event_type,
+           MIN(day_idx) AS valid_from_day,
+           MAX(day_idx) AS valid_to_day,
+           CAST(COUNT(*) AS BIGINT) AS n_days
+    FROM islands GROUP BY user_id, event_type, grp
+    """,
+)
+def scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 dimension build: each user's last event type per day
+    becomes the tracked attribute; consecutive same-value days merge into
+    validity intervals via the gaps-and-islands trick (day_idx minus
+    per-value row_number is constant within a run).  One shuffle on
+    user_id carries every window; the warehouse pattern for slowly
+    changing dimensions, no MERGE engine required."""
+    ev = events(spark, sf_dir)
+    day = F.datediff(F.to_date("ts"), F.to_date(F.lit("2024-01-01"))).cast("long")
+    wd = Window.partitionBy("user_id", F.to_date("ts")).orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    daily = (
+        ev.withColumn("rn", F.row_number().over(wd))
+        .filter(F.col("rn") == 1)
+        .select("user_id", day.alias("day_idx"), "event_type")
+    )
+    wi = Window.partitionBy("user_id", "event_type").orderBy("day_idx")
+    islands = daily.withColumn(
+        "grp", F.col("day_idx") - F.row_number().over(wi)
+    )
+    return (
+        islands.groupBy("user_id", "event_type", "grp")
+        .agg(
+            F.min("day_idx").alias("valid_from_day"),
+            F.max("day_idx").alias("valid_to_day"),
+            F.count("*").cast("long").alias("n_days"),
+        )
+        .drop("grp")
+    )

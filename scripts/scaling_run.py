@@ -46,6 +46,14 @@ TIER = [
     "kmeans_embeddings",
     "text_fingerprints",
     "text_langid_ngram",
+    # round-3 second wave (documents/embeddings-backed)
+    "pii_scan_redact",
+    "cdc_chunk_dedup",
+    "bigram_lm_top",
+    "heavy_hitters",
+    "ann_hyperplane_topk",
+    "pagerank_knn",
+    "dedup_keep_best",
 ]
 
 ALPHA = "abcdefghijklmnopqrstuvwxyz"
@@ -155,6 +163,26 @@ def ivf_centroid_scaling_check(spark) -> dict:
     return {"c_scaled": 16 * REPLICAS, "sec": round(time.perf_counter() - t0, 2)}
 
 
+def pagerank_centroid_scaling_check(spark) -> dict:
+    """pagerank_knn shares the IVF cell structure, so it shares the cliff:
+    fixed 16 centroids at 10x corpus means 100x within-cell edge-candidate
+    pairs.  Same knob, same fix — run the operator with centroids scaled
+    10x on the scaled fixture."""
+    import time
+
+    from mapreduceproject_spark.operators.graph import knn_edges_ivf, pagerank
+
+    emb = spark.read.parquet(f"{OUT_DIR}/embeddings.parquet")
+    t0 = time.perf_counter()
+    edges = knn_edges_ivf(
+        emb, "vec_id", "embedding", num_centroids=16 * REPLICAS, k=4
+    )
+    pagerank(emb, edges, "vec_id", iterations=2).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    return {"c_scaled": 16 * REPLICAS, "sec": round(time.perf_counter() - t0, 2)}
+
+
 def main() -> None:
     from mapreduceproject_spark import plans
     from mapreduceproject_spark.session import get_spark
@@ -175,8 +203,13 @@ def main() -> None:
             "overwrite"
         ).save()
         timings[name] = round(time.perf_counter() - t0, 2)
+        # same hygiene as bench.py: don't let one query's persisted frames
+        # evict into the next query's measurement
+        spark.catalog.clearCache()
     skew_ok = skew_split_check(spark)
     ivf = ivf_centroid_scaling_check(spark)
+    spark.catalog.clearCache()
+    pr = pagerank_centroid_scaling_check(spark)
     print(
         json.dumps(
             {
@@ -186,6 +219,7 @@ def main() -> None:
                 "total": round(sum(timings.values()), 2),
                 "aqe_skew_split_fired": skew_ok,
                 "ivf_centroids_scaled": ivf,
+                "pagerank_centroids_scaled": pr,
             }
         )
     )

@@ -25,6 +25,17 @@ REPRESENTATIVE = [
     "sample_hash_split",
     "pivot_status_by_priority",
     "funnel_conversion",
+    # round-3 second wave
+    "pii_scan_redact",
+    "cdc_chunk_dedup",
+    "bigram_lm_top",
+    "ann_hyperplane_topk",
+    "heavy_hitters",
+    "data_profile",
+    "event_anomaly_zscore",
+    "pagerank_knn",
+    "dedup_keep_best",
+    "scd2_intervals",
 ]
 
 

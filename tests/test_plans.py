@@ -198,3 +198,54 @@ def test_bm25_broadcasts_query_terms(spark, sf_dir):
     # corpus-sized shuffle is the (doc, term) tf aggregation
     plan = _plan(QUERIES["bm25_search"](spark, sf_dir))
     assert "BroadcastHashJoin" in plan
+
+
+# -- round-3 second wave ----------------------------------------------------
+
+
+def test_pii_scan_has_no_shuffle(spark, sf_dir):
+    # pure codegen projection: any Exchange would mean the scan pattern broke
+    plan = _plan(QUERIES["pii_scan_redact"](spark, sf_dir))
+    assert "Exchange" not in plan
+    assert "*(1)" in plan  # whole-stage codegen star on the single stage
+
+
+def test_heavy_hitters_verify_join_broadcasts_candidates(spark, sf_dir):
+    # the whole point of the two-pass: the verify join must broadcast the
+    # tiny candidate set, never shuffle the full token stream by token
+    plan = _plan(QUERIES["heavy_hitters"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_bigram_top_uses_takeordered(spark, sf_dir):
+    plan = _plan(QUERIES["bigram_lm_top"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_data_profile_prunes_each_branch_scan(spark, sf_dir):
+    # each unioned branch must read ONLY its own column
+    plan = _plan(QUERIES["data_profile"](spark, sf_dir))
+    reads = [
+        seg.splitlines()[0]
+        for seg in plan.split("ReadSchema:")[1:]
+    ]
+    # no branch scan may read more than one lineitem column
+    multi = [r for r in reads if r.count("l_") > 1]
+    assert not multi, f"unpruned branch scans: {multi}"
+    assert "Expand" not in plan  # the 12x multi-distinct shape must not return
+
+
+def test_hyperplane_probe_join_broadcasts_queries(spark, sf_dir):
+    plan = _plan(QUERIES["ann_hyperplane_topk"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_cdc_shuffles_only_on_doc_and_hash(spark, sf_dir):
+    # linear chain: exchanges keyed by the doc id (window + chunk groupBy)
+    # and the chunk hash (dup ranking) plus the final source rollup — no
+    # joins, no cartesian anywhere
+    plan = _plan(QUERIES["cdc_chunk_dedup"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    # no join operators expected at all — the pipeline is a linear chain
+    for op in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin"):
+        assert op not in plan
