@@ -523,7 +523,7 @@ def embedding_near_dup(
     vectors: DataFrame,
     id_col: str,
     vec_col: str,
-    num_centroids: int = 16,
+    num_centroids: int | str = 16,
     threshold: float = 0.4,
     nprobe: int = 2,
 ) -> DataFrame:
@@ -555,8 +555,11 @@ def embedding_near_dup(
         .withColumn("_n2", quantized_norm2(F.col("_q")))
         .persist()
     )
+    from mapreduceproject_spark.operators.similarity import resolve_centroid_filter
+
+    pick = resolve_centroid_filter(base, F.col("_id"), num_centroids)
     cents = F.broadcast(
-        base.filter(F.col("_id") < num_centroids).select(
+        pick(base).select(
             F.col("_id").alias("cid"),
             F.col("_q").alias("cq"),
             F.col("_n2").alias("cn2"),

@@ -39,7 +39,7 @@ def knn_edges_ivf(
     corpus: DataFrame,
     id_col: str,
     vec_col: str,
-    num_centroids: int = 16,
+    num_centroids: int | str = 16,
     k: int = 4,
 ) -> DataFrame:
     """(src, dst) top-k cosine edges among same-IVF-cell vectors.
@@ -48,11 +48,15 @@ def knn_edges_ivf(
     vectors with id < num_centroids, cells by max quantized cosine
     (ties: lowest centroid id).
     """
-    from mapreduceproject_spark.operators.similarity import _quantized_side
+    from mapreduceproject_spark.operators.similarity import (
+        _quantized_side,
+        resolve_centroid_filter,
+    )
 
     cq = _quantized_side(corpus, id_col, vec_col, "id")
+    pick = resolve_centroid_filter(cq, F.col("id"), num_centroids)
     centroids = F.broadcast(
-        cq.filter(F.col("id") < num_centroids).select(
+        pick(cq).select(
             F.col("id").alias("cid"), F.col("_q").alias("cq"), F.col("_n2").alias("cn2")
         )
     )

@@ -33,6 +33,37 @@ from mapreduceproject_spark.functions.vectors import (
 from mapreduceproject_spark.sources.catalog import spread_for_compute
 
 
+# -- IVF centroid auto-scaling ----------------------------------------------
+# The 10x-fixture measurement (SCALING.md): fixed centroid count turns
+# every IVF-cell family member quadratic — (n/C)² per-cell pairs.  The
+# documented knob is C ∝ corpus; "auto" turns that knob in-plan (a
+# broadcast 1-row count, no driver collect): C = max(16, n // 125).
+AUTO_VECS_PER_CELL = 125
+MIN_CENTROIDS = 16
+
+
+def resolve_centroid_filter(base: DataFrame, id_expr, num_centroids):
+    """Predicate selecting the centroid seed rows of ``base``.
+
+    int -> the classic deterministic ``id < C``; "auto" -> the cutoff is
+    computed from the corpus size inside the plan, so the same code runs
+    unmodified at 10x / 1000x corpus without re-tuning.
+    """
+    if num_centroids == "auto":
+        cut = F.broadcast(
+            base.agg(
+                F.greatest(
+                    F.lit(MIN_CENTROIDS),
+                    (F.count("*") / AUTO_VECS_PER_CELL).cast("long"),
+                ).alias("_ccut")
+            )
+        )
+        return lambda df: (
+            df.crossJoin(cut).filter(id_expr < F.col("_ccut")).drop("_ccut")
+        )
+    return lambda df: df.filter(id_expr < F.lit(int(num_centroids)))
+
+
 # -- random-hyperplane LSH (cosine sketch) ----------------------------------
 # Integer hyperplane coefficients from an LCG over (plane, dim) so the
 # DuckDB oracle regenerates the identical planes: exact integer dot
@@ -205,7 +236,7 @@ def ivf_topk(
     vec_col: str,
     query_id_col: str,
     query_vec_col: str,
-    num_centroids: int = 16,
+    num_centroids: int | str = 16,
     nprobe: int = 4,
     k: int = 5,
 ) -> DataFrame:
@@ -218,8 +249,9 @@ def ivf_topk(
     force.  All scoring runs on once-quantized vectors.
     """
     cq = _quantized_side(corpus, id_col, vec_col, "neighbor_id")
+    pick = resolve_centroid_filter(cq, F.col("neighbor_id"), num_centroids)
     centroids = F.broadcast(
-        cq.filter(F.col("neighbor_id") < num_centroids).select(
+        pick(cq).select(
             F.col("neighbor_id").alias("cid"),
             F.col("_q").alias("cq"),
             F.col("_n2").alias("cn2"),

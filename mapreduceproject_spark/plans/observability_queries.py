@@ -179,3 +179,77 @@ def event_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             "is_anomaly"
         ),
     )
+
+
+# -- running_zscore: per-event online anomaly score (batch twin) ------------
+
+
+@query(
+    "running_zscore",
+    oracle="""
+    WITH e AS (
+      SELECT event_type, event_id, ts,
+             CAST(floor(value * 100) AS BIGINT) AS c
+      FROM events
+    ),
+    w AS (
+      SELECT event_type, event_id, c,
+             CAST(COUNT(c) OVER t AS BIGINT) AS n_prior,
+             CAST(SUM(c) OVER t AS BIGINT) AS s,
+             CAST(SUM(c * c) OVER t AS BIGINT) AS ss
+      FROM e
+      WINDOW t AS (PARTITION BY event_type ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_type, event_id, c, n_prior,
+           CASE WHEN n_prior >= 2
+                 AND (CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n_prior)
+                     / (n_prior - 1) > 0
+                THEN (c - CAST(s AS DOUBLE) / n_prior)
+                     / sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n_prior)
+                            / (n_prior - 1))
+           END AS zscore
+    FROM w
+    """,
+)
+def running_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event online anomaly score: z of each event's cents value vs
+    the running mean/sample-variance of all PRIOR same-type events —
+    integer (count, sum, sum-of-squares) prefix accumulators, so the
+    batch window here and the custom stateful streaming operator
+    (streaming/stateful.py::running_zscore) produce bit-identical scores
+    regardless of micro-batch slicing (tests prove the equivalence)."""
+    ev = load_table(spark, sf_dir, "events")
+    c = F.floor(F.col("value") * 100).cast("long")
+    t = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w = ev.select(
+        "event_type",
+        "event_id",
+        c.alias("c"),
+        "ts",
+    ).select(
+        "event_type",
+        "event_id",
+        "c",
+        F.count("c").over(t).cast("long").alias("n_prior"),
+        F.sum("c").over(t).cast("long").alias("s"),
+        F.sum(F.col("c") * F.col("c")).over(t).cast("long").alias("ss"),
+    )
+    mean = F.col("s").cast("double") / F.col("n_prior")
+    var = (
+        F.col("ss").cast("double")
+        - F.col("s").cast("double") * F.col("s").cast("double") / F.col("n_prior")
+    ) / (F.col("n_prior") - 1)
+    return w.select(
+        "event_type",
+        "event_id",
+        "c",
+        "n_prior",
+        F.when((F.col("n_prior") >= 2) & (var > 0), (F.col("c") - mean) / F.sqrt(var)).alias(
+            "zscore"
+        ),
+    )

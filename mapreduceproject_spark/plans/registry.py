@@ -60,6 +60,7 @@ _FRONT: tuple[str, ...] = (
     "pagerank_knn",
     "dedup_keep_best",
     "scd2_intervals",
+    "running_zscore",
     # Re-verification of the heaviest / most algorithmically dense tier —
     # all r2-green; fills the window in descending value of a fresh row.
     "dedup_edit_distance",

@@ -19,7 +19,9 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    DoubleType,
     LongType,
+    StringType,
     StructField,
     StructType,
     TimestampNTZType,
@@ -118,4 +120,85 @@ def sessionize(events: DataFrame, watermark_delay: str = "0 seconds") -> DataFra
             "append",
             GroupStateTimeout.EventTimeTimeout,
         )
+    )
+
+
+# -- online anomaly scoring: running z-score per event type -----------------
+# State is three integers (n, Σcents, Σcents²) per key — integer-exact, so
+# the streaming scores are bit-identical to the batch window twin
+# (plans/observability_queries.py::running_zscore) no matter how events
+# split across micro-batches.
+
+ZSCORE_OUTPUT = StructType(
+    [
+        StructField("event_type", StringType()),
+        StructField("event_id", LongType()),
+        StructField("c", LongType()),
+        StructField("n_prior", LongType()),
+        StructField("zscore", DoubleType()),
+    ]
+)
+ZSCORE_STATE = StructType(
+    [
+        StructField("n", LongType()),
+        StructField("s", LongType()),
+        StructField("ss", LongType()),
+    ]
+)
+
+
+def _zscore_fn(
+    key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    etype = str(key[0])
+    rows = pd.concat(list(pdfs))
+    # deterministic processing order regardless of batch slicing
+    rows = rows.sort_values(["ts", "event_id"])
+    n, s, ss = state.get if state.exists else (0, 0, 0)
+    out_id, out_c, out_np, out_z = [], [], [], []
+    for eid, c in zip(rows["event_id"], rows["c"]):
+        c = int(c)
+        z = None
+        if n >= 2:
+            mean = s / n
+            var = (ss - s * s / n) / (n - 1)
+            if var > 0:
+                z = (c - mean) / var**0.5
+        out_id.append(int(eid))
+        out_c.append(c)
+        out_np.append(n)
+        out_z.append(z)
+        n, s, ss = n + 1, s + c, ss + c * c
+    state.update((n, s, ss))
+    yield pd.DataFrame(
+        {
+            "event_type": etype,
+            "event_id": pd.Series(out_id, dtype="int64"),
+            "c": pd.Series(out_c, dtype="int64"),
+            "n_prior": pd.Series(out_np, dtype="int64"),
+            "zscore": pd.Series(out_z, dtype="float64"),
+        }
+    )
+
+
+def running_zscore(events: DataFrame) -> DataFrame:
+    """Per-event online anomaly score: z of this event's cents value
+    against the running mean/sample-variance of all PRIOR events of its
+    type.  The per-key state machine built-ins can't express — state is
+    O(keys) x 3 longs, emission is per-event, and integer accumulators
+    make the scores batch-replayable exactly."""
+    from pyspark.sql import functions as F
+
+    prepared = events.select(
+        "event_type",
+        "event_id",
+        "ts",
+        F.floor(F.col("value") * 100).cast("long").alias("c"),
+    )
+    return prepared.groupBy("event_type").applyInPandasWithState(
+        _zscore_fn,
+        ZSCORE_OUTPUT,
+        ZSCORE_STATE,
+        "append",
+        GroupStateTimeout.NoTimeout,
     )

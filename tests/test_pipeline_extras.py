@@ -166,3 +166,26 @@ def test_pagerank_hand_graph(spark):
     assert abs(sum(pr.values()) - 1.0) < 1e-9  # fully stochastic here: no dangling
     floor = (1 - 0.85) / 3
     assert all(v >= floor - 1e-12 for v in pr.values())
+
+
+def test_auto_centroids_match_explicit_and_scale(spark, sf_dir):
+    """num_centroids='auto' must (a) equal the explicit C=16 result on a
+    small corpus (the floor) and (b) raise the cutoff in-plan for a big
+    one — the SCALING.md cliff knob turned automatically."""
+    from mapreduceproject_spark.operators.dedup import embedding_near_dup
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    fixed = embedding_near_dup(emb, "vec_id", "embedding", num_centroids=16)
+    auto = embedding_near_dup(emb, "vec_id", "embedding", num_centroids="auto")
+    assert sorted(map(tuple, fixed.collect())) == sorted(map(tuple, auto.collect()))
+
+    # cutoff scales with corpus size: 4000 synthetic vectors -> 4000//125=32
+    import pyspark.sql.functions as F
+
+    from mapreduceproject_spark.operators.similarity import (
+        resolve_centroid_filter,
+    )
+
+    big = spark.range(4000).select(F.col("id"))
+    pick = resolve_centroid_filter(big, F.col("id"), "auto")
+    assert pick(big).count() == 32

@@ -330,3 +330,28 @@ def test_upsert_rewrites_only_touched_buckets(spark, tmp_path):
     assert {p: h for p, h in before.items() if p.startswith(touched_dir)} != {
         p: h for p, h in after.items() if p.startswith(touched_dir)
     }
+
+
+def test_stateful_running_zscore_matches_batch(spark, sf_dir):
+    """The stateful per-event z-score must be bit-identical to the batch
+    window twin: integer (n, sum, sumsq) state makes the math replayable
+    exactly, regardless of micro-batch slicing."""
+    ev = jobs.read_events_stream(spark, sf_dir)
+    got = {
+        r["event_id"]: r
+        for r in jobs.run_to_df(
+            stateful.running_zscore(ev), spark, "append"
+        ).collect()
+    }
+    batch = {
+        r["event_id"]: r for r in QUERIES["running_zscore"](spark, sf_dir).collect()
+    }
+    assert set(got) == set(batch)
+    for eid, b in batch.items():
+        g = got[eid]
+        assert g["n_prior"] == b["n_prior"], eid
+        assert g["c"] == b["c"], eid
+        if b["zscore"] is None:
+            assert g["zscore"] is None or g["zscore"] != g["zscore"], eid
+        else:
+            assert abs(g["zscore"] - b["zscore"]) < 1e-12, eid
