@@ -19,4 +19,5 @@ from mapreduceproject_spark.plans import (  # noqa: F401,E402
     streaming_queries,
     governance_queries,
     observability_queries,
+    stats_queries,
 )

@@ -61,6 +61,8 @@ _FRONT: tuple[str, ...] = (
     "dedup_keep_best",
     "scd2_intervals",
     "running_zscore",
+    "grouped_regression",
+    "corr_matrix",
     # Re-verification of the heaviest / most algorithmically dense tier —
     # all r2-green; fills the window in descending value of a fresh row.
     "dedup_edit_distance",

@@ -1,0 +1,194 @@
+"""In-engine statistics suite: grouped closed-form OLS regression and an
+exact-arithmetic correlation matrix.
+
+The reference computes nothing statistical (its reducers are counters,
+/root/reference/src/reduce_exe_word_count.go); these are the
+sufficient-statistics patterns every warehouse ships — and the interesting
+engineering is determinism: covariance sums of DOUBLES are
+summation-order-dependent (the exact failure the fixed-point PageRank
+rework fixed), so both queries quantize inputs to integers first.  All
+sufficient statistics (n, Σx, Σy, Σxy, Σx², Σy²) are then exact 64-bit
+sums — order-independent, bit-identical across engines and runs — and the
+final slope/intercept/r only touch doubles in one identical expression.
+
+Magnitude audit (why nothing overflows): quality micro-units ≤ 2e6,
+n_chars ≤ ~1e4 → Σx·Σy per source < 2^63 up to ~1e7 docs/source;
+quantity-cents ≤ 5e3, discount/tax basis points ≤ 1e3 → cross-products
+Σxy < 2^63 up to ~1e12 rows.  Columns with large magnitudes
+(extendedprice) are deliberately excluded — their cents-products overflow
+int64 at ~1e5 rows; at that point you switch to DECIMAL(38) sums.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreduceproject_spark.plans.registry import query
+from mapreduceproject_spark.sources.catalog import load_table
+
+Y_SCALE = 1_000_000  # quality -> micro-units
+
+
+def _grouped_regression_oracle() -> str:
+    from mapreduceproject_spark.plans.text_queries import _quality_oracle
+
+    return f"""
+    WITH q AS (
+      SELECT d.doc_id, d.source,
+             CAST(d.n_chars AS BIGINT) AS x,
+             CAST(floor(t.quality * {Y_SCALE}) AS BIGINT) AS yq
+      FROM documents d JOIN ({_quality_oracle()}) t USING (doc_id)
+    ),
+    s AS (
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(yq) AS BIGINT) AS sy,
+             CAST(SUM(x * yq) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(yq * yq) AS BIGINT) AS syy
+      FROM q GROUP BY 1
+    )
+    SELECT source, n,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+             / CAST(n * sxx - sx * sx AS DOUBLE) / {Y_SCALE} AS slope,
+           (CAST(sy AS DOUBLE) / n
+             - CAST(n * sxy - sx * sy AS DOUBLE)
+               / CAST(n * sxx - sx * sx AS DOUBLE) * sx / n) / {Y_SCALE} AS intercept,
+           CAST(n * sxy - sx * sy AS DOUBLE) * CAST(n * sxy - sx * sy AS DOUBLE)
+             / (CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE))
+             AS r2
+    FROM s
+    """
+
+
+@query("grouped_regression", oracle=_grouped_regression_oracle())
+def grouped_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source closed-form OLS of quality on document length: slope,
+    intercept, r² from one pass of integer sufficient statistics
+    (quality micro-quantized so every Σ is an exact 64-bit sum — no
+    summation-order nondeterminism).  One shuffle on source; the grouped
+    trend-analysis primitive."""
+    from mapreduceproject_spark.operators import text_analysis as ta
+
+    docs = load_table(spark, sf_dir, "documents")
+    quality = ta.quality_scores(docs, "doc_id", "text").select("doc_id", "quality")
+    q = docs.select("doc_id", "source", F.col("n_chars").cast("long").alias("x")).join(
+        quality, "doc_id"
+    ).select(
+        "source",
+        "x",
+        F.floor(F.col("quality") * Y_SCALE).cast("long").alias("yq"),
+    )
+    s = q.groupBy("source").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("yq").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("yq")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("yq") * F.col("yq")).cast("long").alias("syy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    denx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    deny = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    slope_q = num / denx
+    return s.select(
+        "source",
+        "n",
+        (slope_q / Y_SCALE).alias("slope"),
+        (
+            (
+                F.col("sy").cast("double") / F.col("n")
+                - slope_q * F.col("sx") / F.col("n")
+            )
+            / Y_SCALE
+        ).alias("intercept"),
+        (num * num / (denx * deny)).alias("r2"),
+    )
+
+
+# -- exact Pearson correlation matrix ---------------------------------------
+# (column, integer scale) — magnitudes audited in the module docstring.
+CORR_COLS: tuple[tuple[str, int], ...] = (
+    ("l_quantity", 100),
+    ("l_discount", 10_000),
+    ("l_tax", 10_000),
+)
+
+
+def _corr_oracle() -> str:
+    qcols = ", ".join(
+        f"CAST(floor({c} * {s}) AS BIGINT) AS {c}" for c, s in CORR_COLS
+    )
+    sums = ["CAST(COUNT(*) AS BIGINT) AS n"]
+    for c, _ in CORR_COLS:
+        sums.append(f"CAST(SUM({c}) AS BIGINT) AS s_{c}")
+        sums.append(f"CAST(SUM({c} * {c}) AS BIGINT) AS ss_{c}")
+    for i, (a, _) in enumerate(CORR_COLS):
+        for b, _s in CORR_COLS[i + 1 :]:
+            sums.append(f"CAST(SUM({a} * {b}) AS BIGINT) AS sp_{a}_{b}")
+    rows = []
+    for i, (a, _) in enumerate(CORR_COLS):
+        for b, _s in CORR_COLS[i + 1 :]:
+            rows.append(
+                f"SELECT '{a}' AS col_a, '{b}' AS col_b, n,"
+                f" CAST(n * sp_{a}_{b} - s_{a} * s_{b} AS DOUBLE)"
+                f" / (sqrt(CAST(n * ss_{a} - s_{a} * s_{a} AS DOUBLE))"
+                f"    * sqrt(CAST(n * ss_{b} - s_{b} * s_{b} AS DOUBLE))) AS pearson_r"
+                " FROM s"
+            )
+    body = "\n    UNION ALL ".join(rows)
+    return f"""
+    WITH q AS (SELECT {qcols} FROM lineitem),
+    s AS (SELECT {", ".join(sums)} FROM q)
+    {body}
+    """
+
+
+@query("corr_matrix", oracle=_corr_oracle())
+def corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlations over lineitem's bounded-magnitude
+    numerics (quantity, discount, tax), computed from one aggregate of
+    exact integer sufficient statistics — a single map-side-combined
+    pass, then a 3-row unpivot.  The profiling companion to
+    data_profile."""
+    li = load_table(spark, sf_dir, "lineitem")
+    q = li.select(
+        *[
+            F.floor(F.col(c) * s).cast("long").alias(c)
+            for c, s in CORR_COLS
+        ]
+    )
+    aggs = [F.count("*").cast("long").alias("n")]
+    for c, _ in CORR_COLS:
+        aggs.append(F.sum(c).cast("long").alias(f"s_{c}"))
+        aggs.append(F.sum(F.col(c) * F.col(c)).cast("long").alias(f"ss_{c}"))
+    pairs = []
+    for i, (a, _) in enumerate(CORR_COLS):
+        for b, _s in CORR_COLS[i + 1 :]:
+            aggs.append(F.sum(F.col(a) * F.col(b)).cast("long").alias(f"sp_{a}_{b}"))
+            pairs.append((a, b))
+    s = q.agg(*aggs)
+    parts = []
+    for a, b in pairs:
+        num = (F.col("n") * F.col(f"sp_{a}_{b}") - F.col(f"s_{a}") * F.col(f"s_{b}")).cast(
+            "double"
+        )
+        da = (F.col("n") * F.col(f"ss_{a}") - F.col(f"s_{a}") * F.col(f"s_{a}")).cast(
+            "double"
+        )
+        db = (F.col("n") * F.col(f"ss_{b}") - F.col(f"s_{b}") * F.col(f"s_{b}")).cast(
+            "double"
+        )
+        parts.append(
+            F.struct(
+                F.lit(a).alias("col_a"),
+                F.lit(b).alias("col_b"),
+                F.col("n").alias("n"),
+                (num / (F.sqrt(da) * F.sqrt(db))).alias("pearson_r"),
+            )
+        )
+    return s.select(F.explode(F.array(*parts)).alias("p")).select(
+        "p.col_a", "p.col_b", "p.n", "p.pearson_r"
+    )

@@ -189,3 +189,19 @@ def test_auto_centroids_match_explicit_and_scale(spark, sf_dir):
     big = spark.range(4000).select(F.col("id"))
     pick = resolve_centroid_filter(big, F.col("id"), "auto")
     assert pick(big).count() == 32
+
+
+def test_stats_queries_within_mathematical_bounds(spark, sf_dir):
+    from mapreduceproject_spark.plans import QUERIES
+
+    reg = QUERIES["grouped_regression"](spark, sf_dir).collect()
+    assert len(reg) > 0
+    for r in reg:
+        assert -1e-9 <= r["r2"] <= 1 + 1e-9, r
+        # slope * x range stays within the quality range — sanity, not proof
+        assert abs(r["slope"]) < 1.0
+
+    corr = QUERIES["corr_matrix"](spark, sf_dir).collect()
+    assert len(corr) == 3
+    for r in corr:
+        assert -1 - 1e-9 <= r["pearson_r"] <= 1 + 1e-9, r
