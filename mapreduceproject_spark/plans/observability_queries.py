@@ -253,3 +253,84 @@ def running_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             "zscore"
         ),
     )
+
+
+# -- table_checksums: replica/copy integrity verification -------------------
+# The reference re-replicates whole files on membership change and trusts
+# the copy (src/master_helpers.go:103-139, no content verification); this
+# is the content-level integrity check that design needs: an
+# order-independent per-table checksum (bit_xor of canonical row hashes)
+# that two replicas — or a pre/post-migration pair — can compare cheaply.
+# Canonical row strings use only representation-stable ingredients:
+# integers, strings, cents/micro-quantized numerics, epoch-µs timestamps,
+# md5 of long text, quantized embedding vectors.
+
+TABLE_KEYS: tuple[tuple[str, str, str], ...] = (
+    # (table, spark canonical expr, duckdb canonical expr)
+    ("region", "concat_ws('|', r_regionkey, r_name)",
+     "concat_ws('|', r_regionkey, r_name)"),
+    ("nation", "concat_ws('|', n_nationkey, n_name, n_regionkey)",
+     "concat_ws('|', n_nationkey, n_name, n_regionkey)"),
+    ("customer",
+     "concat_ws('|', c_custkey, c_name, c_nationkey, floor(c_acctbal * 100), c_mktsegment)",
+     "concat_ws('|', c_custkey, c_name, c_nationkey, CAST(floor(c_acctbal * 100) AS BIGINT), c_mktsegment)"),
+    ("supplier",
+     "concat_ws('|', s_suppkey, s_name, s_nationkey, floor(s_acctbal * 100))",
+     "concat_ws('|', s_suppkey, s_name, s_nationkey, CAST(floor(s_acctbal * 100) AS BIGINT))"),
+    ("part",
+     "concat_ws('|', p_partkey, p_name, p_brand, p_type, p_size, floor(p_retailprice * 100))",
+     "concat_ws('|', p_partkey, p_name, p_brand, p_type, p_size, CAST(floor(p_retailprice * 100) AS BIGINT))"),
+    ("orders",
+     "concat_ws('|', o_orderkey, o_custkey, o_orderstatus, floor(o_totalprice * 100), unix_micros(cast(o_orderdate as timestamp)), o_orderpriority)",
+     "concat_ws('|', o_orderkey, o_custkey, o_orderstatus, CAST(floor(o_totalprice * 100) AS BIGINT), epoch_us(o_orderdate), o_orderpriority)"),
+    ("lineitem",
+     "concat_ws('|', l_orderkey, l_linenumber, l_partkey, l_suppkey, floor(l_quantity * 100), floor(l_extendedprice * 100), floor(l_discount * 10000), floor(l_tax * 10000), l_returnflag, l_linestatus, unix_micros(cast(l_shipdate as timestamp)))",
+     "concat_ws('|', l_orderkey, l_linenumber, l_partkey, l_suppkey, CAST(floor(l_quantity * 100) AS BIGINT), CAST(floor(l_extendedprice * 100) AS BIGINT), CAST(floor(l_discount * 10000) AS BIGINT), CAST(floor(l_tax * 10000) AS BIGINT), l_returnflag, l_linestatus, epoch_us(l_shipdate))"),
+    ("events",
+     "concat_ws('|', event_id, user_id, event_type, unix_micros(cast(ts as timestamp)), floor(value * 100), props)",
+     "concat_ws('|', event_id, user_id, event_type, epoch_us(ts), CAST(floor(value * 100) AS BIGINT), props)"),
+    ("documents",
+     "concat_ws('|', doc_id, md5(text), lang, source, n_chars)",
+     "concat_ws('|', doc_id, md5(text), lang, source, n_chars)"),
+    ("embeddings",
+     "concat_ws('|', vec_id, label, array_join(transform(embedding, x -> cast(floor(cast(x as double) * 1000000) as string)), ','))",
+     "concat_ws('|', vec_id, label, array_to_string(list_transform(embedding, x -> CAST(CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT) AS VARCHAR)), ','))"),
+)
+
+
+def _checksums_oracle() -> str:
+    from mapreduceproject_spark.functions.hashing import duck_hash60
+
+    rows = []
+    for t, _spark_expr, duck_expr in TABLE_KEYS:
+        rows.append(
+            f"SELECT '{t}' AS table_name, CAST(COUNT(*) AS BIGINT) AS n_rows,"
+            f" CAST(bit_xor({duck_hash60(duck_expr)}) AS BIGINT) AS content_xor"
+            f" FROM {t}"
+        )
+    return "\n    UNION ALL ".join(rows)
+
+
+@query("table_checksums", oracle=_checksums_oracle())
+def table_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent content checksum per table (bit_xor of canonical
+    row hash60s + row count) — the replica-integrity check the
+    reference's re-replication lacks: two copies of a table match iff
+    their (n_rows, content_xor) match, computed in one map-side-combined
+    pass per table with no shuffle of row data."""
+    from mapreduceproject_spark.functions.hashing import hash60
+
+    outs = []
+    for t, spark_expr, _duck_expr in TABLE_KEYS:
+        df = load_table(spark, sf_dir, t)
+        outs.append(
+            df.select(hash60(F.expr(spark_expr)).alias("_h")).agg(
+                F.lit(t).alias("table_name"),
+                F.count("*").cast("long").alias("n_rows"),
+                F.expr("bit_xor(_h)").cast("long").alias("content_xor"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

@@ -63,6 +63,7 @@ _FRONT: tuple[str, ...] = (
     "running_zscore",
     "grouped_regression",
     "corr_matrix",
+    "table_checksums",
     # Re-verification of the heaviest / most algorithmically dense tier —
     # all r2-green; fills the window in descending value of a fresh row.
     "dedup_edit_distance",

@@ -205,3 +205,49 @@ def test_stats_queries_within_mathematical_bounds(spark, sf_dir):
     assert len(corr) == 3
     for r in corr:
         assert -1 - 1e-9 <= r["pearson_r"] <= 1 + 1e-9, r
+
+
+def test_new_text_operators_tolerate_null_and_empty_text(spark):
+    """NULL/empty text rows must not crash or corrupt the linear text
+    pipelines — they contribute zero tokens, zero chunks, zero bigrams."""
+    df = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "   "), (4, "only real row here")],
+        ["id", "text"],
+    )
+    chunks = cdc_chunk_rows(df, "id", "text").collect()
+    assert {r["id"] for r in chunks} == {4}
+
+    bi = bigram_lm_top(df.withColumnRenamed("id", "doc_id"), "doc_id", "text").collect()
+    assert {(r["w1"], r["w2"]) for r in bi} == {
+        ("only", "real"), ("real", "row"), ("row", "here")
+    }
+
+    scanned = {r["id"]: r for r in pii.scan_and_redact(df, "id", "text").collect()}
+    assert scanned[2]["n_pii"] == 0
+    # NULL text: counts are NULL-propagated, not fabricated
+    assert scanned[1]["n_pii"] is None
+    assert scanned[4]["n_pii"] == 0
+
+
+def test_table_checksum_detects_single_row_change(spark, sf_dir, tmp_path):
+    """The integrity contract: identical copies share (n_rows, xor);
+    flipping ONE value flips the xor."""
+    from mapreduceproject_spark.functions.hashing import hash60
+    from mapreduceproject_spark.plans.observability_queries import TABLE_KEYS
+
+    spark_expr = dict((t, s) for t, s, _ in TABLE_KEYS)["documents"]
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    def xor_of(df):
+        return df.select(hash60(F.expr(spark_expr)).alias("_h")).agg(
+            F.expr("bit_xor(_h)")
+        ).collect()[0][0]
+
+    base = xor_of(docs)
+    copy = docs.select(*docs.columns)  # same content, different plan
+    assert xor_of(copy) == base
+    tampered = docs.withColumn(
+        "n_chars",
+        F.when(F.col("doc_id") == 0, F.col("n_chars") + 1).otherwise(F.col("n_chars")),
+    )
+    assert xor_of(tampered) != base
