@@ -64,6 +64,11 @@ _FRONT: tuple[str, ...] = (
     "grouped_regression",
     "corr_matrix",
     "table_checksums",
+    # Refactor-touched this round (IVF centroid filter now goes through
+    # resolve_centroid_filter): their earlier green rows predate the code
+    # they'd verify, so they must land inside the 50-query window.
+    "ann_ivf_topk",
+    "ann_ivf_recall",
     # Re-verification of the heaviest / most algorithmically dense tier —
     # all r2-green; fills the window in descending value of a fresh row.
     "dedup_edit_distance",
