@@ -69,6 +69,7 @@ _FRONT: tuple[str, ...] = (
     # they'd verify, so they must land inside the 50-query window.
     "ann_ivf_topk",
     "ann_ivf_recall",
+    "stream_running_zscore",
     # Re-verification of the heaviest / most algorithmically dense tier —
     # all r2-green; fills the window in descending value of a fresh row.
     "dedup_edit_distance",
@@ -124,8 +125,13 @@ _FRONT: tuple[str, ...] = (
 
 
 def _ordered(names: list[str]) -> list[str]:
-    front = [n for n in _FRONT if n in names]
-    rest = [n for n in names if n not in _FRONT]
+    # first occurrence wins: a name may be re-queued in _FRONT's priority
+    # block while still listed in the re-verification section below it
+    seen: set[str] = set()
+    front = [
+        n for n in _FRONT if n in names and not (n in seen or seen.add(n))
+    ]
+    rest = [n for n in names if n not in seen]
     return front + rest
 
 
