@@ -173,3 +173,89 @@ def pagerank(
         F.col("_v").alias(id_col),
         (F.col("p").cast("double") / F.lit(float(PR_SCALE))).alias("pr"),
     )
+
+
+def undirected_edges(edges: DataFrame) -> DataFrame:
+    """Canonical undirected edge set (a < b) from a directed edge list —
+    each kNN link counted once regardless of direction or duplication."""
+    return (
+        edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+
+
+def triangle_census(edges: DataFrame) -> DataFrame:
+    """Global triangle census of the undirected graph: one row with node,
+    edge, wedge and triangle counts plus the global clustering
+    coefficient 3·T / wedges.
+
+    The classic MR-style two-join formulation made cheap by canonical
+    ordering: with every edge stored as (a < b), a wedge join
+    (a,b)⋈(b,c) enumerates each ordered path a<b<c exactly once, and the
+    closure join against (a,c) counts each triangle exactly once — no
+    /3 deduplication pass, no symmetric 2× edge blow-up.  On a kNN graph
+    the out-degree is bounded by k, so the wedge table is ≤ k²·|V| — the
+    whole census is two bounded shuffles, linear in corpus size.  For
+    skewed general graphs, the standard hardening is joining through the
+    lower-degree endpoint first (node-iterator++); unnecessary here by
+    construction.  All counts are exact int64; the coefficient is one
+    int-ratio division, identical across engines.
+    """
+    und = undirected_edges(edges)
+    deg = (
+        und.select(F.col("a").alias("v"))
+        .unionAll(und.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").cast("long").alias("deg"))
+    )
+    dstats = deg.agg(
+        F.count("*").cast("long").alias("n_nodes"),
+        F.sum(F.expr("deg * (deg - 1L) div 2L")).cast("long").alias("n_wedges"),
+    )
+    ecount = und.agg(F.count("*").cast("long").alias("n_edges"))
+    wedge = (
+        und.alias("e1")
+        .join(und.alias("e2"), F.col("e1.b") == F.col("e2.a"))
+        .select(
+            F.col("e1.a").alias("a"),
+            F.col("e2.b").alias("c"),
+        )
+    )
+    tri = wedge.join(
+        und.select(F.col("a"), F.col("b").alias("c")), ["a", "c"]
+    ).agg(F.count("*").cast("long").alias("n_triangles"))
+    return (
+        dstats.crossJoin(F.broadcast(ecount))
+        .crossJoin(F.broadcast(tri))
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_wedges",
+            "n_triangles",
+            F.when(
+                F.col("n_wedges") > 0,
+                (3 * F.col("n_triangles")).cast("double")
+                / F.col("n_wedges").cast("double"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("global_clustering"),
+        )
+    )
+
+
+def degree_histogram(edges: DataFrame) -> DataFrame:
+    """Undirected degree distribution: (deg, n_nodes) — the first sanity
+    plot of any similarity graph (a spiked histogram betrays duplicate
+    clusters; a heavy tail betrays hub vectors that need salting in any
+    downstream per-node join).  Two vocabulary-sized shuffles."""
+    und = undirected_edges(edges)
+    deg = (
+        und.select(F.col("a").alias("v"))
+        .unionAll(und.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").cast("long").alias("deg"))
+    )
+    return deg.groupBy("deg").agg(F.count("*").cast("long").alias("n_nodes"))

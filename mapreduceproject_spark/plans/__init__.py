@@ -20,4 +20,5 @@ from mapreduceproject_spark.plans import (  # noqa: F401,E402
     governance_queries,
     observability_queries,
     stats_queries,
+    analytics_queries,
 )

@@ -70,6 +70,18 @@ _FRONT: tuple[str, ...] = (
     "ann_ivf_topk",
     "ann_ivf_recall",
     "stream_running_zscore",
+    # New this round — warehouse analytics tier (plans/analytics_queries.py):
+    # basket lift, EWMA, median+MAD, decile calibration, PMI, entropy.
+    "market_basket_lift",
+    "ewma_user_values",
+    "mad_robust_stats",
+    "quality_calibration_deciles",
+    "token_pmi_bigrams",
+    "source_token_entropy",
+    # New this round — graph tier rounded out: triangle closure + degree
+    # distribution over the same oracle-shared kNN edge derivation.
+    "knn_triangle_census",
+    "knn_degree_hist",
     # Re-verification of the heaviest / most algorithmically dense tier —
     # all r2-green; fills the window in descending value of a fresh row.
     "dedup_edit_distance",

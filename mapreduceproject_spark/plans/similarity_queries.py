@@ -355,9 +355,13 @@ PR_K, PR_ITERS, PR_DAMP = 4, 2, 0.85
 from mapreduceproject_spark.operators.graph import PR_SCALE as SCALE  # noqa: E402
 
 
-def _pagerank_oracle() -> str:
-    parts = [
-        f"""c AS (SELECT id AS cid, q AS cq FROM v WHERE id < {IVF_CENTROIDS}),
+def _knn_edges_ctes(k: int) -> str:
+    """CTE block deriving the same kNN edge list as knn_edges_ivf:
+    cell assignment (max quantized cosine, lowest-cid ties), within-cell
+    pairs, top-k by (cosine DESC, dst).  Shared verbatim by the PageRank,
+    triangle-census and degree-histogram oracles so the graph they verify
+    is provably the same one."""
+    return f"""c AS (SELECT id AS cid, q AS cq FROM v WHERE id < {IVF_CENTROIDS}),
     cor AS (
       SELECT v.id, v.q, c.cid, {duck_quantized_cosine("v.q", "c.cq")} AS ccos
       FROM v, c
@@ -375,8 +379,13 @@ def _pagerank_oracle() -> str:
     edges AS (
       SELECT src, dst FROM (
         SELECT *, row_number() OVER (PARTITION BY src ORDER BY cosine DESC, dst) AS rn
-        FROM pairs) WHERE rn <= {PR_K}
-    ),
+        FROM pairs) WHERE rn <= {k}
+    )"""
+
+
+def _pagerank_oracle() -> str:
+    parts = [
+        f"""{_knn_edges_ctes(PR_K)},
     deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM edges GROUP BY 1),
     n AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM v),
     p0 AS (SELECT id AS vid, {SCALE} // nn AS p FROM v, n)"""
@@ -421,3 +430,82 @@ def pagerank_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, "vec_id", "embedding", num_centroids=IVF_CENTROIDS, k=PR_K
     )
     return pagerank(emb, edges, "vec_id", iterations=PR_ITERS, damping=PR_DAMP)
+
+
+# -- triangle census + degree distribution over the same graph ---------------
+_UND_DEG_CTES = """und AS (
+      SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      FROM edges WHERE src <> dst
+    ),
+    deg AS (
+      SELECT v, CAST(COUNT(*) AS BIGINT) AS deg
+      FROM (SELECT a AS v FROM und UNION ALL SELECT b AS v FROM und)
+      GROUP BY 1
+    )"""
+
+
+def _triangle_oracle() -> str:
+    return f"""
+    {_QUANT_CTE},
+    {_knn_edges_ctes(PR_K)},
+    {_UND_DEG_CTES},
+    ds AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+             CAST(SUM(deg * (deg - 1) // 2) AS BIGINT) AS n_wedges
+      FROM deg
+    ),
+    ec AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM und),
+    tri AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+      FROM und e1
+      JOIN und e2 ON e1.b = e2.a
+      JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+    )
+    SELECT n_nodes, n_edges, n_wedges, n_triangles,
+           CASE WHEN n_wedges > 0
+                THEN CAST(3 * n_triangles AS DOUBLE) / CAST(n_wedges AS DOUBLE)
+                ELSE 0.0 END AS global_clustering
+    FROM ds, ec, tri
+    """
+
+
+@query("knn_triangle_census", oracle=_triangle_oracle())
+def knn_triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count and global clustering coefficient of the kNN cosine
+    graph — the transitivity gauge that separates genuine semantic
+    neighborhoods (high closure) from LSH/IVF bucketing noise (low).
+    Canonical a<b<c edge ordering counts each triangle exactly once with
+    two joins and no /3 pass; wedge work is bounded by k² per node
+    (operators/graph.py triangle_census)."""
+    from mapreduceproject_spark.operators.graph import knn_edges_ivf, triangle_census
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    edges = knn_edges_ivf(
+        emb, "vec_id", "embedding", num_centroids=IVF_CENTROIDS, k=PR_K
+    )
+    return triangle_census(edges)
+
+
+def _degree_hist_oracle() -> str:
+    return f"""
+    {_QUANT_CTE},
+    {_knn_edges_ctes(PR_K)},
+    {_UND_DEG_CTES}
+    SELECT deg, CAST(COUNT(*) AS BIGINT) AS n_nodes FROM deg GROUP BY 1
+    """
+
+
+@query("knn_degree_hist", oracle=_degree_hist_oracle())
+def knn_degree_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Undirected degree distribution of the kNN cosine graph — the
+    first sanity plot of a similarity graph (spikes betray duplicate
+    clusters, heavy tails betray hub vectors that need skew handling in
+    any per-node join downstream).  Two vocabulary-sized shuffles
+    (operators/graph.py degree_histogram)."""
+    from mapreduceproject_spark.operators.graph import degree_histogram, knn_edges_ivf
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    edges = knn_edges_ivf(
+        emb, "vec_id", "embedding", num_centroids=IVF_CENTROIDS, k=PR_K
+    )
+    return degree_histogram(edges)
