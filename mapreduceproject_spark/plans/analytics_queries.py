@@ -80,6 +80,10 @@ def market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    # ob feeds four consumers; measured: recomputing it per consumer ties
+    # a persist at sf0.1 (each recompute is column-pruned to what that
+    # consumer needs, and the distinct's exchange is cheap next to the
+    # in-memory store/read cost), so keep the simpler uncached plan.
     ob = (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .select("l_orderkey", F.col("p_brand").alias("brand"))
