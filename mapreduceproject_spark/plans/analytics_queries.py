@@ -432,3 +432,471 @@ def source_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.col("slnq").cast("double") / ENT_SCALE / F.col("n_tokens")
         ).alias("entropy_nats"),
     )
+
+
+# -- customer RFM segmentation ----------------------------------------------
+RFM_TILES = 5
+
+
+def _rfm_oracle() -> str:
+    return f"""
+    WITH anchor AS (SELECT max(epoch_us(o_orderdate)) AS amax FROM orders),
+    base AS (
+      SELECT o_custkey AS custkey,
+             CAST((amax - max(epoch_us(o_orderdate))) // 86400000000 AS BIGINT)
+               AS recency_days,
+             CAST(COUNT(*) AS BIGINT) AS frequency,
+             CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS monetary_cents
+      FROM orders CROSS JOIN anchor
+      GROUP BY o_custkey, amax
+    ),
+    scored AS (
+      SELECT *,
+        CAST(ntile({RFM_TILES}) OVER (ORDER BY recency_days DESC, custkey) AS BIGINT) AS r_score,
+        CAST(ntile({RFM_TILES}) OVER (ORDER BY frequency, custkey) AS BIGINT) AS f_score,
+        CAST(ntile({RFM_TILES}) OVER (ORDER BY monetary_cents, custkey) AS BIGINT) AS m_score
+      FROM base
+    )
+    SELECT custkey, recency_days, frequency,
+           CAST(monetary_cents AS DOUBLE) / 100.0 AS monetary,
+           r_score, f_score, m_score,
+           CAST(r_score * 100 + f_score * 10 + m_score AS BIGINT) AS rfm
+    FROM scored
+    """
+
+
+@query("customer_rfm", oracle=_rfm_oracle())
+def customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: per-customer recency (exact epoch-µs day count
+    vs the global latest order, broadcast 1-row anchor), frequency, and
+    monetary value (integer cents), each scored into {RFM_TILES} ntiles
+    (higher = better on every axis) and concatenated into the classic
+    3-digit segment code.
+
+    One shuffle to the per-customer rollup; the three ntile windows sort
+    (key, custkey) pairs only — two longs per customer, not the orders.
+    At 100 TB the tile boundaries come from an approx-quantile sketch
+    instead of a global sort (same note as quality_calibration_deciles).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    anchor = F.broadcast(
+        o.agg(F.max(F.unix_micros(F.col("o_orderdate").cast("timestamp"))).alias("amax"))
+    )
+    base = (
+        o.select(
+            F.col("o_custkey").alias("custkey"),
+            F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("ous"),
+            F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+        .crossJoin(anchor)
+        .groupBy("custkey", "amax")
+        .agg(
+            F.max("ous").alias("last_us"),
+            F.count("*").cast("long").alias("frequency"),
+            F.sum("cents").cast("long").alias("monetary_cents"),
+        )
+        .select(
+            "custkey",
+            F.expr("(amax - last_us) div 86400000000L").cast("long").alias(
+                "recency_days"
+            ),
+            "frequency",
+            "monetary_cents",
+        )
+    )
+    scored = (
+        base.withColumn(
+            "r_score",
+            F.ntile(RFM_TILES)
+            .over(Window.orderBy(F.desc("recency_days"), "custkey"))
+            .cast("long"),
+        )
+        .withColumn(
+            "f_score",
+            F.ntile(RFM_TILES)
+            .over(Window.orderBy("frequency", "custkey"))
+            .cast("long"),
+        )
+        .withColumn(
+            "m_score",
+            F.ntile(RFM_TILES)
+            .over(Window.orderBy("monetary_cents", "custkey"))
+            .cast("long"),
+        )
+    )
+    return scored.select(
+        "custkey",
+        "recency_days",
+        "frequency",
+        (F.col("monetary_cents").cast("double") / 100.0).alias("monetary"),
+        "r_score",
+        "f_score",
+        "m_score",
+        (F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score"))
+        .cast("long")
+        .alias("rfm"),
+    )
+
+
+# -- month-over-month revenue growth ----------------------------------------
+def _mom_oracle() -> str:
+    return """
+    WITH m AS (
+      SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate) AS INT) AS ym,
+             CAST(COUNT(*) AS BIGINT) AS n_orders,
+             CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS rev_cents
+      FROM orders GROUP BY 1
+    )
+    SELECT ym, n_orders,
+           CAST(rev_cents AS DOUBLE) / 100.0 AS revenue,
+           CAST(rev_cents - lag(rev_cents) OVER (ORDER BY ym) AS DOUBLE)
+             / lag(rev_cents) OVER (ORDER BY ym) AS mom_growth
+    FROM m
+    """
+
+
+@query("orders_mom_growth", oracle=_mom_oracle())
+def orders_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue trend: per-month order count, revenue
+    (exact integer cents) and growth rate vs the previous month — the
+    first dashboard of any revenue table.  One month-keyed rollup
+    (map-side combined) then a lag window over the month-count-sized
+    result; growth is one double division of exact int64 sums.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    m = (
+        o.select(
+            (F.year("o_orderdate") * 100 + F.month("o_orderdate"))
+            .cast("int")
+            .alias("ym"),
+            F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("ym")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum("cents").cast("long").alias("rev_cents"),
+        )
+    )
+    w = Window.orderBy("ym")
+    prev = F.lag("rev_cents").over(w)
+    return m.select(
+        "ym",
+        "n_orders",
+        (F.col("rev_cents").cast("double") / 100.0).alias("revenue"),
+        ((F.col("rev_cents") - prev).cast("double") / prev).alias("mom_growth"),
+    )
+
+
+# -- Zipf fit of the token frequency distribution ----------------------------
+ZIPF_MAX_RANK = 1000
+LN_SCALE = 1_000_000
+
+
+def _zipf_oracle() -> str:
+    return f"""
+    WITH tok AS (
+      SELECT tok FROM {duck_token_rows("lower(text)", "doc_id")}
+    ),
+    c AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY 1),
+    r AS (
+      SELECT c, row_number() OVER (ORDER BY c DESC, tok) AS rnk FROM c
+    ),
+    q AS (
+      SELECT CAST(floor(ln(rnk) * {LN_SCALE}) AS BIGINT) AS x,
+             CAST(floor(ln(c) * {LN_SCALE}) AS BIGINT) AS y
+      FROM r WHERE rnk <= {ZIPF_MAX_RANK}
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(y * y) AS BIGINT) AS syy
+      FROM q
+    )
+    SELECT n AS n_ranks,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+             / CAST(n * sxx - sx * sx AS DOUBLE) AS zipf_slope,
+           (CAST(sy AS DOUBLE)
+             - CAST(n * sxy - sx * sy AS DOUBLE)
+               / CAST(n * sxx - sx * sx AS DOUBLE) * sx) / n / {LN_SCALE}
+             AS ln_intercept,
+           CAST(n * sxy - sx * sy AS DOUBLE) * CAST(n * sxy - sx * sy AS DOUBLE)
+             / (CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE))
+             AS r2
+    FROM s
+    """
+
+
+@query("token_zipf_fit", oracle=_zipf_oracle())
+def token_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit of the corpus token distribution: OLS of ln(count)
+    on ln(rank) over the top {ZIPF_MAX_RANK} terms — slope ≈ −1 is
+    natural text; a flat or cliffed curve betrays template spam or
+    boilerplate (the corpus-health cousin of source_token_entropy).
+
+    One corpus shuffle to term counts, a vocabulary-sized rank window,
+    then the same exact-integer sufficient-statistics OLS as
+    grouped_regression (ln values micro-quantized; slope is a ratio of
+    exact int64 sums — summation order cannot move it).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = token_rows(
+        docs.select("doc_id", "text"), F.lower(F.col("text")), ["doc_id"]
+    )
+    c = toks.groupBy("tok").agg(F.count("*").cast("long").alias("c"))
+    r = c.withColumn(
+        "rnk", F.row_number().over(Window.orderBy(F.desc("c"), "tok"))
+    ).filter(F.col("rnk") <= ZIPF_MAX_RANK)
+    q = r.select(
+        F.floor(F.log("rnk") * LN_SCALE).cast("long").alias("x"),
+        F.floor(F.log("c") * LN_SCALE).cast("long").alias("y"),
+    )
+    s = q.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    denx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    deny = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    return s.select(
+        F.col("n").alias("n_ranks"),
+        (num / denx).alias("zipf_slope"),
+        (
+            (F.col("sy").cast("double") - num / denx * F.col("sx"))
+            / F.col("n")
+            / LN_SCALE
+        ).alias("ln_intercept"),
+        (num * num / (denx * deny)).alias("r2"),
+    )
+
+
+# -- cross-source shingle overlap -------------------------------------------
+OVERLAP_K = 3
+
+
+def _overlap_oracle() -> str:
+    from mapreduceproject_spark.functions.textfn import duck_word_shingles
+
+    return f"""
+    WITH ss AS (
+      SELECT DISTINCT source, sh FROM (
+        SELECT source, unnest({duck_word_shingles("text", OVERLAP_K)}) AS sh
+        FROM documents
+      )
+    ),
+    sc AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM ss GROUP BY 1),
+    inter AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             CAST(COUNT(*) AS BIGINT) AS n_shared
+      FROM ss a JOIN ss b ON a.sh = b.sh AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT source_a, source_b, n_shared,
+           CAST(n_shared AS DOUBLE)
+             / CAST(ca.n + cb.n - n_shared AS DOUBLE) AS jaccard
+    FROM inter
+    JOIN sc ca ON inter.source_a = ca.source
+    JOIN sc cb ON inter.source_b = cb.source
+    """
+
+
+@query("cross_source_shingle_overlap", oracle=_overlap_oracle())
+def cross_source_shingle_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Jaccard similarity between sources over distinct
+    {OVERLAP_K}-word shingles — the inter-source contamination matrix
+    (mirror sites, syndicated content, cross-source boilerplate) that
+    dedup_* measures at document level.
+
+    One corpus shuffle to the distinct (source, shingle) set; the
+    shingle self-join fans out only where a shingle spans multiple
+    sources (≤ |sources|² per shingle, and |sources| is small by
+    definition); marginals broadcast.  Jaccard is an exact int64 ratio.
+    """
+    from mapreduceproject_spark.functions.textfn import word_shingle_rows
+    from mapreduceproject_spark.sources.catalog import spread_for_compute
+
+    docs = spread_for_compute(
+        load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    )
+    # the distinct (source, shingle) set feeds the marginals and BOTH
+    # self-join sides; the shingle explode upstream is the expensive part
+    # (same recompute trap as the graph census) — persist it once
+    ss = (
+        word_shingle_rows(docs, F.col("text"), OVERLAP_K, ["doc_id", "source"])
+        .select("source", "sh")
+        .distinct()
+        .persist()
+    )
+    sc = ss.groupBy("source").agg(F.count("*").cast("long").alias("n"))
+    a, b = ss.alias("a"), ss.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.source") < F.col("b.source")))
+        .groupBy(
+            F.col("a.source").alias("source_a"), F.col("b.source").alias("source_b")
+        )
+        .agg(F.count("*").cast("long").alias("n_shared"))
+    )
+    ca = sc.select(F.col("source").alias("source_a"), F.col("n").alias("n_a"))
+    cb = sc.select(F.col("source").alias("source_b"), F.col("n").alias("n_b"))
+    return (
+        inter.join(F.broadcast(ca), "source_a")
+        .join(F.broadcast(cb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared",
+            (
+                F.col("n_shared").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_shared")).cast("double")
+            ).alias("jaccard"),
+        )
+    )
+
+
+# -- equi-depth histogram ----------------------------------------------------
+HIST_BUCKETS = 16
+
+
+def _equidepth_oracle() -> str:
+    return f"""
+    WITH v AS (
+      SELECT CAST(floor(l_extendedprice * 100) AS BIGINT) AS cents,
+             l_orderkey, l_linenumber
+      FROM lineitem
+    ),
+    b AS (
+      SELECT cents,
+             CAST(ntile({HIST_BUCKETS}) OVER (
+               ORDER BY cents, l_orderkey, l_linenumber) AS BIGINT) AS bucket
+      FROM v
+    )
+    SELECT bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(min(cents) AS DOUBLE) / 100.0 AS lo,
+           CAST(max(cents) AS DOUBLE) / 100.0 AS hi
+    FROM b GROUP BY bucket
+    """
+
+
+@query("equidepth_histogram", oracle=_equidepth_oracle())
+def equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{HIST_BUCKETS}-bucket equi-depth histogram of l_extendedprice —
+    the ANALYZE-statistics primitive behind selectivity estimation
+    (data_profile's min/max, this adds the distribution between them).
+
+    Exact formulation: integer cents with a full-key tiebreak make the
+    ntile assignment engine-identical; the sort carries three longs per
+    row.  At 100 TB the bucket bounds come from approx_percentile and
+    the counts from one conditional aggregate — the exact ntile is the
+    calibration oracle for that sketch, not the production path.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    v = li.select(
+        F.floor(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    b = v.withColumn(
+        "bucket",
+        F.ntile(HIST_BUCKETS)
+        .over(Window.orderBy("cents", "l_orderkey", "l_linenumber"))
+        .cast("long"),
+    )
+    return b.groupBy("bucket").agg(
+        F.count("*").cast("long").alias("n"),
+        (F.min("cents").cast("double") / 100.0).alias("lo"),
+        (F.max("cents").cast("double") / 100.0).alias("hi"),
+    )
+
+
+# -- last-touch marketing attribution ---------------------------------------
+ATTR_WINDOW_DAYS = 7
+
+
+def _attribution_oracle() -> str:
+    return f"""
+    WITH ev AS (
+      SELECT user_id, event_type, epoch_us(ts) AS us, event_id,
+             CAST(floor(value * 100) AS BIGINT) AS cents
+      FROM events WHERE event_type IN ('click', 'view', 'purchase')
+    ),
+    tagged AS (
+      SELECT *,
+             last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+                        IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY us, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS touch_type,
+             last_value(CASE WHEN event_type <> 'purchase' THEN us END
+                        IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY us, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS touch_us
+      FROM ev
+    )
+    SELECT COALESCE(CASE WHEN us - touch_us
+                              <= {ATTR_WINDOW_DAYS} * 86400000000 THEN touch_type END,
+                    'none') AS channel,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           CAST(SUM(cents) AS DOUBLE) / 100.0 AS revenue
+    FROM tagged
+    WHERE event_type = 'purchase'
+    GROUP BY 1
+    """
+
+
+@query("attribution_last_touch", oracle=_attribution_oracle())
+def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: each purchase credits the user's most
+    recent click or view within the prior {ATTR_WINDOW_DAYS} days
+    ('none' if no touch qualifies), rolled up to channel totals.
+
+    The conditional carry-forward — last(when(is_touch, ...),
+    ignorenulls) over the per-user time order — resolves every purchase
+    in ONE window pass over one user_id shuffle; the naive formulation
+    is a purchases×touches interval self-join that explodes on active
+    users.  Timestamps compare as exact epoch-µs integers; revenue sums
+    integer cents.
+    """
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("click", "view", "purchase"))
+        .select(
+            "user_id",
+            "event_type",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+            "event_id",
+            F.floor(F.col("value") * 100).cast("long").alias("cents"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    is_touch = F.col("event_type") != "purchase"
+    tagged = ev.withColumn(
+        "touch_type",
+        F.last(F.when(is_touch, F.col("event_type")), ignorenulls=True).over(w),
+    ).withColumn(
+        "touch_us",
+        F.last(F.when(is_touch, F.col("us")), ignorenulls=True).over(w),
+    )
+    qualified = F.when(
+        F.col("us") - F.col("touch_us") <= ATTR_WINDOW_DAYS * 86_400_000_000,
+        F.col("touch_type"),
+    )
+    return (
+        tagged.filter(F.col("event_type") == "purchase")
+        .select(F.coalesce(qualified, F.lit("none")).alias("channel"), "cents")
+        .groupBy("channel")
+        .agg(
+            F.count("*").cast("long").alias("n_purchases"),
+            (F.sum("cents").cast("double") / 100.0).alias("revenue"),
+        )
+    )

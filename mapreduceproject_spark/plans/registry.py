@@ -82,6 +82,14 @@ _FRONT: tuple[str, ...] = (
     # distribution over the same oracle-shared kNN edge derivation.
     "knn_triangle_census",
     "knn_degree_hist",
+    # New this round — RFM segmentation, revenue trend, Zipf fit,
+    # inter-source contamination matrix, equi-depth histogram.
+    "customer_rfm",
+    "orders_mom_growth",
+    "token_zipf_fit",
+    "cross_source_shingle_overlap",
+    "equidepth_histogram",
+    "attribution_last_touch",
     # Re-verification of the heaviest / most algorithmically dense tier —
     # all r2-green; fills the window in descending value of a fresh row.
     "dedup_edit_distance",
