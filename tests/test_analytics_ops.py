@@ -1,0 +1,178 @@
+"""Hand-truth tests for the warehouse-analytics tier — fixed tiny inputs
+with independently computed expected outputs, complementing the DuckDB
+oracle parity in tests/test_oracle_parity.py (two engines agreeing could
+in principle share a bug; a hand-derived answer can't).
+"""
+
+from __future__ import annotations
+
+from fractions import Fraction
+
+from pyspark.sql import Row, Window
+from pyspark.sql import functions as F
+
+from mapreduceproject_spark.operators.graph import (
+    degree_histogram,
+    triangle_census,
+    undirected_edges,
+)
+
+
+# -- graph census ------------------------------------------------------------
+def test_triangle_census_hand_graph(spark):
+    # Two triangles sharing edge (1,2): {1,2,3} and {1,2,4}; plus a
+    # pendant node 5 attached to 3.  Directed duplicates and both
+    # orientations must collapse.
+    edges = spark.createDataFrame(
+        [
+            (1, 2), (2, 1),          # duplicate orientation
+            (1, 3), (2, 3),
+            (1, 4), (4, 2),
+            (3, 5),
+            (3, 3),                   # self-loop must be dropped
+        ],
+        "src long, dst long",
+    )
+    row = triangle_census(edges).collect()[0]
+    assert row.n_nodes == 5
+    assert row.n_edges == 6          # (1,2)(1,3)(2,3)(1,4)(2,4)(3,5)
+    # degrees: 1:3, 2:3, 3:3, 4:2, 5:1 -> wedges = 3+3+3+1+0 = 10
+    assert row.n_wedges == 10
+    assert row.n_triangles == 2
+    assert row.global_clustering == 3 * 2 / 10
+
+
+def test_degree_histogram_hand_graph(spark):
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (1, 3), (1, 4)], "src long, dst long"
+    )
+    hist = {r.deg: r.n_nodes for r in degree_histogram(edges).collect()}
+    # node 1 has degree 3; nodes 2,3,4 degree 1
+    assert hist == {3: 1, 1: 3}
+
+
+def test_undirected_edges_canonicalize(spark):
+    edges = spark.createDataFrame(
+        [(2, 1), (1, 2), (3, 3), (4, 1)], "src long, dst long"
+    )
+    got = {(r.a, r.b) for r in undirected_edges(edges).collect()}
+    assert got == {(1, 2), (1, 4)}
+
+
+# -- EWMA exactness ----------------------------------------------------------
+def test_ewma_matches_fraction_exact_reference(spark, sf_dir):
+    """The operator's claim is *exact dyadic arithmetic*: the Spark result
+    must equal the Fraction-computed EWMA bit-for-bit, not approximately."""
+    from mapreduceproject_spark.plans.analytics_queries import (
+        EWMA_LAGS,
+        ewma_user_values,
+    )
+    from mapreduceproject_spark.sources.catalog import load_table
+
+    got = {
+        r.user_id: (r.n_used, r.ewma_value)
+        for r in ewma_user_values(spark, sf_dir).collect()
+    }
+    rows = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "ts", "event_id", "value")
+        .collect()
+    )
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    import math
+
+    for uid, evs in by_user.items():
+        evs.sort(key=lambda r: (r.ts, r.event_id), reverse=True)
+        last = evs[:EWMA_LAGS]
+        num = Fraction(0)
+        den = Fraction(0)
+        for rn, r in enumerate(last, start=1):
+            cents = math.floor(r.value * 100)
+            num += Fraction(cents, 2**rn)
+            den += Fraction(1, 2**rn)
+        expect = float(num / den) / 100.0
+        n_used, ewma = got[uid]
+        assert n_used == len(last)
+        assert ewma == expect, f"user {uid}: {ewma} != exact {expect}"
+
+
+# -- attribution edge cases --------------------------------------------------
+def test_attribution_hand_timeline(spark, tmp_path):
+    """Boundary behavior: a touch exactly at the 7-day limit qualifies,
+    one microsecond past does not; purchases with no prior touch are
+    'none'; a later touch overrides an earlier one."""
+    import datetime as dt
+
+    from mapreduceproject_spark.plans.analytics_queries import (
+        attribution_last_touch,
+    )
+
+    t0 = dt.datetime(2024, 1, 10, 12, 0, 0)
+    day = dt.timedelta(days=1)
+    us = dt.timedelta(microseconds=1)
+    rows = [
+        # user 1: click then purchase 7 days later exactly -> 'click'
+        Row(event_id=1, ts=t0, user_id=1, event_type="click", value=0.0, props="{}"),
+        Row(event_id=2, ts=t0 + 7 * day, user_id=1, event_type="purchase", value=10.0, props="{}"),
+        # user 2: view then purchase 7 days + 1us later -> 'none'
+        Row(event_id=3, ts=t0, user_id=2, event_type="view", value=0.0, props="{}"),
+        Row(event_id=4, ts=t0 + 7 * day + us, user_id=2, event_type="purchase", value=20.0, props="{}"),
+        # user 3: purchase with no touch -> 'none'
+        Row(event_id=5, ts=t0, user_id=3, event_type="purchase", value=40.0, props="{}"),
+        # user 4: view, then click, then purchase -> last touch 'click'
+        Row(event_id=6, ts=t0, user_id=4, event_type="view", value=0.0, props="{}"),
+        Row(event_id=7, ts=t0 + day, user_id=4, event_type="click", value=0.0, props="{}"),
+        Row(event_id=8, ts=t0 + 2 * day, user_id=4, event_type="purchase", value=5.0, props="{}"),
+        # an unrelated event type must be ignored entirely
+        Row(event_id=9, ts=t0 + day, user_id=3, event_type="error", value=0.0, props="{}"),
+    ]
+    path = str(tmp_path / "events.parquet")
+    spark.createDataFrame(rows).withColumn(
+        "ts", F.col("ts").cast("timestamp_ntz")
+    ).write.parquet(path)
+    # attribution_last_touch loads "<dir>/events.parquet"
+    out = {
+        r.channel: (r.n_purchases, r.revenue)
+        for r in attribution_last_touch(spark, str(tmp_path)).collect()
+    }
+    assert out == {"click": (2, 15.0), "none": (2, 60.0)}
+
+
+# -- robust stats interpolation ----------------------------------------------
+def test_mad_interpolation_even_group(spark):
+    from mapreduceproject_spark.operators import text_analysis  # noqa: F401
+
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 3), ("a", 5), ("a", 100)], "source string, x long"
+    )
+    med = df.groupBy("source").agg(F.expr("percentile(x, 0.5D)").alias("med"))
+    r = (
+        df.join(F.broadcast(med), "source")
+        .groupBy("source")
+        .agg(F.expr("percentile(abs(x - med), 0.5D)").alias("mad"))
+        .collect()[0]
+    )
+    # median = (3+5)/2 = 4; |x-4| = [3,1,1,96] -> sorted [1,1,3,96], MAD = 2
+    assert r.mad == 2.0
+
+
+# -- market basket hand case -------------------------------------------------
+def test_basket_pair_counting_logic(spark):
+    ob = spark.createDataFrame(
+        [(1, "A"), (1, "B"), (1, "C"), (2, "A"), (2, "B"), (3, "A")],
+        "l_orderkey long, brand string",
+    )
+    a, b = ob.alias("a"), ob.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.brand") < F.col("b.brand")),
+        )
+        .groupBy(F.col("a.brand").alias("x"), F.col("b.brand").alias("y"))
+        .agg(F.count("*").alias("n"))
+    )
+    got = {(r.x, r.y): r.n for r in pairs.collect()}
+    assert got == {("A", "B"): 2, ("A", "C"): 1, ("B", "C"): 1}
