@@ -54,6 +54,12 @@ TIER = [
     "ann_hyperplane_topk",
     "pagerank_knn",
     "dedup_keep_best",
+    # round-3 third wave (documents/embeddings-backed heavy shapes)
+    "cross_source_shingle_overlap",
+    "knn_triangle_census",
+    "token_pmi_bigrams",
+    "source_token_entropy",
+    "token_zipf_fit",
 ]
 
 ALPHA = "abcdefghijklmnopqrstuvwxyz"
