@@ -900,3 +900,110 @@ def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("cents").cast("double") / 100.0).alias("revenue"),
         )
     )
+
+
+# -- skyline / Pareto frontier ----------------------------------------------
+def _skyline_oracle() -> str:
+    return """
+    WITH v AS (
+      SELECT p_partkey,
+             CAST(floor(p_retailprice * 100) AS BIGINT) AS price_cents,
+             CAST(p_size AS BIGINT) AS size
+      FROM part
+    ),
+    m AS (
+      SELECT *,
+             max(size) OVER (
+               ORDER BY price_cents, size DESC, p_partkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS best_prev
+      FROM v
+    )
+    SELECT p_partkey,
+           CAST(price_cents AS DOUBLE) / 100.0 AS price,
+           size
+    FROM m
+    WHERE best_prev IS NULL OR size > best_prev
+    """
+
+
+@query("skyline_price_size", oracle=_skyline_oracle())
+def skyline_price_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline (Pareto frontier) of parts: cheapest-for-their-size
+    points — every part not dominated by one both cheaper and larger.
+
+    The window formulation solves it in ONE sorted pass: order by
+    (price asc, size desc), keep rows whose size beats the running max
+    of everything cheaper — no point-vs-point self-join (the naive
+    skyline is O(n²)).  The global sort carries three longs per row; at
+    100 TB, pre-filter with a per-partition local skyline first (the
+    classic two-phase skyline: local frontiers are tiny, union them,
+    re-run — same operator applied twice).  Exact integer cents; ties
+    fully broken so the frontier is engine-identical.
+    """
+    p = load_table(spark, sf_dir, "part")
+    v = p.select(
+        "p_partkey",
+        F.floor(F.col("p_retailprice") * 100).cast("long").alias("price_cents"),
+        F.col("p_size").cast("long").alias("size"),
+    )
+    w = (
+        Window.orderBy("price_cents", F.desc("size"), "p_partkey")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    m = v.withColumn("best_prev", F.max("size").over(w))
+    return m.filter(
+        F.col("best_prev").isNull() | (F.col("size") > F.col("best_prev"))
+    ).select(
+        "p_partkey",
+        (F.col("price_cents").cast("double") / 100.0).alias("price"),
+        "size",
+    )
+
+
+# -- event-type transition matrix -------------------------------------------
+def _transition_oracle() -> str:
+    return """
+    WITH s AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+      FROM events
+    ),
+    c AS (
+      SELECT event_type AS from_type, next_type AS to_type,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM s WHERE next_type IS NOT NULL GROUP BY 1, 2
+    )
+    SELECT from_type, to_type, n,
+           CAST(n AS DOUBLE)
+             / CAST(SUM(n) OVER (PARTITION BY from_type) AS DOUBLE) AS p
+    FROM c
+    """
+
+
+@query("event_transition_matrix", oracle=_transition_oracle())
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of user event sequences:
+    P(next event type | current) — the behavioral fingerprint behind
+    next-action prediction and bot detection (a scripted client's matrix
+    is near-deterministic; a human's is diffuse).
+
+    One user_id shuffle for the lead() ordering, one |types|²-sized
+    count table, marginals from a window over that tiny table.  The
+    probability is one exact-int64 ratio per cell.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).filter(F.col("next_type").isNotNull())
+    c = s.groupBy(
+        F.col("event_type").alias("from_type"), F.col("next_type").alias("to_type")
+    ).agg(F.count("*").cast("long").alias("n"))
+    wt = Window.partitionBy("from_type")
+    return c.select(
+        "from_type",
+        "to_type",
+        "n",
+        (F.col("n").cast("double") / F.sum("n").over(wt).cast("double")).alias("p"),
+    )

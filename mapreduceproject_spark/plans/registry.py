@@ -90,6 +90,8 @@ _FRONT: tuple[str, ...] = (
     "cross_source_shingle_overlap",
     "equidepth_histogram",
     "attribution_last_touch",
+    "skyline_price_size",
+    "event_transition_matrix",
     # Re-verification of the heaviest / most algorithmically dense tier —
     # all r2-green; fills the window in descending value of a fresh row.
     "dedup_edit_distance",
