@@ -26,8 +26,12 @@ ORACLES: dict[str, str] = {}
 # the remaining 10 — 3 stale (dedup trio reworked after their r1 rows) and
 # 7 never-checked — go first this round so every registry entry ends up
 # verified against its *current* algorithm.  dedup_clusters follows because
-# its convergence check changed this round.  Names absent from the registry
-# are ignored; everything else follows in registration order.
+# its convergence check changed this round; then every query ADDED or
+# refactor-touched this round (round-3 waves 2 and 3), so each has a
+# driver row from the round its current algorithm shipped in.  The final
+# block re-verifies already-valid r2-green entries with whatever window
+# slots remain.  Names absent from the registry are ignored; everything
+# else follows in registration order.
 _FRONT: tuple[str, ...] = (
     # Stale: algorithms changed after their round-1 green rows
     # (64-bit simhash, PPJoin prefix filter, multi-probe IVF).
