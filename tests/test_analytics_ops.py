@@ -176,3 +176,65 @@ def test_basket_pair_counting_logic(spark):
     )
     got = {(r.x, r.y): r.n for r in pairs.collect()}
     assert got == {("A", "B"): 2, ("A", "C"): 1, ("B", "C"): 1}
+
+
+# -- skyline hand case -------------------------------------------------------
+def test_skyline_dominance_logic(spark):
+    from pyspark.sql import Window
+
+    # points: (price, size). Frontier: (1,5), (2,7), (4,9).
+    # (3,7) dominated by (2,7)? equal size, cheaper exists -> dominated
+    # (skyline keeps strictly-better-size only among cheaper-or-equal).
+    pts = spark.createDataFrame(
+        [(1, 100, 5), (2, 200, 7), (3, 300, 7), (4, 400, 9), (5, 500, 3)],
+        "p_partkey long, price_cents long, size long",
+    )
+    w = (
+        Window.orderBy("price_cents", F.desc("size"), "p_partkey")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    m = pts.withColumn("best_prev", F.max("size").over(w))
+    keep = {
+        r.p_partkey
+        for r in m.filter(
+            F.col("best_prev").isNull() | (F.col("size") > F.col("best_prev"))
+        ).collect()
+    }
+    assert keep == {1, 2, 4}
+
+
+# -- transition matrix hand case ---------------------------------------------
+def test_transition_matrix_hand_sequence(spark, tmp_path):
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from mapreduceproject_spark.plans.analytics_queries import (
+        event_transition_matrix,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    s = dt.timedelta(seconds=1)
+    rows = [
+        # user 1: view -> click -> view  (view->click, click->view)
+        Row(event_id=1, ts=t0, user_id=1, event_type="view", value=0.0, props="{}"),
+        Row(event_id=2, ts=t0 + s, user_id=1, event_type="click", value=0.0, props="{}"),
+        Row(event_id=3, ts=t0 + 2 * s, user_id=1, event_type="view", value=0.0, props="{}"),
+        # user 2: view -> view  (view->view)
+        Row(event_id=4, ts=t0, user_id=2, event_type="view", value=0.0, props="{}"),
+        Row(event_id=5, ts=t0 + s, user_id=2, event_type="view", value=0.0, props="{}"),
+        # user 3: single event, no transition
+        Row(event_id=6, ts=t0, user_id=3, event_type="click", value=0.0, props="{}"),
+    ]
+    spark.createDataFrame(rows).withColumn(
+        "ts", F.col("ts").cast("timestamp_ntz")
+    ).write.parquet(str(tmp_path / "events.parquet"))
+    got = {
+        (r.from_type, r.to_type): (r.n, r.p)
+        for r in event_transition_matrix(spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        ("view", "click"): (1, 0.5),
+        ("view", "view"): (1, 0.5),
+        ("click", "view"): (1, 1.0),
+    }
