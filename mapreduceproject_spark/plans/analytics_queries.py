@@ -935,25 +935,21 @@ def skyline_price_size(spark: SparkSession, sf_dir: str) -> DataFrame:
     (price asc, size desc), keep rows whose size beats the running max
     of everything cheaper — no point-vs-point self-join (the naive
     skyline is O(n²)).  The global sort carries three longs per row; at
-    100 TB, pre-filter with a per-partition local skyline first (the
-    classic two-phase skyline: local frontiers are tiny, union them,
-    re-run — same operator applied twice).  Exact integer cents; ties
-    fully broken so the frontier is engine-identical.
+    100 TB use operators/skyline.py::skyline_2d_two_phase — lossless
+    per-bucket local frontiers first, then this same pass over the
+    surviving sliver (equality proven in tests/test_analytics_ops.py).
+    Exact integer cents; ties fully broken so the frontier is
+    engine-identical.
     """
+    from mapreduceproject_spark.operators.skyline import skyline_2d
+
     p = load_table(spark, sf_dir, "part")
     v = p.select(
         "p_partkey",
         F.floor(F.col("p_retailprice") * 100).cast("long").alias("price_cents"),
         F.col("p_size").cast("long").alias("size"),
     )
-    w = (
-        Window.orderBy("price_cents", F.desc("size"), "p_partkey")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    m = v.withColumn("best_prev", F.max("size").over(w))
-    return m.filter(
-        F.col("best_prev").isNull() | (F.col("size") > F.col("best_prev"))
-    ).select(
+    return skyline_2d(v, "price_cents", "size", ["p_partkey"]).select(
         "p_partkey",
         (F.col("price_cents").cast("double") / 100.0).alias("price"),
         "size",

@@ -238,3 +238,28 @@ def test_transition_matrix_hand_sequence(spark, tmp_path):
         ("view", "view"): (1, 0.5),
         ("click", "view"): (1, 1.0),
     }
+
+
+def test_skyline_two_phase_equals_single_pass(spark, sf_dir):
+    """Lossless pruning claim: the bucketed two-phase skyline must return
+    EXACTLY the global single-pass frontier, for any bucket count."""
+    from mapreduceproject_spark.operators.skyline import (
+        skyline_2d,
+        skyline_2d_two_phase,
+    )
+    from mapreduceproject_spark.sources.catalog import load_table
+
+    v = load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.floor(F.col("p_retailprice") * 100).cast("long").alias("x"),
+        F.col("p_size").cast("long").alias("y"),
+    )
+    single = {tuple(r) for r in skyline_2d(v, "x", "y", ["p_partkey"]).collect()}
+    for buckets in (1, 7, 64):
+        two = {
+            tuple(r)
+            for r in skyline_2d_two_phase(
+                v, "x", "y", ["p_partkey"], buckets=buckets
+            ).collect()
+        }
+        assert two == single, f"buckets={buckets}"
