@@ -263,3 +263,30 @@ def test_skyline_two_phase_equals_single_pass(spark, sf_dir):
             ).collect()
         }
         assert two == single, f"buckets={buckets}"
+
+
+def test_equidepth_approx_contract(spark, sf_dir):
+    """The production-path histogram (approx_percentile bounds + one
+    conditional assignment pass, no global sort) must produce monotonic
+    non-overlapping buckets that preserve the total count and stay near
+    equi-depth."""
+    from mapreduceproject_spark.operators.histogram import equidepth_approx
+    from mapreduceproject_spark.sources.catalog import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.floor(F.col("l_extendedprice") * 100).cast("long").alias("cents")
+    )
+    n_total = li.count()
+    buckets = 8
+    rows = sorted(
+        equidepth_approx(li, "cents", buckets=buckets).collect(),
+        key=lambda r: r.bucket,
+    )
+    assert [r.bucket for r in rows] == list(range(1, buckets + 1))
+    assert sum(r.n for r in rows) == n_total
+    for prev, cur in zip(rows, rows[1:]):
+        assert prev.hi <= cur.lo  # non-overlapping, ordered
+    target = n_total / buckets
+    for r in rows:
+        # sketch accuracy 10_000 on a ~6e3-row fixture: generous band
+        assert 0.5 * target <= r.n <= 1.5 * target, (r.bucket, r.n, target)
