@@ -217,7 +217,10 @@ def triangle_census(edges: DataFrame) -> DataFrame:
     )
     dstats = deg.agg(
         F.count("*").cast("long").alias("n_nodes"),
-        F.sum(F.expr("deg * (deg - 1L) div 2L")).cast("long").alias("n_wedges"),
+        # coalesce: SUM over an empty graph is NULL, but this is a count
+        F.coalesce(
+            F.sum(F.expr("deg * (deg - 1L) div 2L")), F.lit(0)
+        ).cast("long").alias("n_wedges"),
     )
     ecount = und.agg(F.count("*").cast("long").alias("n_edges"))
     wedge = (

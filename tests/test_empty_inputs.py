@@ -36,6 +36,19 @@ REPRESENTATIVE = [
     "pagerank_knn",
     "dedup_keep_best",
     "scd2_intervals",
+    # round-3 third wave
+    "market_basket_lift",
+    "ewma_user_values",
+    "mad_robust_stats",
+    "quality_calibration_deciles",
+    "knn_triangle_census",
+    "customer_rfm",
+    "token_zipf_fit",
+    "cross_source_shingle_overlap",
+    "equidepth_histogram",
+    "attribution_last_touch",
+    "skyline_price_size",
+    "event_transition_matrix",
 ]
 
 
