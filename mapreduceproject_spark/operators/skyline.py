@@ -48,7 +48,15 @@ def _frontier(df: DataFrame, x: str, y: str, tiebreak: list[str], *, part: list[
 def skyline_2d(df: DataFrame, x: str, y: str, tiebreak: list[str]) -> DataFrame:
     """Exact 2-D skyline in one global sorted pass (minimize x, maximize
     y).  The sort carries only the projected columns — use on inputs
-    that fit a global sort of (x, y, tiebreak) tuples."""
+    that fit a global sort of (x, y, tiebreak) tuples.
+
+    Duplicate-point semantics: rows sharing an exact frontier (x, y)
+    keep ONE representative (lowest tiebreak) — the strict
+    `y > running max` comparison drops the rest.  Classical skyline
+    definitions keep all mutually non-dominating duplicates; the
+    randomized cross-check in tests/test_analytics_ops.py pins that the
+    frontier *coordinates* match the O(n²) definition exactly and the
+    representatives are a subset of it."""
     return _frontier(df, x, y, tiebreak)
 
 

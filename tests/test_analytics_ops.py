@@ -290,3 +290,51 @@ def test_equidepth_approx_contract(spark, sf_dir):
     for r in rows:
         # sketch accuracy 10_000 on a ~6e3-row fixture: generous band
         assert 0.5 * target <= r.n <= 1.5 * target, (r.bucket, r.n, target)
+
+
+# -- randomized brute-force cross-checks -------------------------------------
+import pytest
+
+
+@pytest.mark.parametrize("seed", [7, 42, 1337])
+def test_skyline_matches_bruteforce_on_random_points(spark, seed):
+    """The window skyline must equal the O(n²) dominance definition on
+    random point sets (with duplicate coordinates to stress ties)."""
+    import random
+
+    from mapreduceproject_spark.operators.skyline import skyline_2d
+
+    rng = random.Random(seed)
+    pts = [(i, rng.randrange(0, 40), rng.randrange(0, 40)) for i in range(200)]
+    # brute force: keep p unless some q has x<=, y>= with one strict
+    keep = {
+        pid
+        for pid, x, y in pts
+        if not any(
+            (qx <= x and qy >= y and (qx < x or qy > y)) for _, qx, qy in pts
+        )
+    }
+    df = spark.createDataFrame(pts, "pid long, x long, y long")
+    got = {r.pid for r in skyline_2d(df, "x", "y", ["pid"]).collect()}
+    # the window formulation keeps one representative per duplicate
+    # (x, y) point on the frontier (the lowest tiebreak); brute force
+    # keeps all of them — compare frontier COORDINATES, which must match
+    # exactly, and representatives must be a subset of the brute set
+    coords = {(x, y) for pid, x, y in pts if pid in keep}
+    got_coords = {(x, y) for pid, x, y in pts if pid in got}
+    assert got_coords == coords
+    assert got <= keep
+
+
+def test_transition_matrix_rows_sum_to_one(spark, sf_dir):
+    from mapreduceproject_spark.plans.analytics_queries import (
+        event_transition_matrix,
+    )
+
+    rows = event_transition_matrix(spark, sf_dir).collect()
+    by_from: dict[str, float] = {}
+    for r in rows:
+        by_from[r.from_type] = by_from.get(r.from_type, 0.0) + r.p
+    assert by_from, "no transitions on the fixture"
+    for ft, total in by_from.items():
+        assert abs(total - 1.0) < 1e-9, (ft, total)
