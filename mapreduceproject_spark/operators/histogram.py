@@ -31,6 +31,11 @@ def equidepth_approx(
     memory); the sketch is mergeable, so the aggregate is one ordinary
     partial+final pass — the global sort of the exact formulation never
     happens.
+
+    NULLs are excluded: approx_percentile ignores them when building
+    bounds, so counting them (they'd otherwise land silently in bucket
+    1) would break the equi-depth contract.  Count them separately if
+    the null rate matters — it's a data_profile column.
     """
     probs = ", ".join(str(i / buckets) for i in range(buckets + 1))
     bounds = df.agg(
@@ -40,6 +45,7 @@ def equidepth_approx(
     )
     assigned = (
         df.select(F.col(col).alias("_v"))
+        .filter(F.col("_v").isNotNull())
         .crossJoin(F.broadcast(bounds))
         .select(
             "_v",

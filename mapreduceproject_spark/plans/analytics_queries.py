@@ -591,10 +591,25 @@ def orders_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # -- Zipf fit of the token frequency distribution ----------------------------
 ZIPF_MAX_RANK = 1000
-LN_SCALE = 1_000_000
+# milli-quantization, NOT micro: with 1000 ranks, x = ⌊ln(r)·s⌋ gives
+# Σx ≈ 5.9e3·s and Σx² ≈ 3.6e7·s², so the normal-equation products
+# n·Σx² and (Σx)² reach ~3.6e13·s².  s = 1e6 overflows int64 at ~600
+# ranks (the fixture's tiny vocabulary masked it); s = 1e3 bounds every
+# product below ~4e19/1e6 ≈ 4e13 — safe with six orders of headroom for
+# any count magnitude (y ≤ ln(1e18)·1e3 ≈ 4.2e4 keeps n·Σxy < 3e14).
+# Quantization error on the slope is ~1e-4 over the ln-rank spread —
+# noise for a corpus-health gauge, and still engine-exact.
+LN_SCALE = 1_000
 
 
 def _zipf_oracle() -> str:
+    from mapreduceproject_spark.functions.stats import (
+        DUCK_OLS_INTERCEPT_Q,
+        DUCK_OLS_R2,
+        DUCK_OLS_SLOPE_Q,
+        duck_ols_sums,
+    )
+
     return f"""
     WITH tok AS (
       SELECT tok FROM {duck_token_rows("lower(text)", "doc_id")}
@@ -608,24 +623,11 @@ def _zipf_oracle() -> str:
              CAST(floor(ln(c) * {LN_SCALE}) AS BIGINT) AS y
       FROM r WHERE rnk <= {ZIPF_MAX_RANK}
     ),
-    s AS (
-      SELECT CAST(COUNT(*) AS BIGINT) AS n,
-             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
-             CAST(SUM(x * y) AS BIGINT) AS sxy,
-             CAST(SUM(x * x) AS BIGINT) AS sxx,
-             CAST(SUM(y * y) AS BIGINT) AS syy
-      FROM q
-    )
+    s AS (SELECT * FROM {duck_ols_sums("q")})
     SELECT n AS n_ranks,
-           CAST(n * sxy - sx * sy AS DOUBLE)
-             / CAST(n * sxx - sx * sx AS DOUBLE) AS zipf_slope,
-           (CAST(sy AS DOUBLE)
-             - CAST(n * sxy - sx * sy AS DOUBLE)
-               / CAST(n * sxx - sx * sx AS DOUBLE) * sx) / n / {LN_SCALE}
-             AS ln_intercept,
-           CAST(n * sxy - sx * sy AS DOUBLE) * CAST(n * sxy - sx * sy AS DOUBLE)
-             / (CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE))
-             AS r2
+           {DUCK_OLS_SLOPE_Q} AS zipf_slope,
+           {DUCK_OLS_INTERCEPT_Q} / {LN_SCALE} AS ln_intercept,
+           {DUCK_OLS_R2} AS r2
     FROM s
     """
 
@@ -638,10 +640,14 @@ def token_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     boilerplate (the corpus-health cousin of source_token_entropy).
 
     One corpus shuffle to term counts, a vocabulary-sized rank window,
-    then the same exact-integer sufficient-statistics OLS as
-    grouped_regression (ln values micro-quantized; slope is a ratio of
-    exact int64 sums — summation order cannot move it).
+    then the shared exact-integer sufficient-statistics OLS
+    (functions/stats.py — same algebra as grouped_regression; slope is
+    a ratio of exact int64 sums, summation order cannot move it).
+    Slope needs no rescale (x and y share LN_SCALE); the magnitude
+    audit lives on LN_SCALE above.
     """
+    from mapreduceproject_spark.functions.stats import ols_outputs, ols_sum_aggs
+
     docs = load_table(spark, sf_dir, "documents")
     toks = token_rows(
         docs.select("doc_id", "text"), F.lower(F.col("text")), ["doc_id"]
@@ -654,26 +660,13 @@ def token_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.log("rnk") * LN_SCALE).cast("long").alias("x"),
         F.floor(F.log("c") * LN_SCALE).cast("long").alias("y"),
     )
-    s = q.agg(
-        F.count("*").cast("long").alias("n"),
-        F.sum("x").cast("long").alias("sx"),
-        F.sum("y").cast("long").alias("sy"),
-        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
-        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
-        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
-    )
-    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
-    denx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
-    deny = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    s = q.agg(*ols_sum_aggs())
+    slope_q, intercept_q, r2 = ols_outputs()
     return s.select(
         F.col("n").alias("n_ranks"),
-        (num / denx).alias("zipf_slope"),
-        (
-            (F.col("sy").cast("double") - num / denx * F.col("sx"))
-            / F.col("n")
-            / LN_SCALE
-        ).alias("ln_intercept"),
-        (num * num / (denx * deny)).alias("r2"),
+        slope_q.alias("zipf_slope"),
+        (intercept_q / LN_SCALE).alias("ln_intercept"),
+        r2.alias("r2"),
     )
 
 

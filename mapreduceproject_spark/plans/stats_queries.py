@@ -31,34 +31,26 @@ Y_SCALE = 1_000_000  # quality -> micro-units
 
 
 def _grouped_regression_oracle() -> str:
+    from mapreduceproject_spark.functions.stats import (
+        DUCK_OLS_INTERCEPT_Q,
+        DUCK_OLS_R2,
+        DUCK_OLS_SLOPE_Q,
+        duck_ols_sums,
+    )
     from mapreduceproject_spark.plans.text_queries import _quality_oracle
 
     return f"""
     WITH q AS (
       SELECT d.doc_id, d.source,
              CAST(d.n_chars AS BIGINT) AS x,
-             CAST(floor(t.quality * {Y_SCALE}) AS BIGINT) AS yq
+             CAST(floor(t.quality * {Y_SCALE}) AS BIGINT) AS y
       FROM documents d JOIN ({_quality_oracle()}) t USING (doc_id)
     ),
-    s AS (
-      SELECT source,
-             CAST(COUNT(*) AS BIGINT) AS n,
-             CAST(SUM(x) AS BIGINT) AS sx,
-             CAST(SUM(yq) AS BIGINT) AS sy,
-             CAST(SUM(x * yq) AS BIGINT) AS sxy,
-             CAST(SUM(x * x) AS BIGINT) AS sxx,
-             CAST(SUM(yq * yq) AS BIGINT) AS syy
-      FROM q GROUP BY 1
-    )
+    s AS (SELECT * FROM {duck_ols_sums("q", group_by="source")})
     SELECT source, n,
-           CAST(n * sxy - sx * sy AS DOUBLE)
-             / CAST(n * sxx - sx * sx AS DOUBLE) / {Y_SCALE} AS slope,
-           (CAST(sy AS DOUBLE) / n
-             - CAST(n * sxy - sx * sy AS DOUBLE)
-               / CAST(n * sxx - sx * sx AS DOUBLE) * sx / n) / {Y_SCALE} AS intercept,
-           CAST(n * sxy - sx * sy AS DOUBLE) * CAST(n * sxy - sx * sy AS DOUBLE)
-             / (CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE))
-             AS r2
+           {DUCK_OLS_SLOPE_Q} / {Y_SCALE} AS slope,
+           {DUCK_OLS_INTERCEPT_Q} / {Y_SCALE} AS intercept,
+           {DUCK_OLS_R2} AS r2
     FROM s
     """
 
@@ -70,6 +62,7 @@ def grouped_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     (quality micro-quantized so every Σ is an exact 64-bit sum — no
     summation-order nondeterminism).  One shuffle on source; the grouped
     trend-analysis primitive."""
+    from mapreduceproject_spark.functions.stats import ols_outputs, ols_sum_aggs
     from mapreduceproject_spark.operators import text_analysis as ta
 
     docs = load_table(spark, sf_dir, "documents")
@@ -79,32 +72,16 @@ def grouped_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "source",
         "x",
-        F.floor(F.col("quality") * Y_SCALE).cast("long").alias("yq"),
+        F.floor(F.col("quality") * Y_SCALE).cast("long").alias("y"),
     )
-    s = q.groupBy("source").agg(
-        F.count("*").cast("long").alias("n"),
-        F.sum("x").cast("long").alias("sx"),
-        F.sum("yq").cast("long").alias("sy"),
-        F.sum(F.col("x") * F.col("yq")).cast("long").alias("sxy"),
-        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
-        F.sum(F.col("yq") * F.col("yq")).cast("long").alias("syy"),
-    )
-    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
-    denx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
-    deny = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
-    slope_q = num / denx
+    s = q.groupBy("source").agg(*ols_sum_aggs())
+    slope_q, intercept_q, r2 = ols_outputs()
     return s.select(
         "source",
         "n",
         (slope_q / Y_SCALE).alias("slope"),
-        (
-            (
-                F.col("sy").cast("double") / F.col("n")
-                - slope_q * F.col("sx") / F.col("n")
-            )
-            / Y_SCALE
-        ).alias("intercept"),
-        (num * num / (denx * deny)).alias("r2"),
+        (intercept_q / Y_SCALE).alias("intercept"),
+        r2.alias("r2"),
     )
 
 

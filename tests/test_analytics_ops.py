@@ -338,3 +338,37 @@ def test_transition_matrix_rows_sum_to_one(spark, sf_dir):
     assert by_from, "no transitions on the fixture"
     for ft, total in by_from.items():
         assert abs(total - 1.0) < 1e-9, (ft, total)
+
+
+def test_zipf_fit_survives_large_vocabulary(spark, tmp_path):
+    """Regression: with LN_SCALE=1e6 the normal-equation products
+    overflowed int64 (ANSI-mode crash) once the vocabulary passed ~600
+    distinct tokens — the fixtures' tiny vocab masked it.  2,500 distinct
+    tokens must fit comfortably and yield the analytic Zipf slope."""
+    from mapreduceproject_spark.plans.analytics_queries import token_zipf_fit
+
+    # synthetic zipfian corpus: token w_i appears ~N/i times
+    words = []
+    for i in range(1, 2501):
+        words.extend([f"w{i:04d}"] * max(1, 2500 // i))
+    docs = [
+        (d, " ".join(words[d::50]), "en", "synthetic", 0)
+        for d in range(50)
+    ]
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    row = token_zipf_fit(spark, str(tmp_path)).collect()[0]
+    assert row.n_ranks == 1000
+    assert -1.3 < row.zipf_slope < -0.7, row
+    assert row.r2 > 0.9
+
+
+def test_equidepth_approx_ignores_nulls(spark):
+    from mapreduceproject_spark.operators.histogram import equidepth_approx
+
+    df = spark.createDataFrame(
+        [(float(i),) for i in range(100)] + [(None,)] * 50, "v double"
+    )
+    rows = equidepth_approx(df, "v", buckets=4).collect()
+    assert sum(r.n for r in rows) == 100  # NULLs excluded, not bucket-1 noise
