@@ -187,6 +187,18 @@ def undirected_edges(edges: DataFrame) -> DataFrame:
     )
 
 
+def undirected_degrees(und: DataFrame) -> DataFrame:
+    """(v, deg) over a canonical undirected edge set — shared by the
+    census and the histogram (SQL twin: _UND_DEG_CTES in
+    plans/similarity_queries.py)."""
+    return (
+        und.select(F.col("a").alias("v"))
+        .unionAll(und.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").cast("long").alias("deg"))
+    )
+
+
 def triangle_census(edges: DataFrame) -> DataFrame:
     """Global triangle census of the undirected graph: one row with node,
     edge, wedge and triangle counts plus the global clustering
@@ -209,12 +221,7 @@ def triangle_census(edges: DataFrame) -> DataFrame:
     # pipeline (IVF cells + pair scoring, the expensive part) re-runs
     # once per consumer (measured 7.2 s -> ~2 s at sf0.1).
     und = undirected_edges(edges).persist()
-    deg = (
-        und.select(F.col("a").alias("v"))
-        .unionAll(und.select(F.col("b").alias("v")))
-        .groupBy("v")
-        .agg(F.count("*").cast("long").alias("deg"))
-    )
+    deg = undirected_degrees(und)
     dstats = deg.agg(
         F.count("*").cast("long").alias("n_nodes"),
         # coalesce: SUM over an empty graph is NULL, but this is a count
@@ -260,10 +267,8 @@ def degree_histogram(edges: DataFrame) -> DataFrame:
     downstream per-node join).  Two vocabulary-sized shuffles."""
     # both unionAll branches re-read the edge pipeline: persist once
     und = undirected_edges(edges).persist()
-    deg = (
-        und.select(F.col("a").alias("v"))
-        .unionAll(und.select(F.col("b").alias("v")))
-        .groupBy("v")
-        .agg(F.count("*").cast("long").alias("deg"))
+    return (
+        undirected_degrees(und)
+        .groupBy("deg")
+        .agg(F.count("*").cast("long").alias("n_nodes"))
     )
-    return deg.groupBy("deg").agg(F.count("*").cast("long").alias("n_nodes"))

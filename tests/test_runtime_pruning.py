@@ -53,9 +53,11 @@ def test_runtime_bloom_filter_prunes_fact_side(spark, sf_dir):
         dim = load_table(sess, sf_dir, "orders").filter(
             F.col("o_orderpriority") == "1-URGENT"
         )
-        return (
-            fact.join(dim, fact.l_orderkey == dim.o_orderkey)
-            .agg(F.sum("l_quantity").alias("q"))
+        return fact.join(dim, fact.l_orderkey == dim.o_orderkey).agg(
+            # decimal: the two plans (SMJ+bloom vs broadcast) sum in
+            # different partition orders, and double addition is
+            # order-dependent — same reasoning as the DPP test below
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("q")
         )
 
     pruned = q(s)
