@@ -63,12 +63,21 @@ def write_parquet(
     path: str,
     mode: str = "overwrite",
     partition_by: list[str] | None = None,
+    compression: str | None = None,
 ) -> None:
     """Partitioned parquet is the scale-out sink: ``partition_by`` columns
-    become directory partitions the next reader prunes on."""
+    become directory partitions the next reader prunes on.
+
+    ``compression`` picks the codec per dataset (``snappy`` default,
+    ``zstd`` for cold data — ~30-50% smaller at similar scan speed,
+    ``gzip`` for interchange); at 100 TB the codec choice is a
+    double-digit storage/IO difference, so it's a per-sink knob here,
+    not a session global."""
     w = df.write.mode(mode)
     if partition_by:
         w = w.partitionBy(*partition_by)
+    if compression:
+        w = w.option("compression", compression)
     w.parquet(path)
 
 
@@ -77,10 +86,13 @@ def write_orc(
     path: str,
     mode: str = "overwrite",
     partition_by: list[str] | None = None,
+    compression: str | None = None,
 ) -> None:
     w = df.write.mode(mode)
     if partition_by:
         w = w.partitionBy(*partition_by)
+    if compression:
+        w = w.option("compression", compression)
     w.orc(path)
 
 

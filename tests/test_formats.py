@@ -93,3 +93,22 @@ def test_orc_roundtrip_and_pushdown(spark, sf_dir, tmp_path):
         .toString()
     )
     assert "PushedFilters" in plan and "n_chars" in plan.split("PushedFilters")[1][:200]
+
+
+def test_parquet_codec_roundtrip(spark, sf_dir, tmp_path):
+    """Codec is a per-sink knob (zstd/gzip/snappy all bundled): data must
+    round-trip bit-identically under every codec and the files must
+    actually carry the codec's extension."""
+    import os
+
+    from mapreduceproject_spark.sources.formats import read_parquet, write_parquet
+
+    df = load_table(spark, sf_dir, "nation")
+    expect = sorted(map(tuple, df.collect()))
+    for codec, ext in [("zstd", ".zstd.parquet"), ("gzip", ".gz.parquet"), ("snappy", ".snappy.parquet")]:
+        path = str(tmp_path / codec)
+        write_parquet(df, path, compression=codec)
+        files = [f for f in os.listdir(path) if f.endswith(".parquet")]
+        assert files and all(f.endswith(ext) for f in files), (codec, files)
+        got = sorted(map(tuple, read_parquet(spark, path).collect()))
+        assert got == expect, codec
