@@ -72,11 +72,17 @@ def resolve_centroid_filter(base: DataFrame, id_expr, num_centroids):
 _LCG_A, _LCG_C, _LCG_M = 1103515245, 12345, 2**31
 
 
-def hyperplane_coeffs(num_bits: int, dim: int) -> list[list[int]]:
-    """num_bits lists of dim signed integer coefficients (deterministic)."""
+def hyperplane_coeffs(num_bits: int, dim: int, table: int = 0) -> list[list[int]]:
+    """num_bits lists of dim signed integer coefficients (deterministic).
+
+    ``table`` offsets the LCG stream so each LSH table draws independent
+    hyperplanes; table=0 reproduces the original planes exactly (the
+    registered query and its oracle pin that stream).
+    """
+    base = table * num_bits
     return [
         [
-            ((_LCG_A * (j * dim + d) + _LCG_C) % _LCG_M) - _LCG_M // 2
+            ((_LCG_A * ((base + j) * dim + d) + _LCG_C) % _LCG_M) - _LCG_M // 2
             for d in range(dim)
         ]
         for j in range(num_bits)
@@ -112,6 +118,7 @@ def hyperplane_lsh_topk(
     num_bits: int = 8,
     dim: int = 64,
     k: int = 5,
+    num_tables: int = 1,
 ) -> DataFrame:
     """Random-hyperplane LSH top-k: candidates share the query's signature
     bucket or any 1-bit-flip neighbor (multi-probe), then exact quantized
@@ -123,37 +130,55 @@ def hyperplane_lsh_topk(
     occupancy), and scoring touches only co-bucketed pairs.  Probing all
     1-bit flips trades (num_bits+1)x candidate volume for the recall lost
     to near-orthogonal-boundary vectors.
+
+    ``num_tables`` is the standard LSH recall lever: L independent
+    hyperplane tables union their candidates, so the miss probability
+    decays like (1 − p^b)^L at L× candidate cost — WITHOUT growing any
+    single bucket (fewer bits also raises recall but quadratically
+    inflates per-bucket pair work; measured on the fixture: bits 8→4
+    recall 0.15→0.60 while bucket occupancy grows 16×, versus L 1→4 at
+    8 bits reaching comparable recall with bucket sizes unchanged).
+    Default 1 table reproduces the original single-table operator
+    bit-for-bit (the registered query's oracle pins that stream).
     """
-    planes = hyperplane_coeffs(num_bits, dim)
-    cq = _quantized_side(corpus, id_col, vec_col, "neighbor_id").withColumn(
-        "_sig", _signature("_q", planes)
-    )
+    cq0 = _quantized_side(corpus, id_col, vec_col, "neighbor_id")
+    qq0 = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        quantize(F.col(query_vec_col)).alias("_qq"),
+    ).withColumn("_qn2", quantized_norm2(F.col("_qq")))
     probes = F.array(*[F.lit(m) for m in [0] + [1 << j for j in range(num_bits)]])
-    qq = F.broadcast(
-        queries.select(
-            F.col(query_id_col).alias("query_id"),
-            quantize(F.col(query_vec_col)).alias("_qq"),
+    cands = []
+    for t in range(num_tables):
+        planes = hyperplane_coeffs(num_bits, dim, table=t)
+        cq = cq0.withColumn("_sig", _signature("_q", planes))
+        qq = F.broadcast(
+            qq0.withColumn("_qsig", _signature("_qq", planes))
+            .withColumn("_probe", F.explode(probes))
+            .withColumn("_bucket", F.col("_qsig").bitwiseXOR(F.col("_probe")))
+            .drop("_qsig", "_probe")
         )
-        .withColumn("_qn2", quantized_norm2(F.col("_qq")))
-        .withColumn("_qsig", _signature("_qq", planes))
-        .withColumn("_probe", F.explode(probes))
-        .withColumn("_bucket", F.col("_qsig").bitwiseXOR(F.col("_probe")))
-        .drop("_qsig", "_probe")
-    )
-    cand = (
-        cq.join(qq, cq["_sig"] == qq["_bucket"])
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            prequantized_cosine(
-                F.col("_qq"), F.col("_q"), F.col("_qn2"), F.col("_n2")
-            ).alias("cosine"),
+        cands.append(
+            cq.join(qq, cq["_sig"] == qq["_bucket"])
+            .filter(F.col("neighbor_id") != F.col("query_id"))
+            .select(
+                "query_id",
+                "neighbor_id",
+                prequantized_cosine(
+                    F.col("_qq"), F.col("_q"), F.col("_qn2"), F.col("_n2")
+                ).alias("cosine"),
+            )
         )
-    )
-    # no dedup needed: the probe masks are distinct, so the probed buckets
-    # are distinct and a corpus vector's single signature matches at most
-    # one probe per query
+    cand = cands[0]
+    for extra in cands[1:]:
+        cand = cand.unionByName(extra)
+    if num_tables > 1:
+        # a pair found by several tables scores identically — collapse
+        cand = cand.groupBy("query_id", "neighbor_id").agg(
+            F.max("cosine").alias("cosine")
+        )
+    # within one table no dedup is needed: the probe masks are distinct,
+    # so the probed buckets are distinct and a corpus vector's single
+    # signature matches at most one probe per query
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
         cand.withColumn("rank", F.row_number().over(w))

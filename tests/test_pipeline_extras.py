@@ -251,3 +251,46 @@ def test_table_checksum_detects_single_row_change(spark, sf_dir, tmp_path):
         F.when(F.col("doc_id") == 0, F.col("n_chars") + 1).otherwise(F.col("n_chars")),
     )
     assert xor_of(tampered) != base
+
+
+def test_hyperplane_multi_table_recall_lift(spark, sf_dir):
+    """num_tables is the LSH recall lever: L independent tables must
+    strictly raise recall@k vs the single-table operator at identical
+    num_bits (bucket sizes unchanged — the property that distinguishes
+    this knob from lowering num_bits).  Deterministic: fixed LCG planes,
+    fixed fixture."""
+    from pyspark.sql import functions as F
+
+    from mapreduceproject_spark.operators import similarity as sim
+    from mapreduceproject_spark.sources.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 8)
+    truth = {
+        (r.query_id, r.neighbor_id)
+        for r in sim.brute_force_topk(
+            emb, qs, "vec_id", "embedding", "vec_id", "embedding", k=5
+        ).collect()
+    }
+
+    def recall(tables: int) -> float:
+        got = {
+            (r.query_id, r.neighbor_id)
+            for r in sim.hyperplane_lsh_topk(
+                emb,
+                qs,
+                "vec_id",
+                "embedding",
+                "vec_id",
+                "embedding",
+                num_bits=8,
+                dim=64,
+                k=5,
+                num_tables=tables,
+            ).collect()
+        }
+        return len(truth & got) / len(truth)
+
+    r1, r4 = recall(1), recall(4)
+    assert r4 > r1, (r1, r4)
+    assert r4 >= 0.3, r4
