@@ -291,37 +291,66 @@ def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # -- random-hyperplane LSH --------------------------------------------------
 LSH_BITS = 8
+LSH_TABLES = 4  # the multi-table recall gauge (ann_lsh_recall)
+
+_LSH_MASKS = (
+    "[" + ", ".join(str(m) for m in [0] + [1 << j for j in range(LSH_BITS)]) + "]"
+)
+
+
+def _sig_sql(q: str, planes: list[list[int]]) -> str:
+    terms = []
+    for j, plane in enumerate(planes):
+        lits = "[" + ", ".join(str(w) for w in plane) + "]"
+        dot = (
+            f"list_aggregate(list_transform(range(1, 65), "
+            f"i -> ({q})[i] * ({lits})[i]), 'sum')"
+        )
+        terms.append(f"CASE WHEN {dot} >= 0 THEN {1 << j} ELSE 0 END")
+    return " + ".join(terms)
+
+
+def _hyperplane_table_ctes(t: int) -> str:
+    """sigs/probes/cand CTE block for LSH table ``t`` (suffix = t)."""
+    planes = sim.hyperplane_coeffs(LSH_BITS, 64, table=t)
+    return f"""sigs{t} AS (SELECT id, q, {_sig_sql("q", planes)} AS sig FROM v),
+    qsig{t} AS (SELECT query_id, qq, {_sig_sql("qq", planes)} AS sig FROM qs),
+    probes{t} AS (
+      SELECT query_id, qq, xor(sig, m) AS bucket
+      FROM qsig{t}, (SELECT unnest({_LSH_MASKS}) AS m)
+    ),
+    cand{t} AS (
+      SELECT p.query_id, s.id AS neighbor_id,
+             {duck_quantized_cosine("p.qq", "s.q")} AS cosine
+      FROM probes{t} p JOIN sigs{t} s ON s.sig = p.bucket AND s.id <> p.query_id
+    )"""
 
 
 def _hyperplane_oracle() -> str:
-    planes = sim.hyperplane_coeffs(LSH_BITS, 64)
-
-    def sig_expr(q: str) -> str:
-        terms = []
-        for j, plane in enumerate(planes):
-            lits = "[" + ", ".join(str(w) for w in plane) + "]"
-            dot = (
-                f"list_aggregate(list_transform(range(1, 65), "
-                f"i -> ({q})[i] * ({lits})[i]), 'sum')"
-            )
-            terms.append(f"CASE WHEN {dot} >= 0 THEN {1 << j} ELSE 0 END")
-        return " + ".join(terms)
-
-    masks = "[" + ", ".join(str(m) for m in [0] + [1 << j for j in range(LSH_BITS)]) + "]"
     return f"""
     {_QUANT_CTE},
-    sigs AS (SELECT id, q, {sig_expr("q")} AS sig FROM v),
-    qsig AS (SELECT query_id, qq, {sig_expr("qq")} AS sig FROM qs),
-    probes AS (
-      SELECT query_id, qq, xor(sig, m) AS bucket
-      FROM qsig, (SELECT unnest({masks}) AS m)
-    ),
-    cand AS (
-      SELECT p.query_id, s.id AS neighbor_id,
-             {duck_quantized_cosine("p.qq", "s.q")} AS cosine
-      FROM probes p JOIN sigs s ON s.sig = p.bucket AND s.id <> p.query_id
-    )
+    {_hyperplane_table_ctes(0)}
     SELECT query_id, neighbor_id, cosine, CAST(rnk AS BIGINT) AS rnk
+    FROM (SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+          FROM cand0)
+    WHERE rnk <= {TOP_K}
+    """
+
+
+def _hyperplane_multi_oracle() -> str:
+    tables = ",\n    ".join(_hyperplane_table_ctes(t) for t in range(LSH_TABLES))
+    union = " UNION ALL ".join(
+        f"SELECT * FROM cand{t}" for t in range(LSH_TABLES)
+    )
+    return f"""
+    {_QUANT_CTE},
+    {tables},
+    cand AS (
+      SELECT query_id, neighbor_id, MAX(cosine) AS cosine
+      FROM ({union}) GROUP BY 1, 2
+    )
+    SELECT query_id, neighbor_id
     FROM (SELECT *, row_number() OVER (
             PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
           FROM cand)
@@ -348,6 +377,50 @@ def ann_hyperplane_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=TOP_K,
     )
     return out.withColumnRenamed("rank", "rnk")
+
+
+@query(
+    "ann_lsh_recall",
+    oracle=f"""
+    SELECT CAST(COUNT(lsh.neighbor_id) AS DOUBLE) / COUNT(*) AS recall_at_k,
+           COUNT(*) AS n_truth_pairs
+    FROM ({_bruteforce_oracle()}) bf
+    LEFT JOIN ({_hyperplane_multi_oracle()}) lsh
+      ON lsh.query_id = bf.query_id AND lsh.neighbor_id = bf.neighbor_id
+    """,
+)
+def ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@{TOP_K} of {LSH_TABLES}-table hyperplane LSH against
+    brute-force ground truth — the in-plan gauge for the num_tables
+    recall lever (measured 0.15 single-table → ~0.4 at {LSH_TABLES}
+    tables on the fixtures, bucket sizes unchanged).  The LSH twin of
+    ann_ivf_recall: left join truth→approx, hit ratio."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < NUM_QUERIES)
+    truth = sim.brute_force_topk(
+        emb, queries_df, "vec_id", "embedding", "vec_id", "embedding", k=TOP_K
+    ).select("query_id", "neighbor_id")
+    approx = sim.hyperplane_lsh_topk(
+        emb,
+        queries_df,
+        "vec_id",
+        "embedding",
+        "vec_id",
+        "embedding",
+        num_bits=LSH_BITS,
+        dim=64,
+        k=TOP_K,
+        num_tables=LSH_TABLES,
+    ).select(F.col("query_id").alias("aq"), F.col("neighbor_id").alias("an"))
+    joined = truth.join(
+        approx,
+        (F.col("query_id") == F.col("aq")) & (F.col("neighbor_id") == F.col("an")),
+        "left",
+    )
+    return joined.agg(
+        (F.count("an").cast("double") / F.count("*")).alias("recall_at_k"),
+        F.count("*").alias("n_truth_pairs"),
+    )
 
 
 # -- PageRank over the IVF-cell kNN graph -----------------------------------
