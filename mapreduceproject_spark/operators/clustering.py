@@ -25,7 +25,8 @@ from mapreduceproject_spark.functions.vectors import QUANT_SCALE, quantize, quan
 
 
 def _assign(qvecs: DataFrame, centroids: DataFrame) -> DataFrame:
-    """(id, q, cluster_id): nearest centroid by quantized cosine."""
+    """(id, q, cluster_id, ccos): nearest centroid by quantized cosine,
+    carrying the winning cosine (consumers that don't need it drop it)."""
     scored = qvecs.crossJoin(F.broadcast(centroids)).select(
         "id",
         "q",
@@ -36,11 +37,11 @@ def _assign(qvecs: DataFrame, centroids: DataFrame) -> DataFrame:
     return (
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
-        .select("id", "q", F.col("cid").alias("cluster_id"))
+        .select("id", "q", F.col("cid").alias("cluster_id"), F.col("cos").alias("ccos"))
     )
 
 
-def kmeans_quantized(
+def kmeans_assignments(
     spark: SparkSession,
     vectors: DataFrame,
     id_col: str,
@@ -48,8 +49,11 @@ def kmeans_quantized(
     k: int = 8,
     iterations: int = 2,
 ) -> DataFrame:
-    """Deterministic k-means; returns (vec_id, cluster_id) after
-    ``iterations`` Lloyd updates + one final assignment."""
+    """Deterministic k-means, full final assignment: (id, q, cluster_id,
+    ccos) after ``iterations`` Lloyd updates.  ``q`` is the quantized
+    vector and ``ccos`` the cosine to the assigned centroid — downstream
+    intra-cluster consumers (semantic dedup) score pairs without
+    re-quantizing or re-ranking."""
     from mapreduceproject_spark.sources.catalog import spread_for_compute
 
     # spread: per-vector quantize + k cosine scores per Lloyd pass is the
@@ -97,5 +101,18 @@ def kmeans_quantized(
             "cid long, cvec array<double>",
         )
 
-    final = _assign(qvecs, centroids)
+    return _assign(qvecs, centroids)
+
+
+def kmeans_quantized(
+    spark: SparkSession,
+    vectors: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 8,
+    iterations: int = 2,
+) -> DataFrame:
+    """Deterministic k-means; returns (vec_id, cluster_id) after
+    ``iterations`` Lloyd updates + one final assignment."""
+    final = kmeans_assignments(spark, vectors, id_col, vec_col, k, iterations)
     return final.select(F.col("id").alias("vec_id"), "cluster_id")

@@ -754,3 +754,83 @@ def edit_distance_dedup(
         )
         .filter(F.col("edit_dist") <= max_dist)
     )
+
+
+# ---------------------------------------------------------------------------
+# 8. semantic dedup (SemDeDup: k-means clusters -> intra-cluster cosine prune)
+# ---------------------------------------------------------------------------
+
+def semantic_dedup(
+    spark,
+    vectors: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 8,
+    iterations: int = 2,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): cluster embeddings with k-means, then
+    prune near-duplicates *within* each cluster by pairwise cosine.
+
+    Keep-priority follows the paper: within a cluster, documents FARTHER
+    from the centroid are kept first (they carry more diversity), so rank
+    ascending by cosine-to-centroid (ties -> lowest id).  A document is
+    dropped when any higher-priority document in its cluster has cosine
+    >= ``threshold`` with it; the reported ``keeper_id`` is the
+    highest-priority such dominator.  (The paper's greedy scan skips
+    dominators that were themselves dropped; this parallel exists-earlier
+    rule over-drops only in >=3-chains below threshold transitivity and
+    is deterministic + engine-exact, which the greedy scan is not under
+    repartitioning.)
+
+    Scale: the whole point of clustering first (vs all-pairs) is that the
+    pair product is per-cluster, Sum_c |c|^2 ~ n^2/k for balanced
+    clusters — at 100 TB, k grows with the corpus (the paper uses 50k
+    clusters for LAION) so |c| stays bounded and the self-join shuffles
+    on cluster_id with AQE splitting any hot cluster.  k-means itself
+    never moves the corpus (operators/clustering.py).  Cosine is the
+    quantized-integer path — bit-identical across engines.
+    """
+    from mapreduceproject_spark.operators.clustering import kmeans_assignments
+    from pyspark.sql import Window
+
+    assigned = (
+        kmeans_assignments(spark, vectors, id_col, vec_col, k, iterations)
+        .withColumn("_n2", quantized_norm2(F.col("q")))
+    )
+    w = Window.partitionBy("cluster_id").orderBy(F.asc("ccos"), F.asc("id"))
+    ranked = assigned.withColumn("keep_rank", F.row_number().over(w)).persist()
+    d = ranked.select(
+        "cluster_id",
+        F.col("id").alias("vec_id"),
+        F.col("q").alias("_qd"),
+        F.col("_n2").alias("_nd"),
+        F.col("keep_rank").alias("_rd"),
+    )
+    e = ranked.select(
+        "cluster_id",
+        F.col("id").alias("keeper_id"),
+        F.col("q").alias("_qe"),
+        F.col("_n2").alias("_ne"),
+        F.col("keep_rank").alias("_re"),
+    )
+    doms = (
+        d.join(e, "cluster_id")
+        .filter(F.col("_re") < F.col("_rd"))
+        .select(
+            "cluster_id",
+            "vec_id",
+            "keeper_id",
+            prequantized_cosine(
+                F.col("_qd"), F.col("_qe"), F.col("_nd"), F.col("_ne")
+            ).alias("cosine"),
+            "_re",
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+    first = Window.partitionBy("vec_id").orderBy(F.asc("_re"))
+    return (
+        doms.withColumn("_rn", F.row_number().over(first))
+        .filter(F.col("_rn") == 1)
+        .select("cluster_id", "vec_id", "keeper_id", "cosine")
+    )

@@ -510,3 +510,62 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("n_dropped", (F.col("n_members") - 1).cast("long"))
     )
+
+
+# -- semantic dedup (SemDeDup) ----------------------------------------------
+SEMANTIC_THR = 0.4
+
+
+def _semantic_oracle() -> str:
+    from mapreduceproject_spark.plans.similarity_queries import (
+        KMEANS_ITERS,
+        kmeans_cte_chain,
+    )
+
+    cos = duck_quantized_cosine("d.q", "e.q")
+    return f"""
+    WITH {kmeans_cte_chain(with_cos=True)},
+    ranked AS (
+      SELECT id, q, cluster_id,
+             row_number() OVER (
+               PARTITION BY cluster_id ORDER BY ccos ASC, id) AS keep_rank
+      FROM a{KMEANS_ITERS}
+    ),
+    doms AS (
+      SELECT d.cluster_id, d.id AS vec_id, e.id AS keeper_id,
+             {cos} AS cosine, e.keep_rank AS er
+      FROM ranked d JOIN ranked e
+        ON e.cluster_id = d.cluster_id AND e.keep_rank < d.keep_rank
+      WHERE {cos} >= {SEMANTIC_THR}
+    )
+    SELECT cluster_id, vec_id, keeper_id, cosine
+    FROM (SELECT *, row_number() OVER (
+            PARTITION BY vec_id ORDER BY er) AS rn FROM doms)
+    WHERE rn = 1
+    """
+
+
+@query("dedup_semantic", oracle=_semantic_oracle())
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): k-means the embeddings, then drop
+    each vector dominated by a higher-keep-priority cluster-mate at
+    cosine >= 0.4 (priority = farther from centroid, i.e. more
+    diverse, kept first).  The cluster-then-prune composition bounds pair
+    work to sum over clusters of |c|^2 instead of n^2 — the published
+    scale recipe for embedding-level dedup (operators/dedup.py
+    semantic_dedup; k-means per operators/clustering.py)."""
+    from mapreduceproject_spark.plans.similarity_queries import (
+        KMEANS_ITERS,
+        KMEANS_K,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return dd.semantic_dedup(
+        spark,
+        emb,
+        "vec_id",
+        "embedding",
+        k=KMEANS_K,
+        iterations=KMEANS_ITERS,
+        threshold=SEMANTIC_THR,
+    )

