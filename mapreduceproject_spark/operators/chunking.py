@@ -96,3 +96,52 @@ def chunk_dup_rollup(
         )
         .orderBy(group_col)
     )
+
+
+# ---------------------------------------------------------------------------
+# sliding token windows (pretraining / RAG context chunking)
+# ---------------------------------------------------------------------------
+
+def sliding_token_windows(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    window: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """Fixed-size overlapping token windows — the context-window chunking
+    every pretraining/RAG pipeline runs before packing or embedding.
+
+    One row per (doc, window): windows of ``window`` tokens starting
+    every ``stride`` tokens (overlap = window - stride), trailing runt
+    window kept.  Output: (doc_id, chunk_idx, chunk_start, n_tokens,
+    chunk_hash) with chunk_hash = hash60 of the space-joined window —
+    feed it to exact_dedup_groups for chunk-level dedup or to an
+    embedding kernel for retrieval indexing.
+
+    Scale: strictly scan-shaped — tokenize + one generator expression per
+    row, zero shuffles; output is ~n_tokens/stride rows per document.
+    The token array lives once per row in the Generate, never per
+    window (the slice indexes into it lazily).
+    """
+    from mapreduceproject_spark.functions.textfn import tokens
+
+    starts = F.sequence(F.lit(0), F.size("_toks") - 1, F.lit(stride))
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("_toks"))
+        .filter(F.size("_toks") > 0)
+        .select("doc_id", F.posexplode(starts).alias("chunk_idx", "chunk_start"), "_toks")
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("long").alias("chunk_idx"),
+            F.col("chunk_start").cast("long").alias("chunk_start"),
+            F.slice(F.col("_toks"), F.col("chunk_start") + 1, window).alias("_w"),
+        )
+        .select(
+            "doc_id",
+            "chunk_idx",
+            "chunk_start",
+            F.size("_w").cast("long").alias("n_tokens"),
+            hash60(F.concat_ws(" ", F.col("_w"))).alias("chunk_hash"),
+        )
+    )

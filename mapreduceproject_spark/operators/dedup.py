@@ -205,6 +205,47 @@ def minhash_lsh_dedup(
     return verify_jaccard(pairs, hashed, threshold)
 
 
+def minhash_lsh_incremental(
+    batch: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 12,
+    bands: int = 4,
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+    seed: int = 42,
+) -> DataFrame:
+    """Ingestion-time near-dup: the NEW batch's LSH buckets join the
+    EXISTING corpus's buckets — never corpus × corpus.
+
+    The production shape for a corpus that grows in batches: the corpus
+    signatures/buckets are a precomputed bucketed table reused every
+    ingest (here derived in-plan from the corpus side), and per-ingest
+    work scales with |batch| × bucket collision density, independent of
+    the self-join cost that full-corpus dedup pays.  ids must be
+    disjoint across the two sides.  Output: (new_id, corpus_id, jaccard)
+    for batch documents near-duplicating an already-ingested one at
+    jaccard >= ``threshold`` — the rows an ingest gate drops.
+    """
+    hb = shingle_hashes(spread_for_compute(batch), id_col, text_col, shingle_k).persist()
+    hc = shingle_hashes(spread_for_compute(corpus), id_col, text_col, shingle_k).persist()
+    bb = lsh_band_buckets(minhash_signatures(hb, num_hashes, seed), num_hashes, bands)
+    bc = lsh_band_buckets(minhash_signatures(hc, num_hashes, seed), num_hashes, bands)
+    pairs = (
+        bb.select(F.col("_id").alias("id_a"), "band", "sig")
+        .join(bc.select(F.col("_id").alias("id_b"), "band", "sig"), ["band", "sig"])
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    verified = verify_jaccard(pairs, hb.unionByName(hc), threshold)
+    return verified.select(
+        F.col("id_a").alias("new_id"),
+        F.col("id_b").alias("corpus_id"),
+        "jaccard",
+    )
+
+
 # ---------------------------------------------------------------------------
 # 3. SimHash
 # ---------------------------------------------------------------------------

@@ -60,7 +60,10 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_oracle() -> str:
+def _minhash_prefix() -> str:
+    """CTEs ``sh``/``sigs``/``bands`` shared by the full-corpus and
+    incremental minhash oracles (identical shingle hashing, permutation
+    minima, and banding over all documents)."""
     params = minhash_params(MINHASH_N, MINHASH_SEED)
     mins = ",\n           ".join(
         f"min((h % {P}) * {a} % {P} + {b}) AS m{i}" for i, (a, b) in enumerate(params)
@@ -73,14 +76,18 @@ def _minhash_oracle() -> str:
         )
         for b in range(MINHASH_BANDS)
     )
-    return f"""
-    WITH sh AS (
+    return f"""sh AS (
       SELECT DISTINCT doc_id AS id, {duck_hash60("sh")} AS h
       FROM (SELECT doc_id, unnest({duck_word_shingles("text", SHINGLE_K)}) AS sh
             FROM documents)
     ),
     sigs AS (SELECT id, {mins} FROM sh GROUP BY id),
-    bands AS ({band_selects}),
+    bands AS ({band_selects})"""
+
+
+def _minhash_oracle() -> str:
+    return f"""
+    WITH {_minhash_prefix()},
     pairs AS (
       SELECT DISTINCT a.id AS id_a, b.id AS id_b
       FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.id < b.id
@@ -568,4 +575,99 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=KMEANS_K,
         iterations=KMEANS_ITERS,
         threshold=SEMANTIC_THR,
+    )
+
+
+def _incremental_minhash_oracle() -> str:
+    arrival = duck_hash60(f"text || '{INCR_SALT}'")
+    return f"""
+    WITH {_minhash_prefix()},
+    flags AS (
+      SELECT doc_id AS id, {arrival} % 100 < {INCR_NEW_PCT} AS is_new
+      FROM documents
+    ),
+    pairs AS (
+      SELECT DISTINCT a.id AS new_id, b.id AS corpus_id
+      FROM bands a
+      JOIN flags fa ON fa.id = a.id AND fa.is_new
+      JOIN bands b ON a.band = b.band AND a.sig = b.sig
+      JOIN flags fb ON fb.id = b.id AND NOT fb.is_new
+    ),
+    sizes AS (SELECT id, COUNT(*) AS n FROM sh GROUP BY id),
+    inter AS (
+      SELECT p.new_id, p.corpus_id, COUNT(*) AS both
+      FROM pairs p
+      JOIN sh x ON x.id = p.new_id
+      JOIN sh y ON y.id = p.corpus_id AND y.h = x.h
+      GROUP BY 1, 2
+    )
+    SELECT i.new_id, i.corpus_id,
+           i.both / (na.n + nb.n - i.both) AS jaccard
+    FROM inter i
+    JOIN sizes na ON na.id = i.new_id
+    JOIN sizes nb ON nb.id = i.corpus_id
+    WHERE i.both / (na.n + nb.n - i.both) >= {JACCARD_THR}
+    """
+
+
+@query("dedup_incremental_minhash", oracle=_incremental_minhash_oracle())
+def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingestion-time NEAR-dup: the {INCR_NEW_PCT}% new-arrivals batch
+    (same content-hash split as `dedup_incremental`) LSH-joins the
+    existing corpus's band buckets — batch x corpus only, never corpus x
+    corpus — then exact-jaccard verifies at >= {JACCARD_THR}.  The daily
+    ingest gate a growing 100 TB corpus actually runs: per-ingest cost
+    follows batch size, and the corpus bucket table is the reusable
+    index (operators/dedup.py::minhash_lsh_incremental)."""
+    docs = load_table(spark, sf_dir, "documents")
+    is_new = hash60(F.concat(F.col("text"), F.lit(INCR_SALT))) % 100 < INCR_NEW_PCT
+    flagged = docs.select("doc_id", "text", is_new.alias("_new"))
+    return dd.minhash_lsh_incremental(
+        flagged.filter(F.col("_new")),
+        flagged.filter(~F.col("_new")),
+        "doc_id",
+        "text",
+        num_hashes=MINHASH_N,
+        bands=MINHASH_BANDS,
+        shingle_k=SHINGLE_K,
+        threshold=JACCARD_THR,
+        seed=MINHASH_SEED,
+    )
+
+
+# -- sliding-window chunking -------------------------------------------------
+CHUNK_WINDOW, CHUNK_STRIDE = 64, 48
+
+
+@query(
+    "chunk_sliding_windows",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {duck_tokens("text")} AS toks FROM documents
+    ),
+    w AS (
+      SELECT doc_id,
+             CAST(s / {CHUNK_STRIDE} AS BIGINT) AS chunk_idx,
+             CAST(s AS BIGINT) AS chunk_start,
+             list_slice(toks, s + 1, least(s + {CHUNK_WINDOW}, len(toks))) AS win
+      FROM t, unnest(range(0, len(toks), {CHUNK_STRIDE})) AS u(s)
+      WHERE len(toks) > 0
+    )
+    SELECT doc_id, chunk_idx, chunk_start,
+           CAST(len(win) AS BIGINT) AS n_tokens,
+           {duck_hash60("array_to_string(win, ' ')")} AS chunk_hash
+    FROM w
+    """,
+)
+def chunk_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pretraining/RAG context chunking: {CHUNK_WINDOW}-token windows
+    every {CHUNK_STRIDE} tokens (overlap {CHUNK_WINDOW - CHUNK_STRIDE}),
+    trailing runt kept, 60-bit content hash per window.  Strictly
+    scan-shaped — tokenize + one generator, zero shuffles
+    (operators/chunking.py::sliding_token_windows)."""
+    from mapreduceproject_spark.operators.chunking import sliding_token_windows
+
+    docs = load_table(spark, sf_dir, "documents")
+    return sliding_token_windows(
+        docs, "doc_id", "text", window=CHUNK_WINDOW, stride=CHUNK_STRIDE
     )

@@ -97,7 +97,12 @@ _FRONT: tuple[str, ...] = (
     "skyline_price_size",
     "event_transition_matrix",
     "ann_lsh_recall",
+    # New + refactor-touched late round 3: SemDeDup, and kmeans whose
+    # assignment internals now carry the centroid cosine it consumes.
     "dedup_semantic",
+    "kmeans_embeddings",
+    "dedup_incremental_minhash",
+    "chunk_sliding_windows",
     # Re-verification of the heaviest / most algorithmically dense tier —
     # all r2-green; fills the window in descending value of a fresh row.
     "dedup_edit_distance",

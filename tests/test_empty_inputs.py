@@ -49,6 +49,10 @@ REPRESENTATIVE = [
     "attribution_last_touch",
     "skyline_price_size",
     "event_transition_matrix",
+    # round-3 fourth wave
+    "dedup_semantic",
+    "dedup_incremental_minhash",
+    "chunk_sliding_windows",
 ]
 
 

@@ -294,3 +294,72 @@ def test_hyperplane_multi_table_recall_lift(spark, sf_dir):
     r1, r4 = recall(1), recall(4)
     assert r4 > r1, (r1, r4)
     assert r4 >= 0.3, r4
+
+
+def test_sliding_windows_cover_and_overlap(spark):
+    """Window/stride invariants on a doc of known length: starts are
+    0, S, 2S, ...; every token is covered; all but the runt are full
+    width; adjacent windows overlap by window - stride tokens."""
+    from mapreduceproject_spark.operators.chunking import sliding_token_windows
+
+    text = " ".join(f"t{i}" for i in range(150))
+    df = spark.createDataFrame([(1, text), (2, ""), (3, "only two")],
+                               "id long, text string")
+    rows = sorted(
+        sliding_token_windows(df, "id", "text", window=64, stride=48).collect(),
+        key=lambda r: (r["doc_id"], r["chunk_idx"]),
+    )
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert 2 not in by_doc  # empty doc emits nothing
+    assert [r["chunk_start"] for r in by_doc[1]] == [0, 48, 96, 144]
+    assert [r["n_tokens"] for r in by_doc[1]] == [64, 64, 54, 6]
+    assert by_doc[1][-1]["chunk_start"] + by_doc[1][-1]["n_tokens"] == 150
+    assert [r["n_tokens"] for r in by_doc[3]] == [2]
+
+
+def test_sliding_window_hash_is_content_hash(spark):
+    """Identical windows in different documents share a chunk_hash —
+    the property chunk-level dedup consumes."""
+    from mapreduceproject_spark.operators.chunking import sliding_token_windows
+
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c d"), (3, "a b c x")],
+        "id long, text string",
+    )
+    rows = sliding_token_windows(df, "id", "text", window=4, stride=4).collect()
+    h = {r["doc_id"]: r["chunk_hash"] for r in rows}
+    assert h[1] == h[2] and h[1] != h[3]
+
+
+def test_incremental_minhash_equals_restricted_full_dedup(spark):
+    """Batch-vs-corpus LSH must find exactly the full self-join's pairs
+    that cross the batch/corpus boundary (same shingles, permutations,
+    and bands — only the join shape differs)."""
+    from mapreduceproject_spark.operators import dedup as dd
+
+    base = [
+        "the quick brown fox jumps over the lazy dog again and again",
+        "pack my box with five dozen liquor jugs before noon today ok",
+        "completely unrelated text about spark catalyst optimizer plans",
+    ]
+    rows = []
+    for i, t in enumerate(base):
+        rows.append((i, t))                      # corpus originals
+        rows.append((100 + i, t + " suffix"))    # near-dup arrivals
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    batch = df.filter(F.col("doc_id") >= 100)
+    corpus = df.filter(F.col("doc_id") < 100)
+    inc = {
+        (r["new_id"], r["corpus_id"], round(r["jaccard"], 9))
+        for r in dd.minhash_lsh_incremental(
+            batch, corpus, "doc_id", "text", threshold=0.3
+        ).collect()
+    }
+    full = {
+        (r["id_b"], r["id_a"], round(r["jaccard"], 9))
+        for r in dd.minhash_lsh_dedup(df, "doc_id", "text", threshold=0.3).collect()
+        if r["id_a"] < 100 <= r["id_b"]
+    }
+    assert inc == full and len(inc) >= 3
