@@ -100,9 +100,12 @@ _FRONT: tuple[str, ...] = (
     # New + refactor-touched late round 3: SemDeDup, and kmeans whose
     # assignment internals now carry the centroid cosine it consumes.
     "dedup_semantic",
-    "kmeans_embeddings",
     "dedup_incremental_minhash",
     "chunk_sliding_windows",
+    # kmeans internals were refactored late in round 3 but its OUTPUT is
+    # unchanged (parity-verified), so its valid r2 row outranks nothing —
+    # it re-verifies only if the window reaches it.
+    "kmeans_embeddings",
     # Re-verification of the heaviest / most algorithmically dense tier —
     # all r2-green; fills the window in descending value of a fresh row.
     "dedup_edit_distance",

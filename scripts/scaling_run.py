@@ -60,6 +60,10 @@ TIER = [
     "token_pmi_bigrams",
     "source_token_entropy",
     "token_zipf_fit",
+    # round-3 fourth wave
+    "dedup_semantic",
+    "dedup_incremental_minhash",
+    "chunk_sliding_windows",
 ]
 
 ALPHA = "abcdefghijklmnopqrstuvwxyz"
