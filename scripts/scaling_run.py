@@ -193,6 +193,24 @@ def pagerank_centroid_scaling_check(spark) -> dict:
     return {"c_scaled": 16 * REPLICAS, "sec": round(time.perf_counter() - t0, 2)}
 
 
+def semantic_k_scaling_check(spark) -> dict:
+    """dedup_semantic shares the fixed-cluster-count cliff: k=8 at 10x
+    corpus means (n/k)^2 = 100x intra-cluster pairs (measured 4 s -> 43 s).
+    SemDeDup's own recipe is k proportional to corpus size (50k clusters
+    for LAION); run the operator with k scaled 10x on the scaled fixture
+    to show the knob restores near-linear behavior."""
+    import time
+
+    from mapreduceproject_spark.operators.dedup import semantic_dedup
+
+    emb = spark.read.parquet(f"{OUT_DIR}/embeddings.parquet")
+    t0 = time.perf_counter()
+    semantic_dedup(
+        spark, emb, "vec_id", "embedding", k=8 * REPLICAS, iterations=2, threshold=0.4
+    ).write.format("noop").mode("overwrite").save()
+    return {"k_scaled": 8 * REPLICAS, "sec": round(time.perf_counter() - t0, 2)}
+
+
 def main() -> None:
     from mapreduceproject_spark import plans
     from mapreduceproject_spark.session import get_spark
@@ -220,6 +238,8 @@ def main() -> None:
     ivf = ivf_centroid_scaling_check(spark)
     spark.catalog.clearCache()
     pr = pagerank_centroid_scaling_check(spark)
+    spark.catalog.clearCache()
+    sem = semantic_k_scaling_check(spark)
     print(
         json.dumps(
             {
@@ -230,6 +250,7 @@ def main() -> None:
                 "aqe_skew_split_fired": skew_ok,
                 "ivf_centroids_scaled": ivf,
                 "pagerank_centroids_scaled": pr,
+                "semantic_k_scaled": sem,
             }
         )
     )
