@@ -46,14 +46,20 @@ def kmeans_assignments(
     vectors: DataFrame,
     id_col: str,
     vec_col: str,
-    k: int = 8,
+    k: int | str = 8,
     iterations: int = 2,
 ) -> DataFrame:
     """Deterministic k-means, full final assignment: (id, q, cluster_id,
     ccos) after ``iterations`` Lloyd updates.  ``q`` is the quantized
     vector and ``ccos`` the cosine to the assigned centroid — downstream
     intra-cluster consumers (semantic dedup) score pairs without
-    re-quantizing or re-ranking."""
+    re-quantizing or re-ranking.
+
+    ``k="auto"`` seeds max(16, n/125) centroids from an in-plan corpus
+    count (operators/similarity.py::resolve_centroid_filter — the same
+    policy as the IVF operators): the Lloyd loop itself is k-agnostic,
+    so cluster count scales with the corpus without re-tuning — the
+    fixed-k (n/k)^2 cliff SCALING.md measures on semantic dedup."""
     from mapreduceproject_spark.sources.catalog import spread_for_compute
 
     # spread: per-vector quantize + k cosine scores per Lloyd pass is the
@@ -67,7 +73,10 @@ def kmeans_assignments(
     # 2·iterations+1 times — the same corpus-caching MLlib's KMeans does.
     qvecs = base.select("id", "v", quantize(F.col("v")).alias("q")).persist()
 
-    centroids = base.filter(F.col("id") < k).select(
+    from mapreduceproject_spark.operators.similarity import resolve_centroid_filter
+
+    pick = resolve_centroid_filter(base, F.col("id"), k)
+    centroids = pick(base).select(
         F.col("id").alias("cid"), F.col("v").alias("cvec")
     )
 
@@ -109,7 +118,7 @@ def kmeans_quantized(
     vectors: DataFrame,
     id_col: str,
     vec_col: str,
-    k: int = 8,
+    k: int | str = 8,
     iterations: int = 2,
 ) -> DataFrame:
     """Deterministic k-means; returns (vec_id, cluster_id) after

@@ -132,8 +132,33 @@ def lsh_band_buckets(
     ).select("_id", *carry, F.col("bk.band").alias("band"), F.col("bk.sig").alias("sig"))
 
 
-def candidate_pairs_from_buckets(buckets: DataFrame) -> DataFrame:
-    """Self-join per bucket → distinct unordered candidate pairs (a < b)."""
+def candidate_pairs_from_buckets(
+    buckets: DataFrame, max_bucket_size: int | None = None
+) -> DataFrame:
+    """Self-join per bucket → distinct unordered candidate pairs (a < b).
+
+    ``max_bucket_size`` is the viral-duplicate pressure valve from
+    SCALING.md's cliff list: the self-join is quadratic in bucket size,
+    so one bucket of 10⁶ identical spam docs is 5·10¹¹ pairs no matter
+    how well everything else scales.  Buckets above the cap are DROPPED
+    before the join (one extra window count on the bucket key — same
+    shuffle partitioning the join itself needs).  Recall note: a cluster
+    that saturates a bucket is near-identical spam — run
+    :func:`exact_dedup_groups` first (identical docs collapse there for
+    one hash-shuffle), and the survivors' buckets stay under any sane
+    cap; pairs LOST to the cap are only those between docs similar
+    enough to co-bucket 10⁶-deep yet not exactly equal, which sampling
+    recovers if it matters.  Default None = exact (the registered
+    correctness queries)."""
+    if max_bucket_size is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("band", "sig")
+        buckets = (
+            buckets.withColumn("_bn", F.count("*").over(w))
+            .filter(F.col("_bn") <= max_bucket_size)
+            .drop("_bn")
+        )
     a = buckets.alias("a")
     b = buckets.alias("b")
     return (
@@ -192,13 +217,15 @@ def minhash_lsh_dedup(
     shingle_k: int = 3,
     threshold: float = 0.5,
     seed: int = 42,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs: shingle → minhash → LSH bands → exact verify.
 
     Output: (id_a, id_b, jaccard) for candidate pairs with jaccard ≥
     threshold.  Cost at scale: one shuffle to build signatures, one
     bucket self-join sized by collision density, one verify join sized by
-    candidate count.
+    candidate count.  ``max_bucket_size`` caps the viral-duplicate
+    bucket-skew cliff (see :func:`candidate_pairs_from_buckets`).
     """
     # hashed feeds signatures, sizes, and both verify sides — persist so
     # the shingle pipeline runs once, not once per consumer branch.
@@ -207,7 +234,7 @@ def minhash_lsh_dedup(
     hashed = shingle_hashes(spread_for_compute(df), id_col, text_col, shingle_k).persist()
     sigs = minhash_signatures(hashed, num_hashes, seed)
     buckets = lsh_band_buckets(sigs, num_hashes, bands)
-    pairs = candidate_pairs_from_buckets(buckets)
+    pairs = candidate_pairs_from_buckets(buckets, max_bucket_size)
     return verify_jaccard(pairs, hashed, threshold)
 
 
@@ -833,7 +860,7 @@ def semantic_dedup(
     vectors: DataFrame,
     id_col: str,
     vec_col: str,
-    k: int = 8,
+    k: int | str = 8,
     iterations: int = 2,
     threshold: float = 0.5,
 ) -> DataFrame:

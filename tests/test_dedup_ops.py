@@ -142,3 +142,37 @@ def test_semantic_dedup_pair_work_is_intra_cluster(spark):
     for r in dropped:
         assert r["vec_id"] != r["keeper_id"]
         assert r["cosine"] >= 0.9
+
+
+def test_semantic_dedup_auto_k_matches_explicit_floor(spark, sf_dir):
+    """k='auto' on semantic dedup follows the IVF auto policy
+    (max(16, n/125)); on the small fixture that's the floor, so results
+    must equal explicit k=16 — the fixed-k (n/k)^2 cliff knob turned
+    automatically, same contract as num_centroids='auto'."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    fixed = dd.semantic_dedup(spark, emb, "vec_id", "embedding", k=16, threshold=0.4)
+    auto = dd.semantic_dedup(spark, emb, "vec_id", "embedding", k="auto", threshold=0.4)
+    assert sorted(map(tuple, fixed.collect())) == sorted(map(tuple, auto.collect()))
+
+
+def test_minhash_bucket_cap_drops_viral_bucket_keeps_normal_pairs(spark):
+    """max_bucket_size: 60 identical spam docs saturate one bucket per
+    band (quadratic cliff); capped at 20 their pairs vanish while an
+    ordinary near-dup pair in an uncapped bucket is still found."""
+    spam = "buy cheap pills now best price limited offer click here fast"
+    near_a = "the quick brown fox jumps over the lazy dog again and again"
+    near_b = near_a + " ok"
+    rows = [(i, spam) for i in range(1000, 1060)]
+    rows += [(1, near_a), (2, near_b)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    uncapped = dd.minhash_lsh_dedup(df, "doc_id", "text", threshold=0.3).collect()
+    spam_pairs = [r for r in uncapped if r["id_a"] >= 1000]
+    assert len(spam_pairs) == 60 * 59 // 2
+    assert any(r["id_a"] == 1 and r["id_b"] == 2 for r in uncapped)
+
+    capped = dd.minhash_lsh_dedup(
+        df, "doc_id", "text", threshold=0.3, max_bucket_size=20
+    ).collect()
+    assert not any(r["id_a"] >= 1000 for r in capped)
+    assert any(r["id_a"] == 1 and r["id_b"] == 2 for r in capped)
