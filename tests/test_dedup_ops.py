@@ -176,3 +176,40 @@ def test_minhash_bucket_cap_drops_viral_bucket_keeps_normal_pairs(spark):
     ).collect()
     assert not any(r["id_a"] >= 1000 for r in capped)
     assert any(r["id_a"] == 1 and r["id_b"] == 2 for r in capped)
+
+
+def test_minhash_lsh_candidate_recall_on_fixture(spark, sf_dir):
+    """Recall gauge: LSH candidate pairs vs brute ground truth (all pairs
+    with exact shingle-set jaccard >= 0.5, via the sparse co-occurrence
+    join).  Theory for 12 hashes / 4 bands of 3: P(candidate | j) =
+    1-(1-j^3)^4 — 0.41 at j=0.50 but 0.99+ at j>=0.9; the fixture's
+    planted dups are high-jaccard, so measured recall must be ~1."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    hashed = dd.shingle_hashes(docs, "doc_id", "text").persist()
+    sizes = hashed.groupBy("_id").agg(F.count("*").alias("n"))
+    co = (
+        hashed.select(F.col("_id").alias("id_a"), "h")
+        .join(hashed.select(F.col("_id").alias("id_b"), "h"), "h")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("both"))
+    )
+    truth = {
+        (r["id_a"], r["id_b"])
+        for r in co.join(sizes.select(F.col("_id").alias("id_a"), F.col("n").alias("na")), "id_a")
+        .join(sizes.select(F.col("_id").alias("id_b"), F.col("n").alias("nb")), "id_b")
+        .filter(F.col("both") / (F.col("na") + F.col("nb") - F.col("both")) >= 0.5)
+        .collect()
+    }
+    sigs = dd.minhash_signatures(hashed, 12)
+    cands = {
+        (r["id_a"], r["id_b"])
+        for r in dd.candidate_pairs_from_buckets(
+            dd.lsh_band_buckets(sigs, 12, 4)
+        ).collect()
+    }
+    assert truth, "fixture must contain true near-dup pairs"
+    recall = len(truth & cands) / len(truth)
+    assert recall >= 0.95, f"recall {recall} over {len(truth)} truth pairs"
