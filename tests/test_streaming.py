@@ -355,3 +355,33 @@ def test_stateful_running_zscore_matches_batch(spark, sf_dir):
             assert g["zscore"] is None or g["zscore"] != g["zscore"], eid
         else:
             assert abs(g["zscore"] - b["zscore"]) < 1e-12, eid
+
+
+def test_rocksdb_state_store_matches_default(spark, sf_dir):
+    """SCALING.md names RocksDB + changelog checkpointing as the
+    production state-store path; prove the provider actually runs here
+    and is result-identical to the default HDFS-backed store on the same
+    windowed aggregation (state layout is provider-internal, results are
+    the contract)."""
+    base_sess = jobs.streaming_session(spark)
+    base = {
+        tuple(r)
+        for r in jobs.run_to_df(
+            jobs.tumbling_counts(jobs.read_events_stream(base_sess, sf_dir)),
+            mode="complete",
+        ).collect()
+    }
+
+    rocks_sess = jobs.streaming_session(spark)
+    rocks_sess.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    rocks = {
+        tuple(r)
+        for r in jobs.run_to_df(
+            jobs.tumbling_counts(jobs.read_events_stream(rocks_sess, sf_dir)),
+            mode="complete",
+        ).collect()
+    }
+    assert base and rocks == base
