@@ -153,3 +153,29 @@ def test_row_explode_helpers_match_array_versions(spark):
     new_sh = word_shingle_rows(df, F.col("s"), 3, keep=["i"])
     assert old_sh.exceptAll(new_sh).count() == 0
     assert new_sh.exceptAll(old_sh).count() == 0
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.integers(min_value=0, max_value=200),
+    st.integers(min_value=1, max_value=64),
+    st.integers(min_value=1, max_value=64),
+)
+def test_sliding_window_indices_cover_exactly(n, window, stride):
+    """Pure-Python twin of the sliding_token_windows index math: starts
+    are 0, stride, 2·stride, ... < n; every token position is covered by
+    >= 1 window when stride <= window; window lengths are min(window,
+    n - start).  The Spark operator's sequence/slice expressions encode
+    exactly this — tests/test_pipeline_extras.py pins the Spark side."""
+    starts = list(range(0, n, stride))
+    if n == 0:
+        assert starts == []
+        return
+    lengths = [min(window, n - s) for s in starts]
+    assert all(1 <= ln <= window for ln in lengths)
+    assert starts[-1] + lengths[-1] == min(n, starts[-1] + window)
+    if stride <= window:
+        covered = set()
+        for s, ln in zip(starts, lengths):
+            covered.update(range(s, s + ln))
+        assert covered == set(range(n))
