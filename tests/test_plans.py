@@ -249,3 +249,13 @@ def test_cdc_shuffles_only_on_doc_and_hash(spark, sf_dir):
     # no join operators expected at all — the pipeline is a linear chain
     for op in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin"):
         assert op not in plan
+
+
+def test_front_queue_names_are_registered():
+    """_ordered silently ignores unknown names, so a typo in _FRONT would
+    quietly demote a query out of the driver's 50-entry correctness
+    window — make that loud instead."""
+    from mapreduceproject_spark.plans.registry import _FRONT, QUERIES
+
+    missing = [n for n in _FRONT if n not in QUERIES]
+    assert missing == [], f"_FRONT names not in registry: {missing}"
