@@ -62,6 +62,25 @@ def cmd_explain(args) -> int:
     return 0
 
 
+def cmd_parity(args) -> int:
+    """Run one registered query against its DuckDB oracle and report the
+    driver-style verdict (row count + schema + order-insensitive value
+    hash) — the dev loop for adding or changing a query."""
+    from mapreduceproject_spark import plans
+    from mapreduceproject_spark.oracle import check_query
+
+    if args.query not in plans.QUERIES:
+        print(f"unknown query {args.query!r}; see `list`", file=sys.stderr)
+        return 2
+    spark = _spark(args.cpus)
+    rep = check_query(spark, args.query, args.sf_dir)
+    status = "MATCH" if rep.ok else "MISMATCH"
+    print(f"{args.query}: {status} (spark_rows={rep.spark_rows} oracle_rows={rep.oracle_rows})")
+    for m in rep.mismatches:
+        print(f"  {m}")
+    return 0 if rep.ok else 1
+
+
 def cmd_maple_juice(args) -> int:
     from pyspark.sql import functions as F
 
@@ -207,6 +226,11 @@ def main(argv: list[str] | None = None) -> int:
     )
     exp.add_argument("--cpus", default=None)
 
+    par = sub.add_parser("parity", help="run a query against its DuckDB oracle")
+    par.add_argument("query")
+    par.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    par.add_argument("--cpus", default=None)
+
     mj = sub.add_parser("maple-juice", help="run a maple+juice job")
     mj.add_argument("--src", required=True, help="input path/glob of text files")
     mj.add_argument("--dest", required=True, help="output dir (key SPACE value lines)")
@@ -255,6 +279,7 @@ def main(argv: list[str] | None = None) -> int:
         "list": cmd_list,
         "run": cmd_run,
         "explain": cmd_explain,
+        "parity": cmd_parity,
         "maple-juice": cmd_maple_juice,
         "maple": cmd_maple,
         "juice": cmd_juice,

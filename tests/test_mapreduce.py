@@ -184,3 +184,13 @@ def test_cli_explain(spark, sf_dir, capsys):
     assert main(["explain", "q6_forecast_revenue", "--sf-dir", sf_dir]) == 0
     out = capsys.readouterr().out
     assert "Physical Plan" in out and "PushedFilters" in out
+
+
+def test_cli_parity_verb(spark, sf_dir, capsys):
+    """`parity <query>` runs the DuckDB differential from the CLI and
+    exits 0 on MATCH / 2 on unknown query."""
+    from mapreduceproject_spark.__main__ import main
+
+    assert main(["parity", "word_count", "--sf-dir", sf_dir]) == 0
+    assert "MATCH" in capsys.readouterr().out
+    assert main(["parity", "no_such_query", "--sf-dir", sf_dir]) == 2
