@@ -360,33 +360,67 @@ def simhash_signature(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return votes.select("_id", sig_lo.alias("sig_lo"), sig_hi.alias("sig_hi"))
 
 
+def _band_extract(start: int, width: int):
+    """Column: bits [start, start+width) of the 64-bit signature stored
+    as two non-negative 32-bit halves (sig_lo 0–31, sig_hi 32–63).
+    Straddling bands combine both halves; every intermediate stays far
+    below 2^33, so signed-long arithmetic is safe."""
+    mask = (1 << width) - 1
+    if start >= 32:
+        return F.shiftright(F.col("sig_hi"), start - 32).bitwiseAND(mask)
+    if start + width <= 32:
+        return F.shiftright(F.col("sig_lo"), start).bitwiseAND(mask)
+    lo_bits = 32 - start
+    return (
+        F.shiftright(F.col("sig_lo"), start)
+        .bitwiseOR(
+            F.col("sig_hi")
+            .bitwiseAND((1 << (start + width - 32)) - 1)
+            .cast("long") * F.lit(1 << lo_bits).cast("long")
+        )
+        .bitwiseAND(mask)
+    )
+
+
 def simhash_dedup(
     df: DataFrame,
     id_col: str,
     text_col: str,
     max_hamming: int = 4,
+    num_bands: int = SIMHASH_BANDS,
 ) -> DataFrame:
     """Near-dup pairs by simhash: band-bucket candidates, hamming verify.
 
-    Eight 8-bit bands over the 64-bit signature: by pigeonhole, any pair
-    with hamming ≤ 7 shares at least one identical band, so candidate
-    generation is exact (zero recall loss) for ``max_hamming`` ≤ 7.
+    ``num_bands`` near-equal-width bands over the 64-bit signature: by
+    pigeonhole, any pair with hamming ≤ num_bands−1 shares at least one
+    identical band, so candidate generation is exact (zero recall loss)
+    whenever ``max_hamming`` < ``num_bands``.  The default 8×8-bit
+    banding means 256 buckets per band REGARDLESS of corpus size — the
+    fixed-bucket quadratic the 100× fixture measures (SCALING.md); at
+    larger corpora drop to the minimal lossless band count
+    (max_hamming+1 bands, e.g. 5×13-bit = 8192 buckets/band for
+    hamming ≤ 4) — fewer, wider bands emit fewer candidate rows AND
+    exponentially more buckets, with bit-identical results.
     """
+    if num_bands <= max_hamming:
+        raise ValueError(
+            f"banding is lossy: num_bands={num_bands} must exceed max_hamming={max_hamming}"
+        )
     # sigs feeds both sides of the bucket self-join — persist so the
     # token explode + 64-vote aggregation runs once; spread so the token
     # hashing stage parallelizes even off a single-split local scan
     sigs = simhash_signature(spread_for_compute(df), id_col, text_col).persist()
+    widths = [
+        SIMHASH_BITS // num_bands + (1 if i < SIMHASH_BITS % num_bands else 0)
+        for i in range(num_bands)
+    ]
+    starts = [sum(widths[:i]) for i in range(num_bands)]
     band_structs = [
         F.struct(
             F.lit(b).alias("band"),
-            F.shiftright(
-                F.col("sig_lo" if b < SIMHASH_BANDS // 2 else "sig_hi"),
-                8 * (b % (SIMHASH_BANDS // 2)),
-            )
-            .bitwiseAND(255)
-            .alias("bsig"),
+            _band_extract(starts[b], widths[b]).alias("bsig"),
         )
-        for b in range(SIMHASH_BANDS)
+        for b in range(num_bands)
     ]
     buckets = sigs.select(
         "_id", "sig_lo", "sig_hi", F.explode(F.array(*band_structs)).alias("bk")

@@ -242,6 +242,26 @@ def semantic_k_scaling_check(spark) -> dict:
     return {"k_scaled": 8 * REPLICAS, "sec": round(time.perf_counter() - t0, 2)}
 
 
+def simhash_band_scaling_check(spark) -> dict:
+    """simhash's default 8x8-bit banding has 256 buckets per band
+    regardless of corpus size — the measured 7.4x/decade creep.  The
+    lossless fix for max_hamming=4 is the minimal band count: 5x13-bit
+    bands = 8192 buckets/band, bit-identical results (pigeonhole;
+    pytest-proven).  Run it on the scaled fixture to show the knob."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from mapreduceproject_spark.operators.dedup import simhash_dedup
+
+    docs = spark.read.parquet(f"{OUT_DIR}/documents.parquet")
+    t0 = time.perf_counter()
+    simhash_dedup(docs, "doc_id", "text", max_hamming=4, num_bands=5).write.format(
+        "noop"
+    ).mode("overwrite").save()
+    return {"num_bands": 5, "sec": round(time.perf_counter() - t0, 2)}
+
+
 def main() -> None:
     from mapreduceproject_spark import plans
     from mapreduceproject_spark.session import get_spark

@@ -213,3 +213,28 @@ def test_minhash_lsh_candidate_recall_on_fixture(spark, sf_dir):
     assert truth, "fixture must contain true near-dup pairs"
     recall = len(truth & cands) / len(truth)
     assert recall >= 0.95, f"recall {recall} over {len(truth)} truth pairs"
+
+
+def test_simhash_band_count_is_lossless_knob(spark, sf_dir):
+    """Any num_bands > max_hamming yields bit-identical verified pairs
+    (pigeonhole losslessness) — 5x13-bit banding gives 32x more buckets
+    per band than the default 8x8 with zero recall change.  num_bands <=
+    max_hamming must refuse loudly (it would silently lose pairs)."""
+    import pytest as _pytest
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    base = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in dd.simhash_dedup(docs, "doc_id", "text", max_hamming=4).collect()
+    }
+    assert base, "fixture must contain simhash near-dups"
+    for nb in (5, 6, 13):
+        got = {
+            (r["id_a"], r["id_b"], r["hamming"])
+            for r in dd.simhash_dedup(
+                docs, "doc_id", "text", max_hamming=4, num_bands=nb
+            ).collect()
+        }
+        assert got == base, f"num_bands={nb} changed the verified pair set"
+    with _pytest.raises(ValueError, match="lossy"):
+        dd.simhash_dedup(docs, "doc_id", "text", max_hamming=4, num_bands=4)
