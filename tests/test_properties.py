@@ -179,3 +179,35 @@ def test_sliding_window_indices_cover_exactly(n, window, stride):
         for s, ln in zip(starts, lengths):
             covered.update(range(s, s + ln))
         assert covered == set(range(n))
+
+
+def test_simhash_band_extract_matches_python(spark):
+    """_band_extract's straddling-band bit arithmetic vs a pure-Python
+    reference over random 64-bit signatures and every band layout used
+    by the lossless-knob range (5..13 bands): each band must reproduce
+    bits [start, start+width) of hi<<32|lo exactly."""
+    import random
+
+    from mapreduceproject_spark.operators.dedup import SIMHASH_BITS, _band_extract
+
+    rnd = random.Random(11)
+    rows = [
+        (i, rnd.getrandbits(32), rnd.getrandbits(32)) for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "i long, sig_lo long, sig_hi long")
+    for nb in (5, 7, 8, 13):
+        widths = [
+            SIMHASH_BITS // nb + (1 if j < SIMHASH_BITS % nb else 0)
+            for j in range(nb)
+        ]
+        starts = [sum(widths[:j]) for j in range(nb)]
+        cols = [
+            _band_extract(starts[b], widths[b]).alias(f"b{b}") for b in range(nb)
+        ]
+        got = {r["i"]: [r[f"b{b}"] for b in range(nb)] for r in df.select("i", *cols).collect()}
+        for i, lo, hi in rows:
+            full = (hi << 32) | lo
+            want = [
+                (full >> starts[b]) & ((1 << widths[b]) - 1) for b in range(nb)
+            ]
+            assert got[i] == want, f"nb={nb} i={i}"
