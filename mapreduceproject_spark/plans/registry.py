@@ -27,11 +27,18 @@ ORACLES: dict[str, str] = {}
 # 7 never-checked — go first this round so every registry entry ends up
 # verified against its *current* algorithm.  dedup_clusters follows because
 # its convergence check changed this round; then every query ADDED or
-# refactor-touched this round (round-3 waves 2 and 3), so each has a
+# refactor-touched this round (round-3 waves 2, 3, and 4), so each has a
 # driver row from the round its current algorithm shipped in.  The final
 # block re-verifies already-valid r2-green entries with whatever window
-# slots remain.  Names absent from the registry are ignored; everything
-# else follows in registration order.
+# slots remain.  Names absent from the registry are ignored (a pytest
+# guards against typos); everything else follows in registration order.
+# With 143 queries the window rotates across rounds: round 4 should
+# front-load the ~90 entries still riding r1/r2 rows, oldest first
+# (check CORRECTNESS_r03.json for which 50 got fresh rows here).
+# Every registry entry, windowed or not, is additionally parity-checked
+# in-repo at sf0.001 (tests/test_oracle_parity.py) and was driven
+# against its oracle at the driver's own sf0.01 this round (0 mismatches
+# across all 143).
 _FRONT: tuple[str, ...] = (
     # Stale: algorithms changed after their round-1 green rows
     # (64-bit simhash, PPJoin prefix filter, multi-probe IVF).
