@@ -259,3 +259,39 @@ def test_front_queue_names_are_registered():
 
     missing = [n for n in _FRONT if n not in QUERIES]
     assert missing == [], f"_FRONT names not in registry: {missing}"
+
+
+def test_chunk_sliding_windows_zero_exchange(spark, sf_dir):
+    """The chunker must stay strictly scan-shaped: no Exchange anywhere
+    in the physical plan — a regression here (e.g. an accidental
+    repartition or distinct) multiplies 100 TB cost."""
+    plan = _plan(QUERIES["chunk_sliding_windows"](spark, sf_dir))
+    assert "Exchange" not in plan
+    assert "Generate" in plan
+
+
+def test_incremental_minhash_single_shingle_pipeline(spark, sf_dir):
+    """The shingle+hash stream must be computed ONCE (persisted) and the
+    per-side signature aggregates must each be side-filtered below the
+    aggregate (filter on the carried group key pushes to the cache scan),
+    so total aggregate input equals one full pass — the two-independent-
+    pipelines formulation (measured 1.9x slower) re-shingled per side."""
+    plan = _optimized(QUERIES["dedup_incremental_minhash"](spark, sf_dir))
+    # one cached shingle stream; at most one aggregate per join side
+    assert "InMemoryRelation" in plan
+    assert plan.count("AS m0#") <= 2
+    # the batch/corpus flag is a grouping key, so its filters sit below
+    # the aggregates (pushed toward the cache scan), not above the join
+    sig_aggs = [
+        l for l in plan.splitlines() if "Aggregate [_id" in l and "min(" in l
+    ]
+    assert sig_aggs and all("_new" in l for l in sig_aggs)
+
+
+def test_semantic_dedup_pair_join_is_on_cluster_id(spark, sf_dir):
+    """The prune self-join must key on cluster_id (pair work n^2/k) and
+    never degenerate to a cartesian product."""
+    plan = _plan(QUERIES["dedup_semantic"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    joins = [l for l in plan.splitlines() if "Join" in l and "cluster_id" in l]
+    assert joins, "expected a join keyed on cluster_id"
