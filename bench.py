@@ -44,10 +44,17 @@ def main() -> None:
     ).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
+    failed: list[str] = []
     for name in sorted(plans.QUERIES):
         fn = plans.QUERIES[name]
         t0 = time.perf_counter()
-        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        try:
+            fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        except Exception as e:  # one broken query must not cost the whole artifact
+            failed.append(name)
+            print(f"# bench FAILED {name}: {e!r:.200}", file=sys.stderr)
+            spark.catalog.clearCache()
+            continue
         timings[name] = round(time.perf_counter() - t0, 3)
         # Drop this query's persisted frames before the next one: across
         # 100+ queries the accumulated caches fill storage memory and the
@@ -64,6 +71,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                **({"failed": failed} if failed else {}),
                 "sf": sf_from_dir(SF_DIR),
             }
         )
