@@ -963,3 +963,85 @@ def semantic_dedup(
         .filter(F.col("_rn") == 1)
         .select("cluster_id", "vec_id", "keeper_id", "cosine")
     )
+
+
+def connected_components_star(
+    edges: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 30,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Alternating large-star/small-star connected components (Kiveris et
+    al., "Connected Components in MapReduce and Beyond", SoCC 2014).
+
+    :func:`connected_components`'s min-label propagation needs one round
+    per unit of component DIAMETER — fine for near-dup graphs (shallow
+    cliques from LSH banding), quadratic-time on an adversarial long
+    path.  The star alternation contracts any component to a star rooted
+    at its minimum id in O(log n) rounds regardless of shape — the
+    documented answer in SCALING.md's cliff list, now implemented.
+
+    Each half-round, per node u over its (bidirectional) neighborhood:
+    m(u) = min(N(u) ∪ {u}); large-star rewires the strictly larger
+    neighbors of u to m(u), small-star the rest; both keep (u, m(u)) so
+    connectivity is never lost.  All data motion is one groupBy + one
+    join per half-round, keyed by node id.  Fixpoint detection is an
+    order-independent checksum (count + bit_xor of pair hashes)
+    piggybacked on the checkpoint materialization via ``observe`` — one
+    Spark job per half-round, no extra comparison job.
+
+    Output contract matches :func:`connected_components`:
+    (id, cluster_id = min id in component).
+    """
+
+    def ckpt(df: DataFrame) -> DataFrame:
+        if checkpoint_dir is None:
+            return df.localCheckpoint()
+        df.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+        return df.checkpoint()
+
+    def canon(df: DataFrame) -> DataFrame:
+        return (
+            df.filter(F.col("u") != F.col("v"))
+            .select(
+                F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
+            )
+            .distinct()
+        )
+
+    def star(e: DataFrame, large: bool) -> DataFrame:
+        nbr = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        m = nbr.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        joined = nbr.join(m, "u")
+        pred = F.col("v") > F.col("u") if large else F.col("v") <= F.col("u")
+        rewired = joined.filter(pred).select(F.col("v").alias("u"), F.col("m").alias("v"))
+        self_link = m.select("u", F.col("m").alias("v"))
+        return canon(rewired.union(self_link))
+
+    e = ckpt(canon(edges.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))))
+    checksum = None
+    for _ in range(max_iter):
+        stepped = star(star(e, large=True), large=False)
+        obs = Observation(f"cc_star_{uuid.uuid4().hex[:8]}")
+        observed = stepped.observe(
+            obs,
+            F.count(F.lit(1)).alias("n"),
+            F.bit_xor(F.xxhash64("u", "v")).alias("x"),
+        )
+        e = ckpt(observed)
+        new_checksum = (obs.get["n"], obs.get["x"])
+        if new_checksum == checksum:
+            break
+        checksum = new_checksum
+    # at the fixpoint every component is a star rooted at its min id:
+    # non-roots appear as (root, w) pairs; roots label themselves
+    members = e.select(F.col("v").alias("id"), F.col("u").alias("cluster_id"))
+    roots = e.select(F.col("u").alias("id")).distinct().withColumn(
+        "cluster_id", F.col("id")
+    )
+    return members.unionByName(roots).groupBy("id").agg(
+        F.min("cluster_id").alias("cluster_id")
+    )

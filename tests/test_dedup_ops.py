@@ -238,3 +238,54 @@ def test_simhash_band_count_is_lossless_knob(spark, sf_dir):
         assert got == base, f"num_bands={nb} changed the verified pair set"
     with _pytest.raises(ValueError, match="lossy"):
         dd.simhash_dedup(docs, "doc_id", "text", max_hamming=4, num_bands=4)
+
+
+def test_star_cc_matches_label_propagation(spark):
+    """Alternating large/small-star CC must produce identical
+    (id -> min-of-component) labels as min-label propagation on every
+    graph shape: the hand graph, random graphs, stars, cliques."""
+    import random
+
+    def labels(fn, pairs):
+        edges = spark.createDataFrame(pairs, ["id_a", "id_b"])
+        return {r["id"]: r["cluster_id"] for r in fn(edges).collect()}
+
+    cases = [
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (20, 22)],
+        [(5, 1), (5, 2), (5, 3), (5, 4)],                      # star at 5
+        [(a, b) for a in range(4) for b in range(a + 1, 4)]    # clique
+        + [(a, b) for a in range(10, 13) for b in range(a + 1, 13)],
+    ]
+    for seed in range(3):
+        rnd = random.Random(seed)
+        cases.append(
+            list({tuple(sorted(rnd.sample(range(40), 2))) for _ in range(50)})
+        )
+    for pairs in cases:
+        a = labels(dd.connected_components, pairs)
+        b = labels(dd.connected_components_star, pairs)
+        assert a == b, f"divergence on {pairs[:5]}..."
+
+
+def test_star_cc_converges_where_diameter_bound_fails(spark):
+    """The adversarial case SCALING.md's cliff list names: a 120-node
+    path has diameter 119, so min-label propagation capped at 12 rounds
+    CANNOT finish (labels spread one hop per round), while the star
+    alternation contracts it in O(log n) rounds and returns the exact
+    component labels."""
+    pairs = [(i, i + 1) for i in range(119)]
+    edges = spark.createDataFrame(pairs, ["id_a", "id_b"])
+
+    star = {
+        r["id"]: r["cluster_id"]
+        for r in dd.connected_components_star(edges, max_iter=12).collect()
+    }
+    assert star == {i: 0 for i in range(120)}
+
+    plain = {
+        r["id"]: r["cluster_id"]
+        for r in dd.connected_components(edges, max_iter=12).collect()
+    }
+    assert any(v != 0 for v in plain.values()), (
+        "diameter-bound propagation unexpectedly converged in 12 rounds"
+    )
