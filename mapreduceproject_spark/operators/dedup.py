@@ -806,13 +806,24 @@ def connected_components(
 
 
 def duplicate_clusters(
-    pairs: DataFrame, checkpoint_dir: str | None = None
+    pairs: DataFrame,
+    checkpoint_dir: str | None = None,
+    algorithm: str = "propagation",
 ) -> DataFrame:
     """Cluster assignment for every document that appears in a near-dup
     pair: (doc_id, cluster_id), cluster_id = smallest doc id reachable
     through the pair graph.  Downstream keep-one-per-cluster is then a
-    trivial filter(doc_id == cluster_id)."""
-    return connected_components(pairs, checkpoint_dir=checkpoint_dir).select(
+    trivial filter(doc_id == cluster_id).
+
+    ``algorithm``: "propagation" (default — min-label, rounds =
+    diameter, ideal for shallow LSH clique graphs) or "star"
+    (:func:`connected_components_star` — O(log n) rounds on any shape,
+    the choice when components may be long chains)."""
+    fn = {
+        "propagation": connected_components,
+        "star": connected_components_star,
+    }[algorithm]
+    return fn(pairs, checkpoint_dir=checkpoint_dir).select(
         F.col("id").alias("doc_id"), "cluster_id"
     )
 

@@ -289,3 +289,13 @@ def test_star_cc_converges_where_diameter_bound_fails(spark):
     assert any(v != 0 for v in plain.values()), (
         "diameter-bound propagation unexpectedly converged in 12 rounds"
     )
+
+
+def test_duplicate_clusters_star_backend_matches_default(spark, sf_dir):
+    """The star backend must be a drop-in: identical (doc_id, cluster_id)
+    assignments on the fixture's real minhash near-dup graph."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = dd.minhash_lsh_dedup(docs, "doc_id", "text").select("id_a", "id_b")
+    a = {tuple(r) for r in dd.duplicate_clusters(pairs).collect()}
+    b = {tuple(r) for r in dd.duplicate_clusters(pairs, algorithm="star").collect()}
+    assert a == b and a
