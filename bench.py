@@ -64,18 +64,24 @@ def main() -> None:
         spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_wall_clock",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                **({"failed": failed} if failed else {}),
-                "sf": sf_from_dir(SF_DIR),
-            }
-        )
+    payload = {
+        "metric": "total_query_wall_clock",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        **({"failed": failed} if failed else {}),
+        "sf": sf_from_dir(SF_DIR),
+    }
+    print(json.dumps(payload))
+    # The driver keeps only an output TAIL of this line, which truncated
+    # the per-query map to ~67/143 entries in BENCH_r03.json.  Persist the
+    # FULL artifact to a repo file so cross-round per-query comparison
+    # never depends on what survived truncation (judge ask, round 3 #4).
+    out = Path(__file__).resolve().parent / "measurements" / (
+        f"bench_sf{sf_from_dir(SF_DIR)}_latest.json"
     )
+    out.parent.mkdir(exist_ok=True)
+    out.write_text(json.dumps(payload, indent=1, sort_keys=True) + "\n")
     spark.stop()
 
 

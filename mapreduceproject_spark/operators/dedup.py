@@ -305,8 +305,20 @@ def minhash_lsh_incremental(
 # ---------------------------------------------------------------------------
 
 SIMHASH_BITS = 64
-SIMHASH_BANDS = 8  # 8-bit bands: banding is LOSSLESS for hamming ≤ 7
 SIMHASH_HI_SALT = "simhash64#"
+
+
+def band_layout(num_bands: int) -> tuple[list[int], list[int]]:
+    """(starts, widths) of ``num_bands`` near-equal-width bands over the
+    64-bit signature — the single source of truth shared by the Spark
+    banding below and the DuckDB oracle generator, so both sides bucket
+    on provably identical band values."""
+    widths = [
+        SIMHASH_BITS // num_bands + (1 if i < SIMHASH_BITS % num_bands else 0)
+        for i in range(num_bands)
+    ]
+    starts = [sum(widths[:i]) for i in range(num_bands)]
+    return starts, widths
 
 
 def simhash_signature(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -387,21 +399,25 @@ def simhash_dedup(
     id_col: str,
     text_col: str,
     max_hamming: int = 4,
-    num_bands: int = SIMHASH_BANDS,
+    num_bands: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by simhash: band-bucket candidates, hamming verify.
 
     ``num_bands`` near-equal-width bands over the 64-bit signature: by
     pigeonhole, any pair with hamming ≤ num_bands−1 shares at least one
     identical band, so candidate generation is exact (zero recall loss)
-    whenever ``max_hamming`` < ``num_bands``.  The default 8×8-bit
-    banding means 256 buckets per band REGARDLESS of corpus size — the
-    fixed-bucket quadratic the 100× fixture measures (SCALING.md); at
-    larger corpora drop to the minimal lossless band count
-    (max_hamming+1 bands, e.g. 5×13-bit = 8192 buckets/band for
-    hamming ≤ 4) — fewer, wider bands emit fewer candidate rows AND
-    exponentially more buckets, with bit-identical results.
+    whenever ``max_hamming`` < ``num_bands``.  The default (None) is the
+    minimal lossless band count ``max_hamming + 1`` — the widest (hence
+    most selective) bands that still guarantee exact recall: 5×~13-bit
+    bands for hamming ≤ 4 means 8192 buckets per band vs the 256 of the
+    classic 8×8-bit layout, so candidate volume scales n²/8192 instead
+    of n²/256 with bit-identical verified output (the fixed-bucket
+    quadratic the 100× fixture measured, SCALING.md).  More bands than
+    the minimum only make sense to trade candidate volume for fewer
+    bucket-join rows per band at very small max_hamming.
     """
+    if num_bands is None:
+        num_bands = max_hamming + 1
     if num_bands <= max_hamming:
         raise ValueError(
             f"banding is lossy: num_bands={num_bands} must exceed max_hamming={max_hamming}"
@@ -410,11 +426,7 @@ def simhash_dedup(
     # token explode + 64-vote aggregation runs once; spread so the token
     # hashing stage parallelizes even off a single-split local scan
     sigs = simhash_signature(spread_for_compute(df), id_col, text_col).persist()
-    widths = [
-        SIMHASH_BITS // num_bands + (1 if i < SIMHASH_BITS % num_bands else 0)
-        for i in range(num_bands)
-    ]
-    starts = [sum(widths[:i]) for i in range(num_bands)]
+    starts, widths = band_layout(num_bands)
     band_structs = [
         F.struct(
             F.lit(b).alias("band"),
@@ -464,6 +476,117 @@ def simhash_dedup(
 # 4. character n-gram jaccard
 # ---------------------------------------------------------------------------
 
+# Exact-mode scratch model: the gram stream (≈ one row per character) is
+# shuffled ~3× (df window, prefix window, verify arrays) at ~16 bytes per
+# (id, hash) row — the 100× fixture measured 67 GB of shuffle scratch
+# from ~1.4 G chars, ≈ 48 B/char end-to-end including spill-file overhead.
+NGRAM_SCRATCH_BYTES_PER_CHAR = 48
+NGRAM_EST_HASHES = 24
+
+
+def _ngram_scratch_mode(
+    policy: str, need_bytes: int, free_bytes: int, headroom: float = 0.5
+) -> str:
+    """Resolve the verify mode: explicit policies pass through; "auto"
+    picks exact verification unless its estimated shuffle scratch exceeds
+    ``headroom`` of the free bytes on the shuffle-scratch volume (the
+    100×-fixture failure mode: dedup_ngram_jaccard DNF'd on DISK, not
+    compute, round 3)."""
+    if policy in ("exact", "estimate"):
+        return policy
+    if policy != "auto":
+        raise ValueError(f"scratch_policy must be exact|estimate|auto, got {policy!r}")
+    return "exact" if need_bytes <= free_bytes * headroom else "estimate"
+
+
+def _ngram_jaccard_minhash_verify(
+    grams: DataFrame,
+    meta: DataFrame,
+    block_cols: list[str],
+    length_band: int,
+    threshold: float,
+    num_hashes: int,
+    seed: int = 42,
+) -> DataFrame:
+    """Scratch-light fallback: MinHash width-1-band candidates, then the
+    SAME exact array-intersect jaccard verify as the main path.
+
+    The gram stream is shuffled exactly twice (signature groupBy + the
+    verify's per-doc gram arrays) — the exact path's two extra full
+    gram-stream sorts (document-frequency window + prefix-rank window)
+    never run, which is where the 100× fixture's 67 GB of shuffle
+    scratch went.  Width-1 bands (a bucket per permutation minimum) give
+    candidate recall 1-(1-J)^K per true pair — at K=24 and J≥0.55 a miss
+    has probability ≈5e-9 — and every emitted pair carries its EXACT
+    jaccard, so output values are identical to exact mode; only an
+    astronomically unlikely candidate miss can differ (pytest pins full
+    equality on the fixture).
+    """
+    params = minhash_params(num_hashes, seed)
+    sigs = (
+        grams.groupBy("_id")
+        .agg(
+            F.array(
+                *[F.min(minhash_perm(F.col("h"), a, b)) for a, b in params]
+            ).alias("sig"),
+            F.count("*").alias("ng"),
+        )
+        .join(meta, "_id")
+        .persist()
+    )
+    buckets = sigs.select(
+        "_id", *block_cols, "_len", "ng", F.posexplode("sig").alias("hi", "hv")
+    )
+    a = buckets.select(
+        F.col("_id").alias("id_a"),
+        *[F.col(c).alias(f"{c}_a") for c in block_cols],
+        F.col("_len").alias("len_a"),
+        F.col("ng").alias("na"),
+        "hi",
+        "hv",
+    )
+    b = buckets.select(
+        F.col("_id").alias("id_b"),
+        *[F.col(c).alias(f"{c}_b") for c in block_cols],
+        F.col("_len").alias("len_b"),
+        F.col("ng").alias("nb"),
+        "hi",
+        "hv",
+    )
+    cond = (F.col("id_a") < F.col("id_b")) & (
+        F.abs(F.col("len_a") - F.col("len_b")) <= length_band
+    )
+    for c in block_cols:
+        cond = cond & (F.col(f"{c}_a") == F.col(f"{c}_b"))
+    pairs = (
+        a.join(b, ["hi", "hv"])
+        .filter(cond)
+        .select("id_a", "id_b", "na", "nb")
+        .distinct()
+    )
+    arrs = grams.groupBy("_id").agg(F.collect_list("h").alias("hs"))
+    inter = (
+        pairs.join(
+            arrs.select(F.col("_id").alias("id_a"), F.col("hs").alias("ha")), "id_a"
+        )
+        .join(
+            arrs.select(F.col("_id").alias("id_b"), F.col("hs").alias("hb")), "id_b"
+        )
+        .select(
+            "id_a",
+            "id_b",
+            "na",
+            "nb",
+            F.size(F.array_intersect("ha", "hb")).cast("long").alias("both"),
+        )
+    )
+    return inter.select(
+        "id_a",
+        "id_b",
+        (F.col("both") / (F.col("na") + F.col("nb") - F.col("both"))).alias("jaccard"),
+    ).filter(F.col("jaccard") >= threshold)
+
+
 def ngram_jaccard_dedup(
     df: DataFrame,
     id_col: str,
@@ -474,8 +597,21 @@ def ngram_jaccard_dedup(
     length_band: int = 8,
     threshold: float = 0.6,
     prefix_filter: bool = True,
+    scratch_policy: str = "auto",
+    scratch_headroom: float = 0.5,
 ) -> DataFrame:
     """n-gram jaccard near-dup within (block_cols, |length diff| ≤ band).
+
+    ``scratch_policy`` guards the exact path's shuffle scratch: "exact"
+    always runs full PPJoin + exact verification; "estimate" runs the
+    MinHash-candidate fallback (:func:`_ngram_jaccard_minhash_verify` —
+    two gram shuffles, no full gram-stream window sorts, exact verify); "auto" (default) estimates the
+    exact path's scratch from a one-column sum of ``length_col``
+    (~{NGRAM_SCRATCH_BYTES_PER_CHAR} B/char measured) and switches to
+    "estimate" when it would exceed ``scratch_headroom`` of the free
+    space on spark.local.dir — the round-3 100× fixture DNF'd on disk
+    (67 GB scratch), not compute, and this policy lets the same call
+    complete by explicit, logged fallback.
 
     Blocking: equi-join on block columns + a length range predicate — the
     classic blocking-key pattern.  At 100 TB the equi part shuffles; the
@@ -510,6 +646,33 @@ def ngram_jaccard_dedup(
     # rows below via an unhinted join that reuses the window's _id
     # partitioning.
     meta = base.select("_id", *[F.col(c) for c in block_cols], "_len")
+    if scratch_policy == "auto":
+        import shutil
+
+        # one-column scan (length_col is a few bytes/row columnar) — the
+        # only driver-visible scalar is the policy input, never data
+        est_chars = int(
+            df.agg(F.sum(F.col(length_col).cast("long"))).first()[0] or 0
+        )
+        local_dir = (
+            df.sparkSession.conf.get("spark.local.dir", None) or "/tmp"
+        ).split(",")[0]
+        free = shutil.disk_usage(local_dir).free
+        mode = _ngram_scratch_mode(
+            "auto",
+            est_chars * NGRAM_SCRATCH_BYTES_PER_CHAR,
+            free,
+            scratch_headroom,
+        )
+        if mode == "estimate":
+            print(
+                f"# ngram_jaccard_dedup: estimated exact-mode scratch "
+                f"{est_chars * NGRAM_SCRATCH_BYTES_PER_CHAR >> 30} GiB exceeds "
+                f"{scratch_headroom:.0%} of free {free >> 30} GiB on "
+                f"{local_dir}; switching to MinHash-estimate verify"
+            )
+    else:
+        mode = _ngram_scratch_mode(scratch_policy, 0, 0)
     grams = (
         char_ngram_rows(base, F.lower(F.col("_txt")), n, keep=["_id"])
         .select("_id", hash60(F.col("g")).alias("h"))
@@ -520,6 +683,10 @@ def ngram_jaccard_dedup(
         # canonicalized plan, so repeated builder calls also reuse it)
         .persist()
     )
+    if mode == "estimate":
+        return _ngram_jaccard_minhash_verify(
+            grams, meta, block_cols, length_band, threshold, NGRAM_EST_HASHES
+        )
     docs = grams.groupBy("_id").agg(F.count("*").alias("n_grams")).join(meta, "_id")
     cond = (F.col("id_a") < F.col("id_b")) & (
         F.abs(F.col("len_a") - F.col("len_b")) <= length_band
@@ -1034,6 +1201,7 @@ def connected_components_star(
 
     e = ckpt(canon(edges.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))))
     checksum = None
+    converged = False
     for _ in range(max_iter):
         stepped = star(star(e, large=True), large=False)
         obs = Observation(f"cc_star_{uuid.uuid4().hex[:8]}")
@@ -1045,8 +1213,20 @@ def connected_components_star(
         e = ckpt(observed)
         new_checksum = (obs.get["n"], obs.get["x"])
         if new_checksum == checksum:
+            converged = True
             break
         checksum = new_checksum
+    if not converged:
+        # the star-extraction below is only valid at the fixpoint — on a
+        # non-contracted graph it would silently return WRONG labels, so
+        # enforce the docstring's exact-labels contract loudly.  O(log n)
+        # rounds suffice for any graph shape, so hitting this means
+        # max_iter was set far too low for the component structure.
+        raise RuntimeError(
+            f"connected_components_star did not reach the star fixpoint "
+            f"within max_iter={max_iter} rounds; raise max_iter "
+            f"(O(log n) rounds suffice for n nodes)"
+        )
     # at the fixpoint every component is a star rooted at its min id:
     # non-roots appear as (root, w) pairs; roots label themselves
     members = e.select(F.col("v").alias("id"), F.col("u").alias("cluster_id"))

@@ -29,23 +29,40 @@ from pyspark.sql import functions as F
 
 
 def _misra_gries_partition(capacity: int, col: str):
-    """Weighted (batched) Misra-Gries: each Arrow batch is pre-aggregated
-    with value_counts (C speed), merged into the counter dict, then the
-    classic decrement step runs by the MINIMUM counter until <= capacity
-    survive.  The guarantee is unchanged: every decrement round subtracts
-    d from >= capacity+1 counters at once, so total decremented mass
-    <= N_p/(capacity+1) and any item with partition count above that bar
-    keeps a positive counter."""
+    """Weighted (batched) Misra-Gries, fully vectorized: each Arrow batch
+    is pre-aggregated with value_counts (C speed), merged into a counter
+    Series by index alignment (C hash join), and the decrement step is a
+    single order statistic instead of a Python loop.
+
+    The repeated subtract-the-minimum loop run to completion subtracts a
+    total of d = the (capacity+1)-th largest counter value — the smallest
+    uniform decrement leaving <= capacity positive counters — so
+    ``keep (v - d) where v > d`` yields the IDENTICAL survivor set and
+    values in one np.partition + one vectorized compare (the round-3
+    Python dict loop measured ~1M tok/s/core; this removes the only
+    Python-throughput-bound stage).  The MG guarantee is unchanged:
+    decomposing the uniform d into unit rounds, round j decrements every
+    counter with value >= j, and for j <= d at least capacity+1 counters
+    qualify, so total decremented mass <= N_p/(capacity+1) and any item
+    with partition count above that bar keeps a positive counter."""
+
+    import numpy as np
 
     def summarize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        counters: dict[str, int] = {}
+        counters = pd.Series(dtype="int64")
         for pdf in batches:
-            for tok, cnt in pdf[col].value_counts().items():
-                counters[tok] = counters.get(tok, 0) + int(cnt)
-            while len(counters) > capacity:
-                d = min(counters.values())
-                counters = {k: v - d for k, v in counters.items() if v > d}
-        yield pd.DataFrame({col: list(counters.keys())})
+            vc = pdf[col].value_counts()
+            counters = (
+                vc
+                if counters.empty
+                else counters.add(vc, fill_value=0).astype("int64")
+            )
+            if len(counters) > capacity:
+                vals = counters.to_numpy()
+                kth = len(vals) - capacity - 1
+                d = np.partition(vals, kth)[kth]
+                counters = counters[vals > d] - d
+        yield pd.DataFrame({col: counters.index.to_numpy(dtype=object)})
 
     return summarize
 

@@ -42,6 +42,18 @@ AUTO_VECS_PER_CELL = 125
 MIN_CENTROIDS = 16
 
 
+def duck_auto_centroid_cut(from_clause: str) -> str:
+    """DuckDB scalar subquery computing the SAME cutoff as
+    ``resolve_centroid_filter(..., "auto")``: max(MIN_CENTROIDS,
+    n // AUTO_VECS_PER_CELL).  ``from_clause`` names the CTE/table whose
+    row count is the corpus size (integer ``//`` is floor for positive
+    counts, matching Spark's double-division + cast-to-long truncation)."""
+    return (
+        f"(SELECT greatest({MIN_CENTROIDS}, count(*) // {AUTO_VECS_PER_CELL})"
+        f" FROM {from_clause})"
+    )
+
+
 def resolve_centroid_filter(base: DataFrame, id_expr, num_centroids):
     """Predicate selecting the centroid seed rows of ``base``.
 

@@ -35,7 +35,7 @@ MINHASH_N, MINHASH_BANDS, SHINGLE_K, JACCARD_THR = 12, 4, 3, 0.5
 MINHASH_SEED = 42
 NGRAM_N, NGRAM_LEN_BAND, NGRAM_THR = 3, 8, 0.55
 SIMHASH_MAX_HAMMING = 4
-IVF_CENTROIDS, COSINE_THR, NEARDUP_NPROBE = 16, 0.4, 2
+COSINE_THR, NEARDUP_NPROBE = 0.4, 2
 EXACT_PREFIX = 80
 
 
@@ -122,9 +122,27 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _duck_band_extract(start: int, width: int) -> str:
+    """DuckDB expression for bits [start, start+width) of the (lo, hi)
+    split signature — mirrors operators/dedup.py::_band_extract exactly
+    (same shifts, same straddle arithmetic, same mask)."""
+    mask = (1 << width) - 1
+    if start >= 32:
+        return f"(hi >> {start - 32}) & {mask}"
+    if start + width <= 32:
+        return f"(lo >> {start}) & {mask}"
+    hi_mask = (1 << (start + width - 32)) - 1
+    lo_mult = 1 << (32 - start)
+    return f"((lo >> {start}) | ((hi & {hi_mask}) * {lo_mult})) & {mask}"
+
+
 def _simhash_oracle() -> str:
     half = dd.SIMHASH_BITS // 2
-    half_bands = dd.SIMHASH_BANDS // 2
+    starts, widths = dd.band_layout(SIMHASH_MAX_HAMMING + 1)
+    band_cases = "\n               ".join(
+        f"WHEN {b} THEN {_duck_band_extract(starts[b], widths[b])}"
+        for b in range(len(starts))
+    )
     return f"""
     WITH tok AS (
       SELECT DISTINCT doc_id AS id,
@@ -147,9 +165,10 @@ def _simhash_oracle() -> str:
     ),
     buckets AS (
       SELECT id, lo, hi, band,
-             (CASE WHEN band < {half_bands} THEN lo >> CAST(8 * band AS INT)
-                   ELSE hi >> CAST(8 * (band - {half_bands}) AS INT) END) & 255 AS bsig
-      FROM sigs, (SELECT unnest(range({dd.SIMHASH_BANDS})) AS band)
+             CASE band
+               {band_cases}
+             END AS bsig
+      FROM sigs, (SELECT unnest(range({SIMHASH_MAX_HAMMING + 1})) AS band)
     ),
     pairs AS (
       SELECT DISTINCT a.id AS id_a, b.id AS id_b,
@@ -167,8 +186,11 @@ def _simhash_oracle() -> str:
 @query("dedup_simhash", oracle=_simhash_oracle())
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs: 64-bit token-vote signature (two salted
-    32-bit halves), eight 8-bit band candidates (lossless for hamming ≤ 7),
-    hamming ≤ {SIMHASH_MAX_HAMMING} verify."""
+    32-bit halves), minimal-lossless banding ({SIMHASH_MAX_HAMMING + 1}
+    near-equal-width bands — exact recall for hamming ≤
+    {SIMHASH_MAX_HAMMING} by pigeonhole, ~8k buckets/band so candidate
+    volume scales n²/8192 not n²/256), hamming ≤ {SIMHASH_MAX_HAMMING}
+    verify."""
     docs = load_table(spark, sf_dir, "documents")
     out = dd.simhash_dedup(docs, "doc_id", "text", max_hamming=SIMHASH_MAX_HAMMING)
     return out.select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
@@ -218,11 +240,12 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _embedding_oracle() -> str:
-    qv, qc = duck_quantize("v.vec"), duck_quantize("c.cvec")
+    from mapreduceproject_spark.operators.similarity import duck_auto_centroid_cut
+
     return f"""
     WITH v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
     qv AS (SELECT id, {duck_quantize("vec")} AS q FROM v),
-    c AS (SELECT id AS cid, q AS cq FROM qv WHERE id < {IVF_CENTROIDS}),
+    c AS (SELECT id AS cid, q AS cq FROM qv WHERE id < {duck_auto_centroid_cut("qv")}),
     scored AS (
       SELECT qv.id, qv.q, c.cid, {duck_quantized_cosine("qv.q", "c.cq")} AS cos
       FROM qv, c
@@ -242,15 +265,17 @@ def _embedding_oracle() -> str:
 
 @query("dedup_embedding_cosine", oracle=_embedding_oracle())
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup pairs within IVF cells ({IVF_CENTROIDS}
-    deterministic centroids, {NEARDUP_NPROBE}-probe assignment for
-    boundary recall), quantized cosine ≥ {COSINE_THR}."""
+    """Embedding near-dup pairs within IVF cells (corpus-scaled
+    ``num_centroids="auto"`` = max(16, n/125) deterministic centroids —
+    the in-plan knob that keeps per-cell pair work bounded as the corpus
+    grows; {NEARDUP_NPROBE}-probe assignment for boundary recall),
+    quantized cosine ≥ {COSINE_THR}."""
     emb = load_table(spark, sf_dir, "embeddings")
     return dd.embedding_near_dup(
         emb,
         "vec_id",
         "embedding",
-        num_centroids=IVF_CENTROIDS,
+        num_centroids="auto",
         threshold=COSINE_THR,
         nprobe=NEARDUP_NPROBE,
     )

@@ -22,106 +22,99 @@ QUERIES: dict[str, QueryFn] = {}
 ORACLES: dict[str, str] = {}
 
 # The driver's correctness window covers the first 50 registry entries in
-# order.  After rounds 1+2, 96/106 queries have a valid driver-green row;
-# the remaining 10 — 3 stale (dedup trio reworked after their r1 rows) and
-# 7 never-checked — go first this round so every registry entry ends up
-# verified against its *current* algorithm.  dedup_clusters follows because
-# its convergence check changed this round; then every query ADDED or
-# refactor-touched this round (round-3 waves 2, 3, and 4), so each has a
-# driver row from the round its current algorithm shipped in.  The final
-# block re-verifies already-valid r2-green entries with whatever window
-# slots remain.  Names absent from the registry are ignored (a pytest
-# guards against typos); everything else follows in registration order.
-# With 143 queries the window rotates across rounds: round 4 should
-# front-load the ~90 entries still riding r1/r2 rows, oldest first
-# (check CORRECTNESS_r03.json for which 50 got fresh rows here).
+# order.  The rotation ledger: rounds 1-3 each produced a 50/50-green
+# CORRECTNESS_r0N.json (0 failures ever recorded); with 143 registered
+# queries the window must rotate, and the invariant we maintain is
+# (a) no entry's newest row predates its current algorithm, and
+# (b) rows age oldest-first — after this round every entry has an r3/r4
+# row except five one-expression wrappers carrying r1 rows that lead
+# round 5.  Names absent from the registry are ignored (a pytest guards
+# against typos); everything else follows in registration order.
 # Every registry entry, windowed or not, is additionally parity-checked
-# in-repo at sf0.001 (tests/test_oracle_parity.py) and was driven
-# against its oracle at the driver's own sf0.01 this round (0 mismatches
-# across all 143).
+# in-repo against its DuckDB oracle at sf0.001 (tests/test_oracle_parity.py).
 _FRONT: tuple[str, ...] = (
-    # Stale: algorithms changed after their round-1 green rows
-    # (64-bit simhash, PPJoin prefix filter, multi-probe IVF).
-    "dedup_simhash",
-    "dedup_ngram_jaccard",
+    # -- Round-4 window (first 50): every entry whose newest driver row
+    # would otherwise predate its current code, then the round-1-row
+    # relational/TPC-H/window/scalar core (oldest rows in the ledger).
+    # 1-2: the two genuinely stale entries round 3 flagged (minhash
+    #      pipeline refactored r3 after dedup_minhash_lsh's r1 row;
+    #      kmeans internals refactored late r3 after its r2 row).
+    # 3-8: defaults flipped to scale-safe settings THIS round —
+    #      num_centroids="auto" (embedding cosine + the three kNN-graph
+    #      queries sharing knn_edges_ivf), k="auto" (semantic dedup +
+    #      kmeans), minimal-lossless 5-band simhash — so each needs a
+    #      fresh row for the new default configuration.
+    # 9-10: hot path touched this round (vectorized Misra-Gries
+    #      candidate pass; ngram-jaccard shuffle-scratch guard).
+    # 11-50: the remaining round-1-row queries in CORRECTNESS_r01
+    #      order, except five one-expression wrappers (grep,
+    #      line_count, kv_swap, scalar_functions, date_functions)
+    #      postponed to lead round 5: the window holds 50 and those
+    #      five are the thinnest, pytest-parity-covered entries.
+    # Tail: the five postponed, then round-2-row queries oldest first;
+    #      r3-fresh untouched entries follow in registration order.
+    "dedup_minhash_lsh",
+    "kmeans_embeddings",
     "dedup_embedding_cosine",
-    # Never driver-checked (beyond the window in rounds 1-2).
-    "dedup_incremental",
-    "join_full_outer",
-    "mm_resize_images",
-    "source_mix_weights",
-    "token_length_histogram",
-    "q19_disjunctive_revenue",
-    "q22_dormant_customers",
-    # Changed this round: connected-components convergence folded into the
-    # label aggregate (one job per iteration).
-    "dedup_clusters",
-    # New this round — BM25 retrieval + weighted training-order interleave.
-    "bm25_search",
-    "training_interleave",
-    # New this round — governance, chunk dedup, bigram LM, hyperplane LSH,
-    # heavy hitters, profiling, anomaly detection, graph centrality.
-    "pii_scan_redact",
-    "cdc_chunk_dedup",
-    "bigram_lm_top",
-    "ann_hyperplane_topk",
-    "heavy_hitters",
-    "data_profile",
-    "event_anomaly_zscore",
+    "dedup_semantic",
+    "dedup_simhash",
     "pagerank_knn",
-    "dedup_keep_best",
-    "scd2_intervals",
-    "running_zscore",
-    "grouped_regression",
-    "corr_matrix",
-    "table_checksums",
-    # Refactor-touched this round (IVF centroid filter now goes through
-    # resolve_centroid_filter): their earlier green rows predate the code
-    # they'd verify, so they must land inside the 50-query window.
-    "ann_ivf_topk",
-    "ann_ivf_recall",
-    "stream_running_zscore",
-    # New this round — warehouse analytics tier (plans/analytics_queries.py):
-    # basket lift, EWMA, median+MAD, decile calibration, PMI, entropy.
-    "market_basket_lift",
-    "ewma_user_values",
-    "mad_robust_stats",
-    "quality_calibration_deciles",
-    "token_pmi_bigrams",
-    "source_token_entropy",
-    # New this round — graph tier rounded out: triangle closure + degree
-    # distribution over the same oracle-shared kNN edge derivation.
     "knn_triangle_census",
     "knn_degree_hist",
-    # New this round — RFM segmentation, revenue trend, Zipf fit,
-    # inter-source contamination matrix, equi-depth histogram.
-    "customer_rfm",
-    "orders_mom_growth",
-    "token_zipf_fit",
-    "cross_source_shingle_overlap",
-    "equidepth_histogram",
-    "attribution_last_touch",
-    "skyline_price_size",
-    "event_transition_matrix",
-    "ann_lsh_recall",
-    # New + refactor-touched late round 3: SemDeDup, and kmeans whose
-    # assignment internals now carry the centroid cosine it consumes.
-    "dedup_semantic",
-    "dedup_incremental_minhash",
-    "chunk_sliding_windows",
-    # kmeans internals were refactored late in round 3 but its OUTPUT is
-    # unchanged (parity-verified), so its valid r2 row outranks nothing —
-    # it re-verifies only if the window reaches it.
-    "kmeans_embeddings",
-    # Re-verification of the heaviest / most algorithmically dense tier —
-    # all r2-green; fills the window in descending value of a fresh row.
+    "heavy_hitters",
+    "dedup_ngram_jaccard",
+    "word_count",
+    "inverted_index",
+    "maple_juice_word_count",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "join_inner_enrich",
+    "join_left_null_extension",
+    "join_semi",
+    "join_anti",
+    "join_broadcast_dim",
+    "agg_distinct",
+    "agg_rollup",
+    "agg_cube",
+    "topk_orders",
+    "set_operations",
+    "window_rank_top3",
+    "window_lag_gap",
+    "window_running_sum",
+    "json_extract_props",
+    "asof_join_last_signup",
+    "range_join_value_buckets",
+    "q6_forecast_revenue",
+    "agg_grouping_sets",
+    "agg_percentiles",
+    "window_frames",
+    "array_functions",
+    "correlated_above_brand_avg",
+    "null_semantics",
+    "pivot_status_by_priority",
+    "unpivot_quality_metrics",
+    "q10_returned_item_revenue",
+    "q12_late_shipments",
+    "funnel_conversion",
+    "cohort_retention",
+    "q14_promo_revenue_share",
+    "q18_large_orders",
+    "agg_variance_stats",
+    "error_context_window",
+    "dedup_exact",
+    "grep",
+    "line_count",
+    "kv_swap",
+    "scalar_functions",
+    "date_functions",
     "dedup_edit_distance",
-    "dedup_span_exact",
     "events_gap_fill",
     "q2_min_cost_supplier",
     "q11_important_stock",
     "q16_parts_supplier_diversity",
     "q20_concentrated_suppliers",
+    "dedup_span_exact",
     "text_unigram_logprob",
     "curation_funnel_report",
     "agg_approx_distinct",
@@ -142,10 +135,7 @@ _FRONT: tuple[str, ...] = (
     "agg_approx_percentile",
     "window_distribution",
     "ann_bruteforce_topk",
-    "ann_ivf_topk",
     "ann_filtered_topk",
-    "kmeans_embeddings",
-    "ann_ivf_recall",
     "text_token_stats",
     "text_quality_scores",
     "text_fingerprints",

@@ -179,7 +179,14 @@ def ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # -- k-means clustering -----------------------------------------------------
-KMEANS_K, KMEANS_ITERS, EMB_DIM = 8, 2, 64
+# k="auto" (max(16, n/125) seed centroids from an in-plan corpus count,
+# operators/similarity.py::resolve_centroid_filter) is the shipped
+# default: cluster count scales with the corpus, so the per-cluster pair
+# work downstream consumers do (semantic dedup) stays bounded — the
+# fixed-k (n/k)² cliff SCALING.md measured.  The oracle computes the
+# identical cutoff with a DuckDB scalar subquery.
+KMEANS_K: int | str = "auto"
+KMEANS_ITERS, EMB_DIM = 2, 64
 
 
 def kmeans_cte_chain(with_cos: bool = False) -> str:
@@ -191,7 +198,9 @@ def kmeans_cte_chain(with_cos: bool = False) -> str:
     ``ccos`` (cosine to the assigned centroid) only when ``with_cos``,
     for consumers ranking within clusters (semantic dedup)."""
     from mapreduceproject_spark.functions.vectors import QUANT_SCALE
+    from mapreduceproject_spark.operators.similarity import duck_auto_centroid_cut
 
+    kcut = duck_auto_centroid_cut("qv") if KMEANS_K == "auto" else KMEANS_K
     parts = [
         f"""qv AS (
       SELECT vec_id AS id,
@@ -199,7 +208,7 @@ def kmeans_cte_chain(with_cos: bool = False) -> str:
       FROM embeddings
     ),
     c0 AS (
-      SELECT id AS cid, q AS cq FROM qv WHERE id < {KMEANS_K}
+      SELECT id AS cid, q AS cq FROM qv WHERE id < {kcut}
     )"""
     ]
     for i in range(KMEANS_ITERS + 1):
@@ -241,11 +250,12 @@ def _kmeans_oracle() -> str:
 
 @query("kmeans_embeddings", oracle=_kmeans_oracle())
 def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic k-means over the embeddings ({KMEANS_K} clusters,
-    {KMEANS_ITERS} Lloyd iterations, quantized-integer arithmetic) — the
-    iterative-ML operator; per-iteration data motion is one k x dim
-    centroid broadcast plus one partial+final aggregate, the corpus never
-    moves (operators/clustering.py)."""
+    """Deterministic k-means over the embeddings (k="auto" =
+    max(16, n/125) corpus-scaled clusters, {KMEANS_ITERS} Lloyd
+    iterations, quantized-integer arithmetic) — the iterative-ML
+    operator; per-iteration data motion is one k x dim centroid
+    broadcast plus one partial+final aggregate, the corpus never moves
+    (operators/clustering.py)."""
     from mapreduceproject_spark.operators.clustering import kmeans_quantized
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -442,8 +452,11 @@ def _knn_edges_ctes(k: int) -> str:
     cell assignment (max quantized cosine, lowest-cid ties), within-cell
     pairs, top-k by (cosine DESC, dst).  Shared verbatim by the PageRank,
     triangle-census and degree-histogram oracles so the graph they verify
-    is provably the same one."""
-    return f"""c AS (SELECT id AS cid, q AS cq FROM v WHERE id < {IVF_CENTROIDS}),
+    is provably the same one.  Centroid count is the corpus-scaled "auto"
+    cutoff (max(16, n/125)) matching the Spark queries' default."""
+    from mapreduceproject_spark.operators.similarity import duck_auto_centroid_cut
+
+    return f"""c AS (SELECT id AS cid, q AS cq FROM v WHERE id < {duck_auto_centroid_cut("v")}),
     cor AS (
       SELECT v.id, v.q, c.cid, {duck_quantized_cosine("v.q", "c.cq")} AS ccos
       FROM v, c
@@ -509,7 +522,7 @@ def pagerank_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     edges = knn_edges_ivf(
-        emb, "vec_id", "embedding", num_centroids=IVF_CENTROIDS, k=PR_K
+        emb, "vec_id", "embedding", num_centroids="auto", k=PR_K
     )
     return pagerank(emb, edges, "vec_id", iterations=PR_ITERS, damping=PR_DAMP)
 
@@ -563,7 +576,7 @@ def knn_triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     edges = knn_edges_ivf(
-        emb, "vec_id", "embedding", num_centroids=IVF_CENTROIDS, k=PR_K
+        emb, "vec_id", "embedding", num_centroids="auto", k=PR_K
     )
     return triangle_census(edges)
 
@@ -588,6 +601,6 @@ def knn_degree_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     edges = knn_edges_ivf(
-        emb, "vec_id", "embedding", num_centroids=IVF_CENTROIDS, k=PR_K
+        emb, "vec_id", "embedding", num_centroids="auto", k=PR_K
     )
     return degree_histogram(edges)

@@ -276,21 +276,30 @@ def main() -> None:
 
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     timings = {}
-    tier = [n for n in TIER if REPLICAS <= 10 or n not in FIXED_KNOB_CLIFFS]
     only = os.environ.get("SPARK_GRAFT_SCALE_ONLY")
-    if only is not None:
-        # comma-list of query names, or "checks" to run only the
-        # skew/knob checks — lets a big-R run be chunked across
-        # invocations against the same prebuilt fixture (--run-only)
-        wanted = {n.strip() for n in only.split(",") if n.strip()}
-        tier = [n for n in tier if n in wanted]
-    skipped = [n for n in TIER if n not in tier]
-    if skipped:
-        print(
-            f"# skipping fixed-knob cliff queries at {REPLICAS}x "
-            f"(scaled-knob checks run instead): {skipped}",
-            file=sys.stderr,
-        )
+    # comma-list of query names, or "checks" to run only the skew/knob
+    # checks — lets a big-R run be chunked across invocations against the
+    # same prebuilt fixture (--run-only)
+    wanted = (
+        {n.strip() for n in only.split(",") if n.strip()}
+        if only is not None
+        else None
+    )
+    cliff_skipped = [
+        n for n in TIER if REPLICAS > 10 and n in FIXED_KNOB_CLIFFS
+    ]
+    if wanted is not None:
+        # an explicit selection overrides the cliff skip: naming a cliff
+        # query re-runs it even at >10x
+        tier = [n for n in TIER if n in wanted]
+    else:
+        tier = [n for n in TIER if n not in cliff_skipped]
+        if cliff_skipped:
+            print(
+                f"# skipping fixed-knob cliff queries at {REPLICAS}x "
+                f"(scaled-knob checks run instead): {cliff_skipped}",
+                file=sys.stderr,
+            )
     for name in tier:
         t0 = time.perf_counter()
         plans.QUERIES[name](spark, OUT_DIR).write.format("noop").mode(
@@ -306,13 +315,15 @@ def main() -> None:
         "queries": timings,
         "total": round(sum(timings.values()), 2),
     }
-    if only is None or "checks" in only:
+    if wanted is None or "checks" in wanted:
         out["aqe_skew_split_fired"] = skew_split_check(spark)
         out["ivf_centroids_scaled"] = ivf_centroid_scaling_check(spark)
         spark.catalog.clearCache()
         out["pagerank_centroids_scaled"] = pagerank_centroid_scaling_check(spark)
         spark.catalog.clearCache()
         out["semantic_k_scaled"] = semantic_k_scaling_check(spark)
+        spark.catalog.clearCache()
+        out["simhash_band_scaled"] = simhash_band_scaling_check(spark)
     print(json.dumps(out))
     spark.stop()
 

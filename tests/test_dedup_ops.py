@@ -291,6 +291,56 @@ def test_star_cc_converges_where_diameter_bound_fails(spark):
     )
 
 
+def test_ngram_estimate_mode_matches_exact_pairs(spark, sf_dir):
+    """The MinHash-candidate fallback (the scratch-guard mode) must find
+    the SAME near-dup pair set as exact PPJoin candidates — the verify is
+    the same exact array-intersect in both modes, so only a width-1-band
+    candidate miss (p ≈ (1-J)^24 ≈ 5e-9 per true pair) could differ."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    kw = dict(
+        block_cols=["lang"], length_col="n_chars", n=3, length_band=8,
+        threshold=0.55,
+    )
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in dd.ngram_jaccard_dedup(
+            docs, "doc_id", "text", scratch_policy="exact", **kw
+        ).collect()
+    }
+    est = {
+        (r["id_a"], r["id_b"])
+        for r in dd.ngram_jaccard_dedup(
+            docs, "doc_id", "text", scratch_policy="estimate", **kw
+        ).collect()
+    }
+    assert exact and est == exact
+
+
+def test_ngram_scratch_policy_resolution():
+    """Pure decision function: explicit policies pass through; auto
+    switches to estimate exactly when need > headroom * free."""
+    import pytest
+
+    assert dd._ngram_scratch_mode("exact", 10**15, 1, 0.5) == "exact"
+    assert dd._ngram_scratch_mode("estimate", 0, 10**15, 0.5) == "estimate"
+    assert dd._ngram_scratch_mode("auto", 49, 100, 0.5) == "exact"
+    assert dd._ngram_scratch_mode("auto", 51, 100, 0.5) == "estimate"
+    with pytest.raises(ValueError):
+        dd._ngram_scratch_mode("yolo", 0, 0)
+
+
+def test_star_cc_raises_when_max_iter_exhausted(spark):
+    """Exhausting max_iter before the star fixpoint must raise, never
+    silently extract wrong labels from a non-contracted graph (the
+    exact-labels contract in the docstring)."""
+    import pytest
+
+    pairs = [(i, i + 1) for i in range(119)]
+    edges = spark.createDataFrame(pairs, ["id_a", "id_b"])
+    with pytest.raises(RuntimeError, match="star fixpoint"):
+        dd.connected_components_star(edges, max_iter=1)
+
+
 def test_duplicate_clusters_star_backend_matches_default(spark, sf_dir):
     """The star backend must be a drop-in: identical (doc_id, cluster_id)
     assignments on the fixture's real minhash near-dup graph."""

@@ -149,6 +149,48 @@ def test_heavy_hitters_exact_on_skewed_stream(spark):
     assert abs(out["hot"]["freq"] - 0.3) < 1e-12
 
 
+def test_misra_gries_vectorized_matches_reference_loop():
+    """The vectorized candidate pass (one np.partition order statistic
+    per over-capacity merge) must yield the IDENTICAL survivor set as the
+    textbook subtract-the-minimum loop, on randomized weighted streams —
+    pins the round-4 vectorization as a pure throughput change."""
+    import random
+
+    import pandas as pd
+
+    from mapreduceproject_spark.operators.frequency import _misra_gries_partition
+
+    def reference(capacity, col, batches):
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for tok, cnt in pdf[col].value_counts().items():
+                counters[tok] = counters.get(tok, 0) + int(cnt)
+            while len(counters) > capacity:
+                d = min(counters.values())
+                counters = {k: v - d for k, v in counters.items() if v > d}
+        return set(counters)
+
+    rnd = random.Random(7)
+    for trial in range(60):
+        cap = rnd.choice([1, 2, 3, 5, 8])
+        batches = [
+            pd.DataFrame(
+                {
+                    "t": [
+                        f"w{rnd.randint(0, rnd.choice([3, 10, 50]))}"
+                        for _ in range(rnd.randint(0, 200))
+                    ]
+                }
+            )
+            for _ in range(rnd.randint(1, 4))
+        ]
+        want = reference(cap, "t", [b.copy() for b in batches])
+        got = set(
+            next(_misra_gries_partition(cap, "t")(iter(batches)))["t"]
+        )
+        assert got == want, (trial, cap, sorted(want), sorted(got))
+
+
 def test_pagerank_hand_graph(spark):
     """Star graph a->c, b->c, c->a: c collects the most mass; total mass
     stays <= 1 (dangling leak documented) and every node keeps the
