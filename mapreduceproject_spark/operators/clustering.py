@@ -21,12 +21,40 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from mapreduceproject_spark.functions.vectors import QUANT_SCALE, quantize, quantized_cosine
+from mapreduceproject_spark.functions.vectors import (
+    QUANT_SCALE,
+    quantize,
+    quantized_cosine,
+    quantized_norm2,
+)
 
 
-def _assign(qvecs: DataFrame, centroids: DataFrame) -> DataFrame:
+def _assign(qvecs: DataFrame, centroids: DataFrame, assign: str = "brute") -> DataFrame:
     """(id, q, cluster_id, ccos): nearest centroid by quantized cosine,
-    carrying the winning cosine (consumers that don't need it drop it)."""
+    carrying the winning cosine (consumers that don't need it drop it).
+
+    ``assign="twolevel"`` routes through coarse quantization
+    (operators/similarity.py::assign_cells) — identical arithmetic
+    (prequantized cosine is bit-equal to quantized_cosine), approximate
+    only in which centroids get scored; the n·k fix for corpus-scaled k.
+    """
+    if assign == "twolevel":
+        from mapreduceproject_spark.operators.similarity import assign_cells
+
+        vecs = qvecs.select(
+            "id",
+            F.col("q").alias("_q"),
+            quantized_norm2(F.col("q")).alias("_n2"),
+        )
+        cents = centroids.select(
+            "cid", quantize(F.col("cvec")).alias("cq")
+        ).withColumn("cn2", quantized_norm2(F.col("cq")))
+        return assign_cells(vecs, cents, "id", nprobe=1, assign="twolevel").select(
+            "id",
+            F.col("_q").alias("q"),
+            F.col("cid").alias("cluster_id"),
+            F.col("cos").alias("ccos"),
+        )
     scored = qvecs.crossJoin(F.broadcast(centroids)).select(
         "id",
         "q",
@@ -48,6 +76,7 @@ def kmeans_assignments(
     vec_col: str,
     k: int | str = 8,
     iterations: int = 2,
+    assign: str = "brute",
 ) -> DataFrame:
     """Deterministic k-means, full final assignment: (id, q, cluster_id,
     ccos) after ``iterations`` Lloyd updates.  ``q`` is the quantized
@@ -81,7 +110,7 @@ def kmeans_assignments(
     )
 
     for _ in range(iterations):
-        assigned = _assign(qvecs, centroids)
+        assigned = _assign(qvecs, centroids, assign)
         # per-dimension exact-integer means -> new double centroids; the
         # k*dim result is driver-collected and re-broadcast as literals
         # (plan stays flat across iterations, like MLlib's implementation)
@@ -110,7 +139,7 @@ def kmeans_assignments(
             "cid long, cvec array<double>",
         )
 
-    return _assign(qvecs, centroids)
+    return _assign(qvecs, centroids, assign)
 
 
 def kmeans_quantized(
@@ -120,8 +149,9 @@ def kmeans_quantized(
     vec_col: str,
     k: int | str = 8,
     iterations: int = 2,
+    assign: str = "brute",
 ) -> DataFrame:
     """Deterministic k-means; returns (vec_id, cluster_id) after
     ``iterations`` Lloyd updates + one final assignment."""
-    final = kmeans_assignments(spark, vectors, id_col, vec_col, k, iterations)
+    final = kmeans_assignments(spark, vectors, id_col, vec_col, k, iterations, assign)
     return final.select(F.col("id").alias("vec_id"), "cluster_id")

@@ -822,6 +822,7 @@ def embedding_near_dup(
     num_centroids: int | str = 16,
     threshold: float = 0.4,
     nprobe: int = 2,
+    assign: str = "brute",
 ) -> DataFrame:
     """Cosine near-dup pairs within IVF cells, multi-probe.
 
@@ -861,22 +862,13 @@ def embedding_near_dup(
             F.col("_n2").alias("cn2"),
         )
     )
-    from pyspark.sql import Window
+    from mapreduceproject_spark.operators.similarity import assign_cells
 
-    scored = base.crossJoin(cents).select(
-        "_id",
-        "_q",
-        "_n2",
-        "cid",
-        prequantized_cosine(
-            F.col("_q"), F.col("cq"), F.col("_n2"), F.col("cn2")
-        ).alias("cos"),
-    )
-    w = Window.partitionBy("_id").orderBy(F.desc("cos"), F.asc("cid"))
-    # one ranking pass feeds both the index and the probe sides
+    # one ranking pass feeds both the index and the probe sides;
+    # assign="twolevel" swaps the n·C brute scoring for faiss-style
+    # coarse quantization (the measured second-order knob, SCALING.md)
     assigned = (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= nprobe)
+        assign_cells(base, cents, "_id", nprobe=nprobe, assign=assign)
         .select("_id", "_q", "_n2", "cid", "rn")
         .persist()
     )
@@ -1075,6 +1067,7 @@ def semantic_dedup(
     k: int | str = 8,
     iterations: int = 2,
     threshold: float = 0.5,
+    assign: str = "brute",
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): cluster embeddings with k-means, then
     prune near-duplicates *within* each cluster by pairwise cosine.
@@ -1102,7 +1095,7 @@ def semantic_dedup(
     from pyspark.sql import Window
 
     assigned = (
-        kmeans_assignments(spark, vectors, id_col, vec_col, k, iterations)
+        kmeans_assignments(spark, vectors, id_col, vec_col, k, iterations, assign)
         .withColumn("_n2", quantized_norm2(F.col("q")))
     )
     w = Window.partitionBy("cluster_id").orderBy(F.asc("ccos"), F.asc("id"))

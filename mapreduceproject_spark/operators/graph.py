@@ -41,15 +41,19 @@ def knn_edges_ivf(
     vec_col: str,
     num_centroids: int | str = 16,
     k: int = 4,
+    assign: str = "brute",
 ) -> DataFrame:
     """(src, dst) top-k cosine edges among same-IVF-cell vectors.
 
     Cell assignment matches ann_ivf_topk exactly: centroids are the
     vectors with id < num_centroids, cells by max quantized cosine
-    (ties: lowest centroid id).
+    (ties: lowest centroid id).  ``assign="twolevel"`` routes assignment
+    through coarse quantization (operators/similarity.py::assign_cells)
+    — the n·C scoring fix for corpus-scaled centroid counts.
     """
     from mapreduceproject_spark.operators.similarity import (
         _quantized_side,
+        assign_cells,
         resolve_centroid_filter,
     )
 
@@ -60,13 +64,8 @@ def knn_edges_ivf(
             F.col("id").alias("cid"), F.col("_q").alias("cq"), F.col("_n2").alias("cn2")
         )
     )
-    ccos = prequantized_cosine(F.col("_q"), F.col("cq"), F.col("_n2"), F.col("cn2"))
-    wc = Window.partitionBy("id").orderBy(F.desc("ccos"), F.asc("cid"))
     cells = (
-        cq.crossJoin(centroids)
-        .select("id", "_q", "_n2", "cid", ccos.alias("ccos"))
-        .withColumn("rn", F.row_number().over(wc))
-        .filter(F.col("rn") == 1)
+        assign_cells(cq, centroids, "id", nprobe=1, assign=assign)
         .select("id", "_q", "_n2", "cid")
         .persist()  # feeds BOTH sides of the pair self-join — without the
         # barrier the whole assignment pipeline runs twice
@@ -104,6 +103,7 @@ def pagerank(
     damping: float = DAMPING,
     checkpoint_dir: str | None = None,
     ckpt_every: int = 3,
+    redistribute_dangling: bool = False,
 ) -> DataFrame:
     """Fixed-iteration PageRank in exact fixed-point arithmetic:
     p0 = SCALE/N (floor), then
@@ -118,6 +118,15 @@ def pagerank(
     N is kept in-plan (broadcast 1-row count); per iteration: one join
     edges→scores on src (shuffle on src, reusable), one groupBy dst.
     Output: (id_col, pr as double = p_int/SCALE) for every node.
+
+    ``redistribute_dangling=False`` (default) deliberately LEAKS the
+    mass of nodes with no out-edges — the recurrence the registered
+    oracle replicates, documented in plans/similarity_queries.py.
+    ``True`` adds the standard correction: each iteration aggregates the
+    dangling nodes' current mass D (one extra broadcast 1-row aggregate)
+    and every node additionally receives floor(d·D/(100·N)) — total mass
+    then stays ~SCALE (up to floor truncation) like textbook PageRank.
+    Off by default so existing oracle rows stay bit-identical.
 
     Every ``ckpt_every``-th iteration's score table is checkpointed
     (local+lazy by default, durable when ``checkpoint_dir`` is given —
@@ -155,18 +164,41 @@ def pagerank(
             .groupBy("_v")
             .agg(F.sum("c").cast("long").alias("inflow"))
         )
-        ranked = (
-            ranked.select("_v", "_n")
-            .join(contrib, "_v", "left")
-            .select(
-                "_v",
-                "_n",
-                (
-                    F.expr(f"({100 - d_num}L * {PR_SCALE}L) div (100L * _n)")
-                    + F.coalesce(F.col("inflow"), F.lit(0).cast("long"))
-                ).alias("p"),
+        base_p = F.expr(
+            f"({100 - d_num}L * {PR_SCALE}L) div (100L * _n)"
+        ) + F.coalesce(F.col("inflow"), F.lit(0).cast("long"))
+        if redistribute_dangling:
+            # dangling mass of the CURRENT scores, shared back uniformly:
+            # one broadcast 1-row aggregate per iteration, integer floor
+            dang = F.broadcast(
+                ranked.join(
+                    outdeg.select(F.col("src").alias("_v"), "_deg"),
+                    "_v",
+                    "left",
+                )
+                .filter(F.col("_deg").isNull())
+                .agg(
+                    F.coalesce(F.sum("p"), F.lit(0)).cast("long").alias("_dm")
+                )
             )
-        )
+            ranked = (
+                ranked.select("_v", "_n")
+                .join(contrib, "_v", "left")
+                .crossJoin(dang)
+                .select(
+                    "_v",
+                    "_n",
+                    (
+                        base_p + F.expr(f"({d_num}L * _dm) div (100L * _n)")
+                    ).alias("p"),
+                )
+            )
+        else:
+            ranked = (
+                ranked.select("_v", "_n")
+                .join(contrib, "_v", "left")
+                .select("_v", "_n", base_p.alias("p"))
+            )
         if (it + 1) % ckpt_every == 0:
             ranked = ckpt(ranked)
     return ranked.select(

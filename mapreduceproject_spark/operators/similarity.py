@@ -76,6 +76,108 @@ def resolve_centroid_filter(base: DataFrame, id_expr, num_centroids):
     return lambda df: df.filter(id_expr < F.lit(int(num_centroids)))
 
 
+def assign_cells(
+    vecs: DataFrame,
+    centroids: DataFrame,
+    id_name: str,
+    nprobe: int = 1,
+    assign: str = "brute",
+    coarse_nprobe: int = 4,
+) -> DataFrame:
+    """Top-``nprobe`` IVF cells per vector: (id_name, _q, _n2, cid, cos,
+    rn), rn=1 the primary cell; ties → lowest cid at every level.
+
+    ``assign="brute"`` scores every (vector, centroid) pair — n·C dots.
+    With C ∝ n (the "auto" policy) that term is the measured second-order
+    quadratic at the 100× fixture (SCALING.md): 272–542 s at C=1600.
+    ``assign="twolevel"`` is the textbook fix production IVF/k-means
+    builds use (faiss-style coarse quantization): pick ~√C of the
+    centroids as COARSE seeds (in-plan count → ceil(√C) cutoff; centroid
+    ids are assumed contiguous from 0, same as the seeding contract),
+    route each fine centroid to its nearest coarse seed, route each
+    vector to its top-``coarse_nprobe`` coarse seeds, and score only the
+    fine centroids inside those coarse cells — n·(√C + coarse_nprobe·√C)
+    expected dots, all joins broadcast (centroid tables are tiny).
+
+    Exactness: with ``coarse_nprobe`` >= the coarse seed count the
+    candidate set is every centroid and the result is IDENTICAL to brute
+    (pytest-pinned); at the default it is the standard IVF approximation
+    — a vector whose true cell hides in an unprobed coarse cell can be
+    routed to its second-best cell.
+    """
+    cb = F.broadcast(centroids)
+    if assign == "brute":
+        scored = vecs.crossJoin(cb).select(
+            id_name,
+            "_q",
+            "_n2",
+            "cid",
+            prequantized_cosine(
+                F.col("_q"), F.col("cq"), F.col("_n2"), F.col("cn2")
+            ).alias("cos"),
+        )
+        w = Window.partitionBy(id_name).orderBy(F.desc("cos"), F.asc("cid"))
+        return (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= nprobe)
+            .select(id_name, "_q", "_n2", "cid", "cos", "rn")
+        )
+    if assign != "twolevel":
+        raise ValueError(f"assign must be brute|twolevel, got {assign!r}")
+    cut = F.broadcast(
+        centroids.agg(
+            F.ceil(F.sqrt(F.count("*"))).cast("long").alias("_gcut")
+        )
+    )
+    # coarse seeds = the first ceil(√C) centroids by cid RANK (not raw id
+    # value — k-means cluster ids can have gaps when clusters vanish);
+    # the single-partition window is over the tiny centroid table only
+    wseed = Window.orderBy(F.asc("cid"))
+    coarse = F.broadcast(
+        centroids.withColumn("_pos", F.row_number().over(wseed))
+        .crossJoin(cut)
+        .filter(F.col("_pos") <= F.col("_gcut"))
+        .select(
+            F.col("cid").alias("gid"),
+            F.col("cq").alias("gq"),
+            F.col("cn2").alias("gn2"),
+        )
+    )
+    gcos = prequantized_cosine(F.col("cq"), F.col("gq"), F.col("cn2"), F.col("gn2"))
+    wf = Window.partitionBy("cid").orderBy(F.desc("_gcos"), F.asc("gid"))
+    fine_routed = F.broadcast(
+        centroids.crossJoin(coarse)
+        .select("cid", "cq", "cn2", "gid", gcos.alias("_gcos"))
+        .withColumn("_rn", F.row_number().over(wf))
+        .filter(F.col("_rn") == 1)
+        .select("gid", "cid", "cq", "cn2")
+    )
+    vcos = prequantized_cosine(F.col("_q"), F.col("gq"), F.col("_n2"), F.col("gn2"))
+    wv = Window.partitionBy(id_name).orderBy(F.desc("_vcos"), F.asc("gid"))
+    vec_routed = (
+        vecs.crossJoin(coarse)
+        .select(id_name, "_q", "_n2", "gid", vcos.alias("_vcos"))
+        .withColumn("_rn", F.row_number().over(wv))
+        .filter(F.col("_rn") <= coarse_nprobe)
+        .select(id_name, "_q", "_n2", "gid")
+    )
+    scored = vec_routed.join(fine_routed, "gid").select(
+        id_name,
+        "_q",
+        "_n2",
+        "cid",
+        prequantized_cosine(
+            F.col("_q"), F.col("cq"), F.col("_n2"), F.col("cn2")
+        ).alias("cos"),
+    )
+    w = Window.partitionBy(id_name).orderBy(F.desc("cos"), F.asc("cid"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= nprobe)
+        .select(id_name, "_q", "_n2", "cid", "cos", "rn")
+    )
+
+
 # -- random-hyperplane LSH (cosine sketch) ----------------------------------
 # Integer hyperplane coefficients from an LCG over (plane, dim) so the
 # DuckDB oracle regenerates the identical planes: exact integer dot
@@ -276,6 +378,7 @@ def ivf_topk(
     num_centroids: int | str = 16,
     nprobe: int = 4,
     k: int = 5,
+    assign: str = "brute",
 ) -> DataFrame:
     """IVF-bucketed approximate top-k: probe the ``nprobe`` max-cosine cells.
 
@@ -284,6 +387,9 @@ def ivf_topk(
     Corpus→cell is one broadcast pass; query→probe list likewise; the
     candidate join shuffles on the cell id, sized ~nprobe/C of brute
     force.  All scoring runs on once-quantized vectors.
+    ``assign="twolevel"`` routes the CORPUS-side cell assignment through
+    coarse quantization (:func:`assign_cells`) — the n·C fix when C is
+    corpus-scaled; the query side stays brute (queries are few).
     """
     cq = _quantized_side(corpus, id_col, vec_col, "neighbor_id")
     pick = resolve_centroid_filter(cq, F.col("neighbor_id"), num_centroids)
@@ -295,14 +401,8 @@ def ivf_topk(
         )
     )
 
-    ccos = prequantized_cosine(F.col("_q"), F.col("cq"), F.col("_n2"), F.col("cn2"))
-    wc = Window.partitionBy("neighbor_id").orderBy(F.desc("ccos"), F.asc("cid"))
-    cells = (
-        cq.crossJoin(centroids)
-        .select("neighbor_id", "_q", "_n2", "cid", ccos.alias("ccos"))
-        .withColumn("rn", F.row_number().over(wc))
-        .filter(F.col("rn") == 1)
-        .select("neighbor_id", "_q", "_n2", "cid")
+    cells = assign_cells(cq, centroids, "neighbor_id", nprobe=1, assign=assign).select(
+        "neighbor_id", "_q", "_n2", "cid"
     )
 
     qq = F.broadcast(

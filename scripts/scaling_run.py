@@ -201,7 +201,26 @@ def ivf_centroid_scaling_check(spark) -> dict:
     embedding_near_dup(
         emb, "vec_id", "embedding", num_centroids=16 * REPLICAS, threshold=0.4, nprobe=2
     ).write.format("noop").mode("overwrite").save()
-    return {"c_scaled": 16 * REPLICAS, "sec": round(time.perf_counter() - t0, 2)}
+    brute_sec = round(time.perf_counter() - t0, 2)
+    spark.catalog.clearCache()
+    # the second-order knob: same scaled C, but assignment through coarse
+    # quantization (n·√C instead of n·C dots) — the measured answer to
+    # the 100× finding that assignment becomes the new quadratic
+    t0 = time.perf_counter()
+    embedding_near_dup(
+        emb,
+        "vec_id",
+        "embedding",
+        num_centroids=16 * REPLICAS,
+        threshold=0.4,
+        nprobe=2,
+        assign="twolevel",
+    ).write.format("noop").mode("overwrite").save()
+    return {
+        "c_scaled": 16 * REPLICAS,
+        "sec": brute_sec,
+        "twolevel_sec": round(time.perf_counter() - t0, 2),
+    }
 
 
 def pagerank_centroid_scaling_check(spark) -> dict:
@@ -221,7 +240,21 @@ def pagerank_centroid_scaling_check(spark) -> dict:
     pagerank(emb, edges, "vec_id", iterations=2).write.format("noop").mode(
         "overwrite"
     ).save()
-    return {"c_scaled": 16 * REPLICAS, "sec": round(time.perf_counter() - t0, 2)}
+    brute_sec = round(time.perf_counter() - t0, 2)
+    spark.catalog.clearCache()
+    t0 = time.perf_counter()
+    edges = knn_edges_ivf(
+        emb, "vec_id", "embedding", num_centroids=16 * REPLICAS, k=4,
+        assign="twolevel",
+    )
+    pagerank(emb, edges, "vec_id", iterations=2).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    return {
+        "c_scaled": 16 * REPLICAS,
+        "sec": brute_sec,
+        "twolevel_sec": round(time.perf_counter() - t0, 2),
+    }
 
 
 def semantic_k_scaling_check(spark) -> dict:
@@ -239,7 +272,80 @@ def semantic_k_scaling_check(spark) -> dict:
     semantic_dedup(
         spark, emb, "vec_id", "embedding", k=8 * REPLICAS, iterations=2, threshold=0.4
     ).write.format("noop").mode("overwrite").save()
-    return {"k_scaled": 8 * REPLICAS, "sec": round(time.perf_counter() - t0, 2)}
+    brute_sec = round(time.perf_counter() - t0, 2)
+    spark.catalog.clearCache()
+    t0 = time.perf_counter()
+    semantic_dedup(
+        spark, emb, "vec_id", "embedding", k=8 * REPLICAS, iterations=2,
+        threshold=0.4, assign="twolevel",
+    ).write.format("noop").mode("overwrite").save()
+    return {
+        "k_scaled": 8 * REPLICAS,
+        "sec": brute_sec,
+        "twolevel_sec": round(time.perf_counter() - t0, 2),
+    }
+
+
+def mg_throughput_check(spark) -> dict:
+    """Candidate-pass throughput of the vectorized Misra-Gries summary
+    (operators/frequency.py): tokens/sec over the scaled fixture's token
+    stream, isolated from the verify pass.  Round 3 measured the Python
+    dict loop at ~1M tok/s/core; the np.partition rewrite must clear 3×."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from mapreduceproject_spark.functions.textfn import tokens
+    from mapreduceproject_spark.operators.frequency import _misra_gries_partition
+
+    docs = spark.read.parquet(f"{OUT_DIR}/documents.parquet")
+    stream = docs.select(
+        F.explode(tokens(F.col("text"))).alias("term")
+    ).persist()
+    n_tokens = stream.count()  # also materializes the persist
+    t0 = time.perf_counter()
+    # capacity 101 = int(2/phi)+1 at the registered query's phi=0.02
+    stream.mapInPandas(
+        _misra_gries_partition(101, "term"), schema="term string"
+    ).write.format("noop").mode("overwrite").save()
+    sec = time.perf_counter() - t0
+    stream.unpersist()
+    return {
+        "tokens": n_tokens,
+        "sec": round(sec, 2),
+        "tok_per_sec": int(n_tokens / sec),
+    }
+
+
+def ngram_scratch_check(spark) -> dict:
+    """dedup_ngram_jaccard end-to-end at the scaled fixture under the
+    default scratch policy: 'auto' must pick the MinHash-candidate
+    fallback when the exact path's estimated scratch exceeds free disk
+    (the round-3 100× DNF) and complete."""
+    import io
+    import time
+    from contextlib import redirect_stdout
+
+    from mapreduceproject_spark.operators.dedup import ngram_jaccard_dedup
+
+    docs = spark.read.parquet(f"{OUT_DIR}/documents.parquet")
+    buf = io.StringIO()
+    t0 = time.perf_counter()
+    with redirect_stdout(buf):
+        ngram_jaccard_dedup(
+            docs,
+            "doc_id",
+            "text",
+            block_cols=["lang"],
+            length_col="n_chars",
+            n=3,
+            length_band=8,
+            threshold=0.55,
+        ).write.format("noop").mode("overwrite").save()
+    return {
+        "sec": round(time.perf_counter() - t0, 2),
+        "mode": "estimate" if "switching to MinHash" in buf.getvalue() else "exact",
+    }
 
 
 def simhash_band_scaling_check(spark) -> dict:
@@ -324,6 +430,10 @@ def main() -> None:
         out["semantic_k_scaled"] = semantic_k_scaling_check(spark)
         spark.catalog.clearCache()
         out["simhash_band_scaled"] = simhash_band_scaling_check(spark)
+        spark.catalog.clearCache()
+        out["mg_throughput"] = mg_throughput_check(spark)
+        spark.catalog.clearCache()
+        out["ngram_scratch"] = ngram_scratch_check(spark)
     print(json.dumps(out))
     spark.stop()
 

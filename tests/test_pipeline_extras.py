@@ -191,6 +191,44 @@ def test_misra_gries_vectorized_matches_reference_loop():
         assert got == want, (trial, cap, sorted(want), sorted(got))
 
 
+def test_pagerank_dangling_redistribution_hand_truth(spark):
+    """redistribute_dangling=True must reproduce the hand-computed
+    integer recurrence on a graph with a dangling sink (a->c, b->c; c has
+    no out-edges): every node also receives floor(d*D/(100*N)) of the
+    dangling mass D each iteration, and total mass stays ~SCALE instead
+    of leaking.  Default False must reproduce the leaky recurrence the
+    oracle pins."""
+    from mapreduceproject_spark.operators.graph import PR_SCALE, pagerank
+
+    nodes = spark.createDataFrame([(v,) for v in "abc"], ["id"])
+    edges = spark.createDataFrame([("a", "c"), ("b", "c")], ["src", "dst"])
+
+    def hand(iters, redistribute):
+        p = {v: PR_SCALE // 3 for v in "abc"}
+        for _ in range(iters):
+            inflow = {"c": (85 * p["a"]) // 100 + (85 * p["b"]) // 100}
+            dm = p["c"] if redistribute else 0
+            base = (15 * PR_SCALE) // (100 * 3)
+            bonus = (85 * dm) // (100 * 3)
+            p = {v: base + inflow.get(v, 0) + bonus for v in "abc"}
+        return {v: p[v] / PR_SCALE for v in "abc"}
+
+    for redistribute in (False, True):
+        got = {
+            r["id"]: r["pr"]
+            for r in pagerank(
+                nodes, edges, "id", iterations=2,
+                redistribute_dangling=redistribute,
+            ).collect()
+        }
+        want = hand(2, redistribute)
+        assert got == want, (redistribute, got, want)
+    # conservation: leaky total < 1, redistributed total ~ 1
+    leaky = sum(hand(2, False).values())
+    kept = sum(hand(2, True).values())
+    assert leaky < 0.75 < 0.99 < kept <= 1.0
+
+
 def test_pagerank_hand_graph(spark):
     """Star graph a->c, b->c, c->a: c collects the most mass; total mass
     stays <= 1 (dangling leak documented) and every node keeps the

@@ -211,3 +211,62 @@ def test_simhash_band_extract_matches_python(spark):
                 (full >> starts[b]) & ((1 << widths[b]) - 1) for b in range(nb)
             ]
             assert got[i] == want, f"nb={nb} i={i}"
+
+
+def test_twolevel_assignment_matches_brute_when_exhaustive(spark, sf_dir):
+    """assign="twolevel" with coarse_nprobe >= ceil(sqrt(C)) probes every
+    coarse cell, so its candidate set is every centroid and the ranked
+    assignment must equal brute EXACTLY — the lossless-mode guarantee of
+    the coarse-quantized assignment (operators/similarity.py), and the
+    condition the default coarse_nprobe=4 satisfies for C <= 16."""
+    from pyspark.sql import functions as F
+
+    from mapreduceproject_spark.operators.similarity import (
+        _quantized_side,
+        assign_cells,
+        resolve_centroid_filter,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cq = _quantized_side(emb, "vec_id", "embedding", "id")
+    for c in (16, 64):
+        pick = resolve_centroid_filter(cq, F.col("id"), c)
+        cents = pick(cq).select(
+            F.col("id").alias("cid"),
+            F.col("_q").alias("cq"),
+            F.col("_n2").alias("cn2"),
+        )
+        brute = {
+            (r["id"], r["cid"], r["rn"])
+            for r in assign_cells(cq, cents, "id", nprobe=2, assign="brute").collect()
+        }
+        tl = {
+            (r["id"], r["cid"], r["rn"])
+            for r in assign_cells(
+                cq, cents, "id", nprobe=2, assign="twolevel", coarse_nprobe=8
+            ).collect()
+        }
+        assert tl == brute, f"C={c}: exhaustive twolevel diverged from brute"
+
+
+def test_kmeans_twolevel_assignment_matches_brute_small_n(spark, sf_dir):
+    """kmeans assign="twolevel" at k=16 (coarse = ceil(sqrt(16)) = 4 <=
+    default coarse_nprobe) must return the identical clustering as brute
+    assignment — the small-n equality contract for the corpus-scaled
+    assignment path."""
+    from mapreduceproject_spark.operators.clustering import kmeans_quantized
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    kb = {
+        tuple(r)
+        for r in kmeans_quantized(
+            spark, emb, "vec_id", "embedding", k=16, iterations=2
+        ).collect()
+    }
+    kt = {
+        tuple(r)
+        for r in kmeans_quantized(
+            spark, emb, "vec_id", "embedding", k=16, iterations=2, assign="twolevel"
+        ).collect()
+    }
+    assert kb == kt and kb
