@@ -50,10 +50,14 @@ def _canon_cell(v):
 
 
 def _canon_rows(pdf: pd.DataFrame) -> list[tuple]:
+    # itertuples over the column-sorted frame: same cells as the old
+    # iterrows loop (values pass through object dtype unchanged) at ~10x
+    # the speed — the comparator dominated wall-clock on per-row outputs
+    # (window_running_sum spent 40 s comparing 15k-row frames).
     cols = sorted(pdf.columns)
     return [
-        tuple(_canon_cell(row[c]) for c in cols)
-        for _, row in pdf.iterrows()
+        tuple(_canon_cell(v) for v in row)
+        for row in pdf[cols].itertuples(index=False, name=None)
     ]
 
 
@@ -147,12 +151,17 @@ def _driver_hash(pdf: pd.DataFrame) -> str:
     import hashlib
 
     cols = sorted(pdf.columns)
+    # itertuples, not iterrows: iterrows coerces each row to a common
+    # dtype (ints silently become floats next to a float column), which
+    # only masked cross-engine dtype drift; per-column values are what
+    # the driver hashes.  Both frames hash through this same path, so
+    # the comparison stays internally consistent either way.
     rows = sorted(
         tuple(
             repr(round(v, 6)) if isinstance(v, float) else repr(v)
-            for v in (r[c] for c in cols)
+            for v in row
         )
-        for _, r in pdf.iterrows()
+        for row in pdf[cols].itertuples(index=False, name=None)
     )
     return hashlib.md5(repr(rows).encode()).hexdigest()
 

@@ -435,6 +435,13 @@ def main() -> None:
         spark.catalog.clearCache()
         out["ngram_scratch"] = ngram_scratch_check(spark)
     print(json.dumps(out))
+    # persist the full artifact (same rationale as bench.py: stdout tails
+    # get truncated; the committed file under measurements/ is the record)
+    dest = Path(__file__).resolve().parent.parent / "measurements" / (
+        f"scale_{REPLICAS}x_latest.json"
+    )
+    dest.parent.mkdir(exist_ok=True)
+    dest.write_text(json.dumps(out, indent=1, sort_keys=True) + "\n")
     spark.stop()
 
 
