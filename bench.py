@@ -22,6 +22,11 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+# Passes over the query list; >1 records the per-query MIN (the min-of-N
+# methodology BASELINE.md quotes — single-box timings swing with GC/page
+# cache, and the min is the reproducible number).  The driver's per-round
+# run uses the default single pass.
+RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "1"))
 
 
 def sf_from_dir(sf_dir: str) -> float:
@@ -45,23 +50,26 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     failed: list[str] = []
-    for name in sorted(plans.QUERIES):
-        fn = plans.QUERIES[name]
-        t0 = time.perf_counter()
-        try:
-            fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-        except Exception as e:  # one broken query must not cost the whole artifact
-            failed.append(name)
-            print(f"# bench FAILED {name}: {e!r:.200}", file=sys.stderr)
+    for _run in range(RUNS):
+        for name in sorted(plans.QUERIES):
+            fn = plans.QUERIES[name]
+            t0 = time.perf_counter()
+            try:
+                fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            except Exception as e:  # one broken query must not cost the whole artifact
+                if name not in failed:
+                    failed.append(name)
+                print(f"# bench FAILED {name}: {e!r:.200}", file=sys.stderr)
+                spark.catalog.clearCache()
+                continue
+            t = round(time.perf_counter() - t0, 3)
+            timings[name] = min(timings.get(name, t), t)
+            # Drop this query's persisted frames before the next one: across
+            # 100+ queries the accumulated caches fill storage memory and the
+            # resulting evictions/GC land on RANDOM later queries (observed:
+            # the same query swinging 7.8 s <-> 25 s between runs).  Clearing
+            # outside the timer keeps every query's bill independent.
             spark.catalog.clearCache()
-            continue
-        timings[name] = round(time.perf_counter() - t0, 3)
-        # Drop this query's persisted frames before the next one: across
-        # 100+ queries the accumulated caches fill storage memory and the
-        # resulting evictions/GC land on RANDOM later queries (observed:
-        # the same query swinging 7.8 s <-> 25 s between runs).  Clearing
-        # outside the timer keeps every query's bill independent.
-        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     payload = {
@@ -71,6 +79,7 @@ def main() -> None:
         "queries": timings,
         **({"failed": failed} if failed else {}),
         "sf": sf_from_dir(SF_DIR),
+        "runs": RUNS,
     }
     print(json.dumps(payload))
     # The driver keeps only an output TAIL of this line, which truncated

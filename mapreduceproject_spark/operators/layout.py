@@ -1,0 +1,106 @@
+"""Data-layout optimization: Z-order (Morton) clustering for scan pruning.
+
+At 100 TB the cheapest query is the one that never reads the file: parquet
+min/max footer stats (and Delta/Iceberg file-level stats) prune a scan only
+when each file's value RANGE is tight.  A linear sort is tight on the
+leading key and useless on the second; interleaving the key bits (Morton /
+Z-order) makes every file a small rectangle in (a, b) space, so point and
+range predicates on EITHER column prune.
+
+:func:`zorder_key` builds the interleaved key as a pure-arithmetic column
+(bit tests + shifted adds — whole-stage-codegen-friendly, identical in any
+SQL engine); :func:`layout_extents` is the audit query that PROVES the
+pruning win: bucket the table into ``n_buckets`` files under each layout
+and report the per-file extent sums a min/max-stats pruner would see.
+
+Rewriting the layout costs one global sort (a range-partitioned exchange —
+exactly what ``df.repartitionByRange(...).sortWithinPartitions`` or a
+``CLUSTER BY`` write does on a cluster); that one-time cost is the standard
+trade for every later scan pruning on both keys.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+ZORDER_BITS = 16
+
+
+def zorder_key(a: Column, b: Column, bits: int = ZORDER_BITS) -> Column:
+    """Interleave the low ``bits`` bits of two non-negative integer
+    columns: bit i of ``a`` lands at position 2i, of ``b`` at 2i+1."""
+    al, bl = a.cast("long"), b.cast("long")
+    terms = [
+        F.shiftright(al, i).bitwiseAND(1) * F.lit(1 << (2 * i))
+        + F.shiftright(bl, i).bitwiseAND(1) * F.lit(1 << (2 * i + 1))
+        for i in range(bits)
+    ]
+    return reduce(lambda x, y: x + y, terms).alias("zkey")
+
+
+def duck_zorder(a_expr: str, b_expr: str, bits: int = ZORDER_BITS) -> str:
+    """DuckDB SQL twin of :func:`zorder_key` (same shifted-add form)."""
+    terms = [
+        f"(((CAST({a_expr} AS BIGINT) >> {i}) & 1) * {1 << (2 * i)}"
+        f" + ((CAST({b_expr} AS BIGINT) >> {i}) & 1) * {1 << (2 * i + 1)})"
+        for i in range(bits)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def layout_extents(
+    df: DataFrame,
+    a_col: str,
+    b_col: str,
+    tiebreak: list[str],
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Per-layout pruning audit: split the table into ``n_buckets``
+    equal-size files under (1) a linear sort on (a, b) and (2) a Z-order
+    sort, and sum each file's value extents (max−min+1) per key.
+
+    Output (2 rows): layout, n_buckets, sum_extent_a, sum_extent_b.
+    A pruner answering ``b = const`` touches files whose b-extent covers
+    the constant — the z-order row's far smaller ``sum_extent_b`` at a
+    modestly larger ``sum_extent_a`` is the win, quantified.
+
+    The NTILE bucketing mirrors the file-split a range-partitioned write
+    produces; ties are broken by ``tiebreak`` so the bucket assignment is
+    a total order both engines compute identically.  NTILE here is a
+    deliberately single-partition window — the audit needs exact global
+    bucket boundaries for oracle parity.  The production REWRITE path
+    never does this: ``repartitionByRange(n, "zkey").sortWithinPartitions``
+    gets the same file layout from sampled range boundaries with a fully
+    parallel exchange, and the audit itself is run on a sample at scale.
+    """
+    base = df.select(
+        F.col(a_col).alias("a"),
+        F.col(b_col).alias("b"),
+        *tiebreak,
+        zorder_key(F.col(a_col), F.col(b_col)),
+    )
+    out = []
+    for layout, order in (
+        ("linear", [F.col("a"), F.col("b"), *[F.col(c) for c in tiebreak]]),
+        ("zorder", [F.col("zkey"), *[F.col(c) for c in tiebreak]]),
+    ):
+        w = Window.orderBy(*order)
+        bucketed = base.withColumn("bucket", F.ntile(n_buckets).over(w))
+        ext = (
+            bucketed.groupBy("bucket")
+            .agg(
+                (F.max("a") - F.min("a") + 1).alias("ea"),
+                (F.max("b") - F.min("b") + 1).alias("eb"),
+            )
+            .agg(
+                F.count("*").alias("n_buckets"),
+                F.sum("ea").cast("long").alias("sum_extent_a"),
+                F.sum("eb").cast("long").alias("sum_extent_b"),
+            )
+            .select(F.lit(layout).alias("layout"), "*")
+        )
+        out.append(ext)
+    return out[0].unionByName(out[1])

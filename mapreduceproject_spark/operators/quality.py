@@ -1,0 +1,241 @@
+"""Published pretraining-corpus quality heuristics, Spark-first.
+
+Three operators a large-scale training-data pipeline runs before anything
+else touches the corpus:
+
+* :func:`gopher_rule_report` — the document-level repetition-free quality
+  rules published with Gopher (Rae et al. 2021, appendix A1.1) and C4
+  (Raffel et al. 2020): word-count bounds, mean-word-length bounds,
+  symbol-to-word ratio, and a stopword-presence check.  All thresholds are
+  compared in INTEGER form (``sum_len < 3 * n_words`` instead of
+  ``sum_len / n_words < 3``) so both engines make bit-identical keep/drop
+  decisions.
+* :func:`dsir_weights` — Data Selection with Importance Resampling
+  (Xie et al. 2023): hashed unigram+bigram bucket counts for a target
+  slice vs the raw corpus, per-bucket log-likelihood ratios, and a
+  per-document importance weight.  The λ table is at most ``num_buckets``
+  rows, so the per-document scoring join broadcasts; weights are
+  micro-quantized integers (Σ cnt·⌊1e6·λ⌋) so sums are exact and
+  order-independent at any parallelism.
+* :func:`shingle_novelty` — per-document fraction of k-word shingles that
+  appear in no other document: the inverse of the duplication signals the
+  dedup tier hunts, useful as a diversity/novelty score for sampling.
+
+Scale notes (100 TB): every operator here is one or two hash shuffles over
+corpus-sized rows plus vocabulary/bucket-sized side tables that broadcast;
+no all-pairs term exists.  The reference has no quality tier — this extends
+its word-count/grep corpus analytics (src/node.go:919-931 tokenization) to
+the curation operators a modern corpus actually needs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from mapreduceproject_spark.functions.hashing import hash60
+from mapreduceproject_spark.functions.textfn import (
+    token_rows,
+    tokens,
+    word_shingle_rows,
+)
+
+# Gopher A1.1 thresholds (word-count bounds relaxed for short-doc corpora:
+# the published 50-word floor assumes web pages; callers pass their own).
+GOPHER_MIN_WORDS = 25
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WORD_LEN = 3
+GOPHER_MAX_MEAN_WORD_LEN = 10
+GOPHER_MAX_SYMBOL_RATIO_PCT = 10  # symbol tokens per 100 words
+GOPHER_MIN_STOPWORD_HITS = 2
+GOPHER_SYMBOLS = ("#", "...")
+
+DSIR_BUCKETS = 4096
+
+
+def gopher_doc_flags(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    stopwords: tuple[str, ...],
+    *,
+    min_words: int = GOPHER_MIN_WORDS,
+    max_words: int = GOPHER_MAX_WORDS,
+) -> DataFrame:
+    """Per-document boolean rule flags (integer-arithmetic comparisons).
+
+    Returns ``id_col`` + the pass-through columns of ``df`` plus
+    ``n_words`` and one ``fail_*`` boolean per rule and ``kept``.
+    """
+    toks = tokens(F.col(text_col))
+    sym = F.array(*[F.lit(s) for s in GOPHER_SYMBOLS])
+    stop_arr = F.array(*[F.lit(s) for s in stopwords])
+    base = df.select(
+        *[c for c in df.columns if c != text_col],
+        F.size(toks).alias("n_words"),
+        F.aggregate(
+            toks, F.lit(0).cast("long"), lambda a, t: a + F.length(t)
+        ).alias("sum_len"),
+        F.size(
+            F.filter(
+                toks,
+                lambda t: F.exists(sym, lambda s: t.contains(s)),
+            )
+        ).alias("n_symbol"),
+        F.size(F.array_intersect(tokens(F.col(text_col)), stop_arr)).alias(
+            "stop_hits"
+        ),
+    )
+    return base.select(
+        *base.columns,
+        ((F.col("n_words") < min_words) | (F.col("n_words") > max_words)).alias(
+            "fail_word_count"
+        ),
+        (
+            (F.col("sum_len") < GOPHER_MIN_MEAN_WORD_LEN * F.col("n_words"))
+            | (F.col("sum_len") > GOPHER_MAX_MEAN_WORD_LEN * F.col("n_words"))
+        ).alias("fail_mean_word_len"),
+        (
+            F.col("n_symbol") * 100 > GOPHER_MAX_SYMBOL_RATIO_PCT * F.col("n_words")
+        ).alias("fail_symbol_ratio"),
+        (F.col("stop_hits") < GOPHER_MIN_STOPWORD_HITS).alias("fail_stopwords"),
+    ).select(
+        "*",
+        (
+            ~F.col("fail_word_count")
+            & ~F.col("fail_mean_word_len")
+            & ~F.col("fail_symbol_ratio")
+            & ~F.col("fail_stopwords")
+        ).alias("kept"),
+    )
+
+
+def gopher_rule_report(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    group_col: str,
+    stopwords: tuple[str, ...],
+    *,
+    min_words: int = GOPHER_MIN_WORDS,
+    max_words: int = GOPHER_MAX_WORDS,
+) -> DataFrame:
+    """Per-``group_col`` rule-firing counts + kept count — the audit report
+    a curation run publishes before dropping anything."""
+    flags = gopher_doc_flags(
+        df.select(id_col, group_col, text_col),
+        id_col,
+        text_col,
+        stopwords,
+        min_words=min_words,
+        max_words=max_words,
+    )
+    as_long = lambda c: F.sum(F.col(c).cast("long")).alias(c)  # noqa: E731
+    return flags.groupBy(group_col).agg(
+        F.count("*").alias("n_docs"),
+        as_long("fail_word_count"),
+        as_long("fail_mean_word_len"),
+        as_long("fail_symbol_ratio"),
+        as_long("fail_stopwords"),
+        F.sum(F.col("kept").cast("long")).alias("n_kept"),
+    )
+
+
+def _feature_rows(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, feature) rows: unigrams ∪ space-joined bigrams (DSIR's hashed
+    n-gram feature space), with multiplicity."""
+    uni = token_rows(df, F.col(text_col), [id_col]).select(
+        id_col, F.col("tok").alias("feature")
+    )
+    bi = word_shingle_rows(df, F.col(text_col), 2, [id_col]).select(
+        id_col, F.col("sh").alias("feature")
+    )
+    # short docs emit their whole text as the single 2-shingle, which for
+    # 1-word docs duplicates the unigram — that is the defined semantics of
+    # word_shingles and the oracle mirrors it
+    return uni.unionByName(bi)
+
+
+def dsir_weights(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    target_pred: Column,
+    *,
+    num_buckets: int = DSIR_BUCKETS,
+) -> DataFrame:
+    """Per-document DSIR importance weight in integer micro-units.
+
+    ``weight_micro(d) = Σ_b cnt(d,b) · ⌊1e6·λ(b)⌋`` where
+    ``λ(b) = ln((t_b+1)/(T+B)) − ln((r_b+1)/(R+B))`` over hashed
+    unigram+bigram buckets, target slice selected by ``target_pred``.
+    Plan shape: one feature shuffle to bucket counts (≤ ``num_buckets``
+    rows), a broadcast of the 1-row totals, then a broadcast λ-join back
+    onto per-document bucket counts — the corpus is touched twice, both
+    times linearly.
+    """
+    feats = _feature_rows(df.select(id_col, text_col), id_col, text_col).join(
+        df.select(id_col, target_pred.alias("_is_target")), id_col
+    )
+    bucketed = feats.select(
+        id_col,
+        "_is_target",
+        (hash60(F.col("feature")) % num_buckets).alias("bucket"),
+    )
+    bcnt = bucketed.groupBy("bucket").agg(
+        F.sum(F.col("_is_target").cast("long")).alias("t_b"),
+        F.count("*").alias("r_b"),
+    )
+    totals = bcnt.agg(
+        F.sum("t_b").alias("t_total"), F.sum("r_b").alias("r_total")
+    )
+    lam = (
+        bcnt.crossJoin(F.broadcast(totals))
+        .select(
+            "bucket",
+            F.floor(
+                1_000_000
+                * (
+                    F.log((F.col("t_b") + 1) / (F.col("t_total") + num_buckets))
+                    - F.log((F.col("r_b") + 1) / (F.col("r_total") + num_buckets))
+                )
+            )
+            .cast("long")
+            .alias("lam_micro"),
+        )
+    )
+    per_doc_bucket = bucketed.groupBy(id_col, "bucket").agg(
+        F.count("*").alias("cnt")
+    )
+    return (
+        per_doc_bucket.join(F.broadcast(lam), "bucket")
+        .groupBy(id_col)
+        .agg(F.sum(F.col("cnt") * F.col("lam_micro")).alias("weight_micro"))
+    )
+
+
+def shingle_novelty(
+    df: DataFrame, id_col: str, text_col: str, *, k: int = 3
+) -> DataFrame:
+    """Per-document novelty: distinct k-shingles, corpus-unique shingles,
+    and novelty in basis points (⌊1e4·unique/distinct⌋, exact integer)."""
+    sh = word_shingle_rows(df, F.col(text_col), k, [id_col]).select(
+        id_col, "sh"
+    ).distinct()
+    docfreq = sh.groupBy("sh").agg(F.count("*").alias("df_sh"))
+    return (
+        sh.join(docfreq, "sh")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum((F.col("df_sh") == 1).cast("long")).alias("n_unique"),
+        )
+        .select(
+            id_col,
+            "n_shingles",
+            "n_unique",
+            F.floor(10_000 * F.col("n_unique") / F.col("n_shingles"))
+            .cast("long")
+            .alias("novelty_bp"),
+        )
+    )

@@ -438,3 +438,115 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", F.col("rank").cast("long").alias("rank"))
     )
+
+
+def sq8_rerank_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_id_col: str,
+    query_vec_col: str,
+    dim: int,
+    k: int = 5,
+    rerank_factor: int = 4,
+) -> DataFrame:
+    """Scalar-quantized (SQ8) ANN with exact rerank.
+
+    The faiss-style memory/scan trade for a 100 TB vector corpus: each
+    float dimension is quantized to one byte against per-dimension
+    corpus min/max (a 4× smaller index than float32, 8× vs double), the
+    candidate scan ranks by an exact INTEGER dot over the byte codes,
+    and only the top ``rerank_factor * k`` candidates per query pay the
+    full-precision cosine.
+
+    Plan shape: per-dim min/max is ONE partial-aggregating pass (2·dim
+    agg expressions — no explode, no per-dim shuffle rows), the 1-row
+    stats frame broadcasts into the coding projection, candidate scoring
+    is an embarrassingly-parallel broadcast crossJoin (queries are the
+    small side), and the only shuffles are the two per-query window
+    top-Ns.  Determinism: code construction uses the same IEEE double
+    expression tree as the DuckDB oracle, so codes — and therefore
+    candidate sets — are bit-identical; the rerank reuses the
+    quantized-integer cosine every other ANN query pins.
+    """
+    e = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    stats = F.broadcast(
+        corpus.select(e.alias("_e")).agg(
+            F.array(
+                *[F.min(F.element_at("_e", d + 1)) for d in range(dim)]
+            ).alias("_mins"),
+            F.array(
+                *[F.max(F.element_at("_e", d + 1)) for d in range(dim)]
+            ).alias("_maxs"),
+        )
+    )
+
+    def coded(side: DataFrame, sid: str, svec: str, out_id: str) -> DataFrame:
+        ee = F.transform(F.col(svec), lambda x: x.cast("double"))
+        # zip_with over MATERIALIZED columns (not computed arrays inlined
+        # into the lambda — the O(len²) re-evaluation pathology textfn.py
+        # documents); arithmetic grouping ((x−mn)/(mx−mn))·255 matches the
+        # oracle SQL token-for-token so the IEEE doubles are identical.
+        code = F.zip_with(
+            F.zip_with(F.col("_ee"), F.col("_mins"), lambda x, mn: x - mn),
+            F.zip_with(F.col("_maxs"), F.col("_mins"), lambda mx, mn: mx - mn),
+            lambda c, s: F.when(
+                s > 0,
+                F.least(
+                    F.greatest(F.floor(c / s * 255), F.lit(0)), F.lit(255)
+                ),
+            )
+            .otherwise(F.lit(0))
+            .cast("long"),
+        )
+        return (
+            spread_for_compute(side)
+            .select(
+                F.col(sid).alias(out_id),
+                quantize(F.col(svec)).alias("_q"),
+                ee.alias("_ee"),
+            )
+            .withColumn("_n2", quantized_norm2(F.col("_q")))
+            .crossJoin(stats)
+            .select(out_id, "_q", "_n2", code.alias("_c"))
+            .persist()
+        )
+
+    cc = coded(corpus, id_col, vec_col, "neighbor_id")
+    qc = F.broadcast(
+        coded(queries, query_id_col, query_vec_col, "query_id").select(
+            "query_id",
+            F.col("_q").alias("_qq"),
+            F.col("_n2").alias("_qn2"),
+            F.col("_c").alias("_qc"),
+        )
+    )
+    adot = F.aggregate(
+        F.zip_with(F.col("_qc"), F.col("_c"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    wa = Window.partitionBy("query_id").orderBy(
+        F.desc("adot"), F.asc("neighbor_id")
+    )
+    cand = (
+        cc.crossJoin(qc)
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "_qq", "_qn2", "neighbor_id", "_q", "_n2", adot.alias("adot"))
+        .withColumn("rn", F.row_number().over(wa))
+        .filter(F.col("rn") <= rerank_factor * k)
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        cand.select(
+            "query_id",
+            "neighbor_id",
+            prequantized_cosine(
+                F.col("_qq"), F.col("_q"), F.col("_qn2"), F.col("_n2")
+            ).alias("cosine"),
+        )
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "cosine", F.col("rnk").cast("long").alias("rnk"))
+    )

@@ -21,4 +21,6 @@ from mapreduceproject_spark.plans import (  # noqa: F401,E402
     observability_queries,
     stats_queries,
     analytics_queries,
+    pretrain_queries,
+    layout_queries,
 )

@@ -1,0 +1,156 @@
+"""Pretraining-corpus curation queries: published quality heuristics
+(Gopher/C4 rule report), DSIR importance reweighting, and shingle-novelty
+scoring — the selection tier that runs between dedup and packing.
+
+Oracles replicate the exact integer-arithmetic decisions (rule thresholds
+compared in cross-multiplied integer form, DSIR λ micro-quantized, novelty
+in basis points) so both engines agree bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from mapreduceproject_spark.functions.hashing import duck_hash60
+from mapreduceproject_spark.functions.textfn import (
+    duck_token_rows,
+    duck_tokens,
+    duck_word_shingles,
+)
+from mapreduceproject_spark.operators import quality as q
+from mapreduceproject_spark.plans.registry import query
+from mapreduceproject_spark.sources.catalog import load_table
+
+# stopword list shared with the quality-score queries (text_analysis.py)
+from mapreduceproject_spark.operators.text_analysis import STOPWORDS
+
+DSIR_TOP_N = 50
+NOVELTY_K = 3
+
+
+def _gopher_oracle() -> str:
+    stoplist = ", ".join(f"'{s}'" for s in STOPWORDS)
+    toks = duck_tokens("text")
+    return f"""
+    WITH m AS (
+      SELECT source,
+             len(toks) AS n_words,
+             COALESCE(CAST(list_aggregate(list_transform(toks, t -> CAST(length(t) AS BIGINT)), 'sum') AS BIGINT), 0) AS sum_len,
+             len(list_filter(toks, t -> contains(t, '#') OR contains(t, '...'))) AS n_symbol,
+             len(list_filter([{stoplist}], s -> list_contains(toks, s))) AS stop_hits
+      FROM (SELECT source, {toks} AS toks FROM documents)
+    ),
+    f AS (
+      SELECT source,
+             (n_words < {q.GOPHER_MIN_WORDS} OR n_words > {q.GOPHER_MAX_WORDS}) AS fw,
+             (sum_len < {q.GOPHER_MIN_MEAN_WORD_LEN} * n_words
+              OR sum_len > {q.GOPHER_MAX_MEAN_WORD_LEN} * n_words) AS fm,
+             (n_symbol * 100 > {q.GOPHER_MAX_SYMBOL_RATIO_PCT} * n_words) AS fs,
+             (stop_hits < {q.GOPHER_MIN_STOPWORD_HITS}) AS fst
+      FROM m
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CAST(fw AS BIGINT)) AS BIGINT) AS fail_word_count,
+           CAST(SUM(CAST(fm AS BIGINT)) AS BIGINT) AS fail_mean_word_len,
+           CAST(SUM(CAST(fs AS BIGINT)) AS BIGINT) AS fail_symbol_ratio,
+           CAST(SUM(CAST(fst AS BIGINT)) AS BIGINT) AS fail_stopwords,
+           CAST(SUM(CAST((NOT fw AND NOT fm AND NOT fs AND NOT fst) AS BIGINT)) AS BIGINT) AS n_kept
+    FROM f GROUP BY source
+    """
+
+
+@query("gopher_quality_filter", oracle=_gopher_oracle())
+def gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Gopher/C4 rule-firing report (word-count bounds,
+    mean-word-length bounds, symbol ratio, stopword presence) — the audit
+    a curation run publishes before dropping anything.  One linear pass +
+    a per-source aggregate; every threshold compares in integer form
+    (operators/quality.py)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return q.gopher_rule_report(docs, "doc_id", "text", "source", STOPWORDS)
+
+
+def _dsir_oracle() -> str:
+    b = q.DSIR_BUCKETS
+    return f"""
+    WITH feats AS (
+      SELECT doc_id AS id, tok AS feature
+      FROM {duck_token_rows("text", "doc_id")}
+      UNION ALL
+      SELECT doc_id AS id, unnest({duck_word_shingles("text", 2)}) AS feature
+      FROM documents
+    ),
+    tflag AS (SELECT doc_id AS id, (lang = 'en') AS is_t FROM documents),
+    bk AS (
+      SELECT f.id, t.is_t, ({duck_hash60("feature")}) % {b} AS bucket
+      FROM feats f JOIN tflag t ON t.id = f.id
+    ),
+    bc AS (
+      SELECT bucket, SUM(CAST(is_t AS BIGINT)) AS t_b, COUNT(*) AS r_b
+      FROM bk GROUP BY bucket
+    ),
+    tot AS (SELECT SUM(t_b) AS tt, SUM(r_b) AS rt FROM bc),
+    lam AS (
+      SELECT bucket,
+             CAST(floor(1000000 * (ln((t_b + 1) / (tt + {b})) - ln((r_b + 1) / (rt + {b})))) AS BIGINT) AS lam_micro
+      FROM bc, tot
+    ),
+    db AS (SELECT id, bucket, COUNT(*) AS cnt FROM bk GROUP BY id, bucket),
+    w AS (
+      SELECT id AS doc_id, CAST(SUM(cnt * lam_micro) AS BIGINT) AS weight_micro
+      FROM db JOIN lam USING (bucket) GROUP BY id
+    )
+    SELECT CAST(rnk AS BIGINT) AS rnk, doc_id, lang, weight_micro
+    FROM (
+      SELECT w.doc_id, d.lang, w.weight_micro,
+             row_number() OVER (ORDER BY w.weight_micro DESC, w.doc_id) AS rnk
+      FROM w JOIN documents d USING (doc_id))
+    WHERE rnk <= {DSIR_TOP_N}
+    """
+
+
+@query("dsir_importance_weights", oracle=_dsir_oracle())
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR (Xie et al. 2023) importance reweighting toward the lang='en'
+    slice over hashed unigram+bigram buckets: top-{DSIR_TOP_N} documents
+    by integer micro-weight.  The λ table is ≤{q.DSIR_BUCKETS} rows and
+    broadcasts; the corpus is touched twice, linearly
+    (operators/quality.py::dsir_weights)."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = q.dsir_weights(docs, "doc_id", "text", F.col("lang") == "en")
+    win = Window.orderBy(F.desc("weight_micro"), F.asc("doc_id"))
+    return (
+        w.join(docs.select("doc_id", "lang"), "doc_id")
+        .withColumn("rnk", F.row_number().over(win).cast("long"))
+        .filter(F.col("rnk") <= DSIR_TOP_N)
+        .select("rnk", "doc_id", "lang", "weight_micro")
+    )
+
+
+def _novelty_oracle() -> str:
+    return f"""
+    WITH sh AS (
+      SELECT DISTINCT doc_id AS id, sh
+      FROM (SELECT doc_id, unnest({duck_word_shingles("text", NOVELTY_K)}) AS sh
+            FROM documents)
+    ),
+    dfc AS (SELECT sh, COUNT(*) AS df_sh FROM sh GROUP BY sh)
+    SELECT id AS doc_id,
+           COUNT(*) AS n_shingles,
+           CAST(SUM(CAST(df_sh = 1 AS BIGINT)) AS BIGINT) AS n_unique,
+           CAST(floor(10000 * SUM(CAST(df_sh = 1 AS BIGINT)) / COUNT(*)) AS BIGINT) AS novelty_bp
+    FROM sh JOIN dfc USING (sh) GROUP BY id
+    """
+
+
+@query("doc_shingle_novelty", oracle=_novelty_oracle())
+def doc_shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document novelty score: the fraction (in basis points) of its
+    distinct {NOVELTY_K}-word shingles appearing in no other document —
+    the inverse of the dedup tier's duplication signal, used for
+    diversity-weighted sampling.  Two hash shuffles (shingle df, doc
+    rollup), both corpus-linear."""
+    docs = load_table(spark, sf_dir, "documents")
+    return q.shingle_novelty(docs, "doc_id", "text", k=NOVELTY_K)

@@ -23,13 +23,17 @@ ORACLES: dict[str, str] = {}
 
 # The driver's correctness window covers the first 50 registry entries in
 # order.  The rotation ledger: rounds 1-3 each produced a 50/50-green
-# CORRECTNESS_r0N.json (0 failures ever recorded); with 143 registered
+# CORRECTNESS_r0N.json (0 failures ever recorded); with 149 registered
 # queries the window must rotate, and the invariant we maintain is
 # (a) no entry's newest row predates its current algorithm, and
 # (b) rows age oldest-first — after this round every entry has an r3/r4
-# row except five one-expression wrappers carrying r1 rows that lead
-# round 5.  Names absent from the registry are ignored (a pytest guards
-# against typos); everything else follows in registration order.
+# row except five one-expression wrappers carrying r1 rows and the six
+# NEW round-4 queries (gopher_quality_filter, dsir_importance_weights,
+# doc_shingle_novelty, ann_sq8_rerank_topk, zorder_layout_extents,
+# stream_windowed_topk — each with committed sf0.01 parity evidence via
+# scripts/window_check.py); those eleven lead the round-5 window.  Names
+# absent from the registry are ignored (a pytest guards against typos);
+# everything else follows in registration order.
 # Every registry entry, windowed or not, is additionally parity-checked
 # in-repo against its DuckDB oracle at sf0.001 (tests/test_oracle_parity.py).
 _FRONT: tuple[str, ...] = (

@@ -604,3 +604,73 @@ def knn_degree_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, "vec_id", "embedding", num_centroids="auto", k=PR_K
     )
     return degree_histogram(edges)
+
+
+# -- SQ8: scalar-quantized candidate scan + exact rerank --------------------
+EMB_DIM = 64  # fixture embedding dimensionality (TESTDATA.md)
+SQ8_RERANK = 4
+
+
+def _sq8_oracle() -> str:
+    dim = EMB_DIM
+    idx = "CAST(i AS INT)"
+    return f"""
+    WITH v AS (
+      SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS e,
+             {duck_quantize("CAST(embedding AS DOUBLE[])")} AS q
+      FROM embeddings
+    ),
+    stats AS (
+      SELECT list(mn ORDER BY d) AS mins, list(mx ORDER BY d) AS maxs
+      FROM (SELECT d, MIN(x) AS mn, MAX(x) AS mx
+            FROM (SELECT unnest(e) AS x, unnest(range(1, {dim} + 1)) AS d FROM v)
+            GROUP BY d)
+    ),
+    coded AS (
+      SELECT id, q,
+             list_transform(range(1, {dim} + 1), i ->
+               CASE WHEN maxs[{idx}] - mins[{idx}] > 0
+                    THEN CAST(least(greatest(floor((e[{idx}] - mins[{idx}]) / (maxs[{idx}] - mins[{idx}]) * 255), 0), 255) AS BIGINT)
+                    ELSE 0 END) AS c
+      FROM v, stats
+    ),
+    qs AS (SELECT id AS query_id, q AS qq, c AS qc FROM coded WHERE id < {NUM_QUERIES}),
+    cand AS (
+      SELECT query_id, qq, id AS neighbor_id, q,
+             CAST(list_aggregate(list_transform(range(1, {dim} + 1), i -> qc[{idx}] * c[{idx}]), 'sum') AS BIGINT) AS adot
+      FROM qs, coded WHERE id <> query_id
+    ),
+    top AS (
+      SELECT query_id, qq, neighbor_id, q
+      FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adot DESC, neighbor_id) AS rn
+            FROM cand)
+      WHERE rn <= {SQ8_RERANK * TOP_K}
+    )
+    SELECT query_id, neighbor_id, cosine, CAST(rnk AS BIGINT) AS rnk
+    FROM (SELECT query_id, neighbor_id,
+                 {duck_quantized_cosine("qq", "q")} AS cosine,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY {duck_quantized_cosine("qq", "q")} DESC, neighbor_id) AS rnk
+          FROM top)
+    WHERE rnk <= {TOP_K}
+    """
+
+
+@query("ann_sq8_rerank_topk", oracle=_sq8_oracle())
+def ann_sq8_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 ANN: byte codes against per-dim corpus min/max, integer-dot
+    candidate ranking, exact quantized-cosine rerank of the top
+    {SQ8_RERANK}·{TOP_K} — the 4× index-memory reduction path for a
+    100 TB vector corpus (operators/similarity.py::sq8_rerank_topk)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim.sq8_rerank_topk(
+        emb,
+        emb.filter(F.col("vec_id") < NUM_QUERIES),
+        "vec_id",
+        "embedding",
+        "vec_id",
+        "embedding",
+        dim=EMB_DIM,
+        k=TOP_K,
+        rerank_factor=SQ8_RERANK,
+    )

@@ -205,3 +205,37 @@ def stream_running_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = jobs.streaming_session(spark)
     ev = jobs.read_events_stream(s, sf_dir)
     return jobs.run_to_df(stateful.running_zscore(ev), mode="append")
+
+
+@query(
+    "stream_windowed_topk",
+    oracle="""
+    SELECT ws, event_type, cents, CAST(rnk AS BIGINT) AS rnk
+    FROM (
+      SELECT ws, event_type, cents,
+             row_number() OVER (PARTITION BY ws ORDER BY cents DESC, event_type) AS rnk
+      FROM (SELECT date_trunc('hour', ts) AS ws, event_type,
+                   CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents
+            FROM events GROUP BY 1, 2))
+    WHERE rnk <= 3
+    """,
+)
+def stream_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 event types per tumbling hour by exact-cents revenue: the
+    streaming leaderboard pattern.  Ranking inside a streaming agg isn't
+    supported (it would need the window CLOSED), so the aggregation runs
+    as a real streaming query (complete mode — same bounded state as
+    stream_tumbling_counts) and the rank is a finishing batch pass over
+    the materialized windows; on a live stream the same rank runs per
+    trigger in foreachBatch against the closed windows."""
+    from pyspark.sql import Window
+
+    s = jobs.streaming_session(spark)
+    ev = jobs.read_events_stream(s, sf_dir)
+    agg = jobs.run_to_df(jobs.tumbling_counts(ev), mode="complete")
+    w = Window.partitionBy("ws").orderBy(F.desc("cents"), F.asc("event_type"))
+    return (
+        agg.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 3)
+        .select("ws", "event_type", "cents", "rnk")
+    )

@@ -1,0 +1,135 @@
+"""Unit + property tests for the round-4 curation/layout operators:
+Gopher rule flags, DSIR importance weights, shingle novelty, SQ8 ANN,
+and Z-order layout."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mapreduceproject_spark.operators import quality as q
+from mapreduceproject_spark.operators import similarity as sim
+from mapreduceproject_spark.operators.layout import (
+    layout_extents,
+    zorder_key,
+)
+from mapreduceproject_spark.operators.text_analysis import STOPWORDS
+
+
+def test_gopher_flags_hand_truth(spark):
+    docs = spark.createDataFrame(
+        [
+            # 30 words, all stopword-ish + normal lengths -> kept
+            (1, "g", " ".join(["the data of and"] * 8)[: 10_000]),
+            # 5 words -> fail_word_count (and has 2 stopwords)
+            (2, "g", "the of tiny doc here"),
+            # 30 words of 1-char tokens -> fail_mean_word_len + no stopwords
+            (3, "g", " ".join(["x"] * 30)),
+            # 30 words, every fifth a symbol token -> fail_symbol_ratio
+            (4, "g", " ".join(("###" if i % 5 == 0 else "the" if i % 2 else "data") for i in range(30))),
+        ],
+        ["doc_id", "source", "text"],
+    )
+    flags = {
+        r["doc_id"]: r
+        for r in q.gopher_doc_flags(docs, "doc_id", "text", STOPWORDS).collect()
+    }
+    assert flags[1]["kept"] and not any(
+        flags[1][c] for c in flags[1].asDict() if c.startswith("fail_")
+    )
+    assert flags[2]["fail_word_count"] and not flags[2]["fail_stopwords"]
+    assert flags[3]["fail_mean_word_len"] and flags[3]["fail_stopwords"]
+    assert flags[4]["fail_symbol_ratio"] and not flags[4]["kept"]
+
+
+def test_dsir_weights_separate_target_vocabulary(spark):
+    # target docs use vocabulary A, non-target vocabulary B; a held-out
+    # doc written in vocabulary A must outweigh one written in B
+    rows = [(i, "tgtword%d alpha beta" % (i % 3), True) for i in range(10)]
+    rows += [(100 + i, "rawword%d gamma delta" % (i % 3), False) for i in range(10)]
+    rows += [(200, "tgtword0 alpha beta", False), (201, "rawword0 gamma delta", False)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "is_t"])
+    w = {
+        r["doc_id"]: r["weight_micro"]
+        for r in q.dsir_weights(docs, "doc_id", "text", F.col("is_t")).collect()
+    }
+    assert w[200] > w[201]
+
+
+def test_shingle_novelty_hand_truth(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d"),     # shingles {abc, bcd}
+            (2, "a b c e"),     # shingles {abc, bce}
+            (3, "x y z w"),     # fully unique
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in q.shingle_novelty(docs, "doc_id", "text").collect()}
+    assert (out[1]["n_shingles"], out[1]["n_unique"], out[1]["novelty_bp"]) == (2, 1, 5000)
+    assert (out[2]["n_shingles"], out[2]["n_unique"]) == (2, 1)
+    assert out[3]["novelty_bp"] == 10_000
+
+
+def test_zorder_key_matches_python_morton(spark):
+    def morton(a: int, b: int) -> int:
+        out = 0
+        for i in range(16):
+            out |= ((a >> i) & 1) << (2 * i)
+            out |= ((b >> i) & 1) << (2 * i + 1)
+        return out
+
+    rows = [(a, b) for a in (0, 1, 5, 255, 65535) for b in (0, 2, 7, 1023)]
+    df = spark.createDataFrame(rows, ["a", "b"]).select(
+        "a", "b", zorder_key(F.col("a"), F.col("b"))
+    )
+    for r in df.collect():
+        assert r["zkey"] == morton(r["a"], r["b"]), (r["a"], r["b"])
+
+
+def test_zorder_layout_tightens_second_key_extents(spark, sf_dir):
+    from mapreduceproject_spark.sources.catalog import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    out = {
+        r["layout"]: r
+        for r in layout_extents(
+            li, "l_partkey", "l_suppkey", ["l_orderkey", "l_linenumber"], 16
+        ).collect()
+    }
+    # the whole point: z-order must shrink the second key's summed extents
+    # vs the linear layout (which sorts on the first key and leaves the
+    # second key's per-file ranges near-full-width)
+    assert out["zorder"]["sum_extent_b"] < out["linear"]["sum_extent_b"]
+    assert out["linear"]["n_buckets"] == out["zorder"]["n_buckets"] == 16
+
+
+def test_sq8_with_full_rerank_equals_bruteforce(spark, sf_dir):
+    from mapreduceproject_spark.sources.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    queries = emb.filter(F.col("vec_id") < 4)
+    brute = sim.brute_force_topk(
+        emb, queries, "vec_id", "embedding", "vec_id", "embedding", k=3
+    ).withColumnRenamed("rank", "rnk")
+    # rerank_factor covering the whole corpus makes SQ8 structurally exact:
+    # every vector survives the candidate cut, so the rerank IS brute force
+    sq8 = sim.sq8_rerank_topk(
+        emb, queries, "vec_id", "embedding", "vec_id", "embedding",
+        dim=64, k=3, rerank_factor=(n + 2) // 3 + 1,
+    )
+    assert sorted(map(tuple, brute.collect())) == sorted(map(tuple, sq8.collect()))
+
+
+def test_sq8_plan_broadcasts_stats_and_queries(spark, sf_dir):
+    from mapreduceproject_spark.sources.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    plan = sim.sq8_rerank_topk(
+        emb, emb.filter(F.col("vec_id") < 4), "vec_id", "embedding",
+        "vec_id", "embedding", dim=64,
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    # candidate scoring must not shuffle the corpus on a join key: the only
+    # exchanges are the two per-query window top-Ns
+    assert plan.count("SortMergeJoin") == 0
