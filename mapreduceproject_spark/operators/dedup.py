@@ -1229,3 +1229,65 @@ def connected_components_star(
     return members.unionByName(roots).groupBy("id").agg(
         F.min("cluster_id").alias("cluster_id")
     )
+
+
+def repeated_ngram_mask_profile(
+    df: DataFrame, id_col: str, text_col: str, k: int = 12
+) -> DataFrame:
+    """Substring-level dedup mask: which tokens sit inside a k-gram that
+    occurs >= 2 times corpus-wide (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better" — the suffix-array
+    ExactSubstr pass, re-expressed as a sliding-k-gram coverage plan).
+
+    Unlike :func:`dedup.exact` (whole-document) and span-exact
+    (non-overlapping fixed spans), this is the *sliding* window: every
+    token position starts a gram, so a duplicated passage is caught at
+    any alignment, and the output is per-document mask coverage — the
+    statistic a masking/removal rewrite actually needs.
+
+    Output: (id, n_tokens, n_masked, mask_ratio).
+
+    Scale shape: tokens posexplode once (linear); grams assembled from
+    ``lead()`` over the per-document window (no O(n·k) array
+    re-evaluation); the ONLY corpus-wide exchange is the window count
+    over the 60-bit gram hash — (id, pos, h) longs, never gram text.
+    Coverage positions explode only for duplicated grams (output-
+    proportional), then distinct + per-doc count.  Intra-document
+    repeats count toward the >=2 threshold, matching ExactSubstr.
+    """
+    from pyspark.sql import Window
+
+    from mapreduceproject_spark.functions.textfn import token_rows
+
+    base = spread_for_compute(df)
+    toks = token_rows(base, F.col(text_col), [id_col])
+    w = Window.partitionBy(id_col).orderBy("pos")
+    parts = [F.col("tok")] + [F.lead("tok", j).over(w) for j in range(1, k)]
+    grams = (
+        toks.select(
+            id_col,
+            "pos",
+            F.concat_ws(" ", *parts).alias("gram"),
+            F.lead("pos", k - 1).over(w).alias("_end"),
+        )
+        .filter(F.col("_end").isNotNull())
+        .select(id_col, "pos", hash60(F.col("gram")).alias("h"))
+    )
+    global_c = F.count("*").over(Window.partitionBy("h"))
+    dup = grams.select(id_col, "pos", global_c.alias("c")).filter(F.col("c") >= 2)
+    covered = dup.select(
+        id_col, F.explode(F.sequence(F.col("pos"), F.col("pos") + (k - 1))).alias("p")
+    ).distinct()
+    masked = covered.groupBy(id_col).agg(F.count("*").cast("long").alias("n_masked"))
+    ntok = df.select(
+        id_col, F.size(tokens(F.col(text_col))).cast("long").alias("n_tokens")
+    )
+    n_masked = F.coalesce(F.col("n_masked"), F.lit(0)).cast("long")
+    return ntok.join(masked, id_col, "left").select(
+        id_col,
+        "n_tokens",
+        n_masked.alias("n_masked"),
+        F.when(F.col("n_tokens") > 0, n_masked / F.col("n_tokens"))
+        .otherwise(F.lit(0.0))
+        .alias("mask_ratio"),
+    )

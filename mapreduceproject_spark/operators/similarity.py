@@ -550,3 +550,67 @@ def sq8_rerank_topk(
         .filter(F.col("rnk") <= k)
         .select("query_id", "neighbor_id", "cosine", F.col("rnk").cast("long").alias("rnk"))
     )
+
+
+def mahalanobis_outlier_scores(
+    df: DataFrame, id_col: str, vec_col: str, keep: list[str] | None = None
+) -> DataFrame:
+    """Diagonal-Mahalanobis outlier score per embedding — the embedding-
+    space quality gate (drop encoder failures / off-distribution vectors
+    before semantic dedup or DSIR reweighting trusts them).
+
+    d²(x) = Σ_d (x_d − μ_d)² / σ²_d with per-dimension population
+    moments over the whole corpus; ``is_outlier`` flags d² above the
+    chi-square-motivated D + 3·√(2D) cut.
+
+    Determinism contract (both engines bit-identical): vectors quantize
+    to 1e-6-floor longs, per-dim Σq and Σq² are exact integer sums
+    (order-independent), and the per-vector d² sums its D terms in
+    element order — the :mod:`functions.vectors` pattern.  Mahalanobis
+    is invariant under per-dim linear scaling, so quantized d² equals
+    float d² up to quantization error.
+
+    Scale shape: one posexplode (n·D rows of longs) → one D-row groupBy
+    → a broadcast 1-row stats join back; no corpus-wide shuffle other
+    than the D-key aggregate, and D is a constant (64 here).
+    """
+    keep = keep or []
+    emb = spread_for_compute(df).select(
+        id_col, *keep, quantize(F.col(vec_col)).alias("q")
+    )
+    dims = emb.select(id_col, F.posexplode("q").alias("dim", "v"))
+    stats = dims.groupBy("dim").agg(
+        F.sum("v").alias("s1"),
+        F.sum(F.col("v") * F.col("v")).alias("s2"),
+        F.count("*").alias("n"),
+    )
+    moments = stats.select(
+        "dim",
+        (F.col("s1") / F.col("n")).alias("mu"),
+        (
+            (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")) / F.col("n")
+        ).alias("var"),
+    )
+    row = moments.groupBy().agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "mu"))), lambda x: x["mu"]
+        ).alias("mu_arr"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "var"))), lambda x: x["var"]
+        ).alias("var_arr"),
+    )
+    diff = F.zip_with(
+        F.col("q"), F.col("mu_arr"), lambda x, m: x.cast("double") - m
+    )
+    term = F.zip_with(
+        diff, F.col("var_arr"), lambda d, v: d * d / F.greatest(v, F.lit(1e-12))
+    )
+    d2 = F.aggregate(term, F.lit(0.0), lambda acc, x: acc + x)
+    ndim = F.size("q").cast("double")
+    cut = ndim + F.lit(3.0) * F.sqrt(F.lit(2.0) * ndim)
+    return emb.crossJoin(F.broadcast(row)).select(
+        id_col,
+        *keep,
+        d2.alias("maha_d2"),
+        (d2 > cut).alias("is_outlier"),
+    )

@@ -696,3 +696,137 @@ def chunk_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sliding_token_windows(
         docs, "doc_id", "text", window=CHUNK_WINDOW, stride=CHUNK_STRIDE
     )
+
+
+# -- round-4 additions: sliding-gram mask + train/test leakage gate ----------
+MASK_K = 12
+
+
+def _mask_oracle() -> str:
+    h = duck_hash60(f"array_to_string(t[j:j+{MASK_K - 1}], ' ')")
+    return f"""
+    WITH tk AS (SELECT doc_id, {duck_tokens("text")} AS t FROM documents),
+    g AS (
+      SELECT doc_id, CAST(j AS BIGINT) AS pos, {h} AS h
+      FROM (SELECT doc_id, t, unnest(range(1, len(t) - {MASK_K} + 2)) AS j
+            FROM tk WHERE len(t) >= {MASK_K})
+    ),
+    c AS (SELECT doc_id, pos, COUNT(*) OVER (PARTITION BY h) AS c FROM g),
+    cov AS (
+      SELECT DISTINCT doc_id, p
+      FROM (SELECT doc_id, unnest(range(pos, pos + {MASK_K})) AS p
+            FROM c WHERE c >= 2)
+    ),
+    m AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_masked FROM cov GROUP BY 1)
+    SELECT tk.doc_id,
+           CAST(len(tk.t) AS BIGINT) AS n_tokens,
+           COALESCE(m.n_masked, 0) AS n_masked,
+           CASE WHEN len(tk.t) > 0
+                THEN COALESCE(m.n_masked, 0) / CAST(len(tk.t) AS BIGINT)
+                ELSE 0.0 END AS mask_ratio
+    FROM tk LEFT JOIN m ON m.doc_id = tk.doc_id
+    """
+
+
+@query("repeated_ngram_mask", oracle=_mask_oracle())
+def repeated_ngram_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding {MASK_K}-gram duplicate-coverage mask (ExactSubstr-style
+    substring dedup profile; Lee et al. 2022).  Catches duplicated
+    passages at ANY alignment — the complement of dedup_span_exact's
+    non-overlapping spans — and reports per-document how much text a
+    masking rewrite would remove
+    (operators/dedup.py::repeated_ngram_mask_profile)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.repeated_ngram_mask_profile(docs, "doc_id", "text", k=MASK_K)
+
+
+def _leakage_oracle() -> str:
+    from mapreduceproject_spark.plans.text_queries import (
+        SPLIT_SALT,
+        TRAIN_PCT,
+        VAL_PCT,
+    )
+
+    return f"""
+    WITH {_minhash_prefix()},
+    pairs AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.id < b.id
+    ),
+    sizes AS (SELECT id, COUNT(*) AS n FROM sh GROUP BY id),
+    inter AS (
+      SELECT p.id_a, p.id_b, COUNT(*) AS both
+      FROM pairs p JOIN sh x ON x.id = p.id_a JOIN sh y ON y.id = p.id_b AND y.h = x.h
+      GROUP BY 1, 2
+    ),
+    jac AS (
+      SELECT i.id_a, i.id_b, i.both / (na.n + nb.n - i.both) AS jaccard
+      FROM inter i JOIN sizes na ON na.id = i.id_a JOIN sizes nb ON nb.id = i.id_b
+      WHERE i.both / (na.n + nb.n - i.both) >= {JACCARD_THR}
+    ),
+    sp AS (
+      SELECT doc_id,
+             CASE WHEN b < {TRAIN_PCT} THEN 'train'
+                  WHEN b < {TRAIN_PCT + VAL_PCT} THEN 'val'
+                  ELSE 'test' END AS split
+      FROM (SELECT doc_id, {duck_hash60(f"text || '{SPLIT_SALT}'")} % 100 AS b
+            FROM documents)
+    )
+    SELECT j.id_a, j.id_b, j.jaccard,
+           sa.split AS split_a, sb.split AS split_b
+    FROM jac j
+    JOIN sp sa ON sa.doc_id = j.id_a
+    JOIN sp sb ON sb.doc_id = j.id_b
+    WHERE sa.split <> sb.split
+    """
+
+
+@query("split_leakage_check", oracle=_leakage_oracle())
+def split_leakage_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test contamination gate: near-duplicate pairs (the
+    dedup_minhash_lsh pipeline, identical constants) that CROSS the
+    deterministic hash split of sample_hash_split — exactly the leaks
+    that inflate eval numbers.  Composition of two verified pieces: the
+    pair list is candidate-bucketed (never corpus²), and the split side
+    is a doc-count-sized projection joined on id, so the gate costs one
+    id-join more than the dedup pass it reuses."""
+    from mapreduceproject_spark.plans.text_queries import (
+        SPLIT_SALT,
+        TRAIN_PCT,
+        VAL_PCT,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dd.minhash_lsh_dedup(
+        docs,
+        "doc_id",
+        "text",
+        num_hashes=MINHASH_N,
+        bands=MINHASH_BANDS,
+        shingle_k=SHINGLE_K,
+        threshold=JACCARD_THR,
+        seed=MINHASH_SEED,
+    )
+    bucket = hash60(F.concat(F.col("text"), F.lit(SPLIT_SALT))) % 100
+    split = (
+        F.when(bucket < TRAIN_PCT, "train")
+        .when(bucket < TRAIN_PCT + VAL_PCT, "val")
+        .otherwise("test")
+    )
+    splits = docs.select("doc_id", split.alias("split"))
+    return (
+        pairs.join(
+            splits.select(
+                F.col("doc_id").alias("id_a"), F.col("split").alias("split_a")
+            ),
+            "id_a",
+        )
+        .join(
+            splits.select(
+                F.col("doc_id").alias("id_b"), F.col("split").alias("split_b")
+            ),
+            "id_b",
+        )
+        .filter(F.col("split_a") != F.col("split_b"))
+        .select("id_a", "id_b", "jaccard", "split_a", "split_b")
+    )

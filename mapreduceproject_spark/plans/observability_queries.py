@@ -334,3 +334,52 @@ def table_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+# -- join-key skew report (round 4) ------------------------------------------
+SKEW_TOP_N = 10
+
+
+@query(
+    "join_key_skew_report",
+    oracle=f"""
+    WITH f AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS freq
+               FROM events GROUP BY 1),
+    t AS (SELECT CAST(SUM(freq) AS BIGINT) AS total,
+                 CAST(COUNT(*) AS BIGINT) AS n_keys FROM f),
+    top AS (SELECT user_id, freq FROM f ORDER BY freq DESC, user_id LIMIT {SKEW_TOP_N})
+    SELECT top.user_id, top.freq, t.n_keys, t.total,
+           top.freq / t.total AS share,
+           top.freq * t.n_keys / t.total AS skew_vs_avg,
+           (top.freq * t.n_keys + t.total - 1) // t.total AS salt_parts
+    FROM top, t
+    """,
+)
+def join_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-skew diagnostics for a join/agg key: the top-{SKEW_TOP_N}
+    heaviest `events.user_id` keys with their share of all rows, their
+    multiple of the average key frequency, and the integer salt factor
+    (ceil(freq/avg)) the skew kit (operators/skew.py) would need to
+    level them.  This is the report you run BEFORE picking a 100 TB
+    join strategy — AQE handles moderate skew at runtime; this surfaces
+    the keys that need salting or a broadcast rewrite up front.
+
+    Plan: one map-side-combined groupBy on the key, a 1-row global
+    rollup broadcast back, and a TakeOrdered top-k (total order via the
+    (freq desc, key asc) tie-break, so the cut is deterministic) — no
+    global sort, no collect."""
+    ev = load_table(spark, sf_dir, "events")
+    freq = ev.groupBy("user_id").agg(F.count("*").cast("long").alias("freq"))
+    tot = freq.groupBy().agg(
+        F.sum("freq").alias("total"), F.count("*").alias("n_keys")
+    )
+    top = freq.orderBy(F.col("freq").desc(), F.col("user_id")).limit(SKEW_TOP_N)
+    return top.crossJoin(F.broadcast(tot)).select(
+        "user_id",
+        "freq",
+        "n_keys",
+        "total",
+        (F.col("freq") / F.col("total")).alias("share"),
+        (F.col("freq") * F.col("n_keys") / F.col("total")).alias("skew_vs_avg"),
+        F.expr(f"(freq * n_keys + total - 1) div total").alias("salt_parts"),
+    )

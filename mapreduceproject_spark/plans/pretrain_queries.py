@@ -154,3 +154,53 @@ def doc_shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     rollup), both corpus-linear."""
     docs = load_table(spark, sf_dir, "documents")
     return q.shingle_novelty(docs, "doc_id", "text", k=NOVELTY_K)
+
+
+# -- embedding-space outlier gate (round 4) ----------------------------------
+
+
+def _outlier_oracle() -> str:
+    from mapreduceproject_spark.functions.vectors import duck_quantize
+
+    sq = "(CAST(q[i] AS DOUBLE) - mu_arr[i])"
+    return f"""
+    WITH e AS (SELECT vec_id, label, {duck_quantize("embedding")} AS q
+               FROM embeddings),
+    d AS (
+      SELECT CAST(i AS BIGINT) - 1 AS dim, q[i] AS v
+      FROM (SELECT q, unnest(range(1, len(q) + 1)) AS i FROM e)
+    ),
+    st AS (SELECT dim, CAST(SUM(v) AS BIGINT) AS s1,
+                  CAST(SUM(v * v) AS BIGINT) AS s2,
+                  CAST(COUNT(*) AS BIGINT) AS n
+           FROM d GROUP BY dim),
+    mo AS (SELECT dim, s1 / n AS mu, (s2 - s1 * s1 / n) / n AS var FROM st),
+    ag AS (SELECT list(mu ORDER BY dim) AS mu_arr,
+                  list(var ORDER BY dim) AS var_arr FROM mo)
+    SELECT vec_id, label, maha_d2,
+           maha_d2 > (ndim + 3.0 * sqrt(2.0 * ndim)) AS is_outlier
+    FROM (
+      SELECT e.vec_id, e.label,
+             list_aggregate(list_transform(range(1, len(q) + 1),
+               i -> ({sq} * {sq}) / greatest(var_arr[i], 1e-12)),
+               'sum') AS maha_d2,
+             CAST(len(q) AS DOUBLE) AS ndim
+      FROM e, ag
+    )
+    """
+
+
+@query("embedding_outlier_scores", oracle=_outlier_oracle())
+def embedding_outlier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diagonal-Mahalanobis embedding outlier gate: per-vector distance
+    to the corpus distribution with a chi-square-motivated cut — drops
+    encoder failures / off-distribution vectors before the semantic
+    tiers (SemDeDup, DSIR) trust them.  Exact-integer per-dim moments +
+    element-order d² sum make both engines bit-identical
+    (operators/similarity.py::mahalanobis_outlier_scores)."""
+    from mapreduceproject_spark.operators.similarity import (
+        mahalanobis_outlier_scores,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return mahalanobis_outlier_scores(emb, "vec_id", "embedding", keep=["label"])

@@ -81,6 +81,11 @@ TIER = [
     "dedup_semantic",
     "dedup_incremental_minhash",
     "chunk_sliding_windows",
+    # round-4 wave (documents/embeddings-backed; join_key_skew_report is
+    # events-backed and events don't scale in this fixture)
+    "repeated_ngram_mask",
+    "split_leakage_check",
+    "embedding_outlier_scores",
 ]
 
 ALPHA = "abcdefghijklmnopqrstuvwxyz"

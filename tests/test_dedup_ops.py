@@ -349,3 +349,64 @@ def test_duplicate_clusters_star_backend_matches_default(spark, sf_dir):
     a = {tuple(r) for r in dd.duplicate_clusters(pairs).collect()}
     b = {tuple(r) for r in dd.duplicate_clusters(pairs, algorithm="star").collect()}
     assert a == b and a
+
+
+def test_repeated_ngram_mask_hand_truth(spark):
+    """Coverage math on a constructed corpus: docs A and B share one
+    duplicated 3-token passage at DIFFERENT alignments (the case
+    non-overlapping span dedup misses); C is unique; D is shorter than
+    k so it cannot be masked."""
+    docs = spark.createDataFrame(
+        [
+            (1, "x1 x2 dup1 dup2 dup3 y1 y2"),
+            (2, "z1 dup1 dup2 dup3"),
+            (3, "a b c d e f g"),
+            (4, "p q"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in dd.repeated_ngram_mask_profile(docs, "doc_id", "text", k=3).collect()
+    }
+    assert rows[1]["n_tokens"] == 7 and rows[1]["n_masked"] == 3
+    assert rows[2]["n_tokens"] == 4 and rows[2]["n_masked"] == 3
+    assert rows[3]["n_masked"] == 0
+    assert rows[4]["n_masked"] == 0 and rows[4]["mask_ratio"] == 0.0
+    assert abs(rows[2]["mask_ratio"] - 0.75) < 1e-12
+
+
+def test_repeated_ngram_mask_intra_doc_repeat(spark):
+    """A passage repeated WITHIN one document counts toward the >=2
+    threshold (ExactSubstr semantics): both occurrences mask."""
+    docs = spark.createDataFrame(
+        [(1, "r1 r2 r3 mid r1 r2 r3"), (2, "unrelated words only here")],
+        ["doc_id", "text"],
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in dd.repeated_ngram_mask_profile(docs, "doc_id", "text", k=3).collect()
+    }
+    assert rows[1]["n_masked"] == 6  # positions 1-3 and 5-7, not 'mid'
+    assert rows[2]["n_masked"] == 0
+
+
+def test_mahalanobis_outlier_hand_truth(spark):
+    """A point far from a tight cluster must be flagged; cluster members
+    must not.  Uses 2-dim vectors: d2 ≈ z1²+z2² per construction."""
+    from mapreduceproject_spark.operators.similarity import (
+        mahalanobis_outlier_scores,
+    )
+
+    base = [(i, [float(i % 5) / 100.0, float(i % 7) / 100.0]) for i in range(50)]
+    far = [(99, [50.0, -50.0])]
+    df = spark.createDataFrame(base + far, ["vec_id", "embedding"])
+    rows = {r["vec_id"]: r for r in
+            mahalanobis_outlier_scores(df, "vec_id", "embedding").collect()}
+    assert rows[99]["is_outlier"]
+    flagged = [i for i, r in rows.items() if r["is_outlier"]]
+    assert flagged == [99]
+    # scores are non-negative and the outlier dominates
+    assert rows[99]["maha_d2"] > 10 * max(
+        r["maha_d2"] for i, r in rows.items() if i != 99
+    )

@@ -295,3 +295,34 @@ def test_semantic_dedup_pair_join_is_on_cluster_id(spark, sf_dir):
     assert "CartesianProduct" not in plan
     joins = [l for l in plan.splitlines() if "Join" in l and "cluster_id" in l]
     assert joins, "expected a join keyed on cluster_id"
+
+
+def test_skew_report_uses_takeordered_and_broadcast_total(spark, sf_dir):
+    """The top-k cut must be TakeOrdered (no global sort) and the 1-row
+    global rollup must come back as a broadcast, not a shuffle join."""
+    plan = _plan(QUERIES["join_key_skew_report"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_outlier_stats_join_broadcasts(spark, sf_dir):
+    """Per-dim moments collapse to ONE row; rejoining them to the corpus
+    must be a broadcast, and nothing in the plan may shuffle the corpus
+    beyond the constant-key dim aggregate."""
+    plan = _plan(QUERIES["embedding_outlier_scores"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_repeated_ngram_mask_shuffles_hashes_not_text(spark, sf_dir):
+    """The corpus-wide exchange for the duplicate-gram count must carry
+    the 60-bit hash — gram TEXT must be projected away before any
+    exchange (the window partitions on h; text appears only in scans
+    and the narrow gram-assembly stage)."""
+    df = QUERIES["repeated_ngram_mask"](spark, sf_dir)
+    opt = _optimized(df)
+    # the optimized plan's window/aggregate keys are h / id / pos longs
+    assert "hashpartitioning(h#" in _plan(df) or "h#" in opt
+    assert "CartesianProduct" not in _plan(df)
