@@ -830,3 +830,127 @@ def split_leakage_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("split_a") != F.col("split_b"))
         .select("id_a", "id_b", "jaccard", "split_a", "split_b")
     )
+
+
+# -- MinHash-LSH recall gauge (round 4) --------------------------------------
+# Deterministic hash-sample bounds the exact all-pairs truth pass; 40% of
+# docs at fixture sizes, and the knob a corpus-scale gauge run would turn
+# down to keep |sample|² affordable.
+RECALL_SAMPLE_PCT, RECALL_SALT = 40, "|mh-recall"
+
+
+def _minhash_recall_oracle() -> str:
+    params = minhash_params(MINHASH_N, MINHASH_SEED)
+    from mapreduceproject_spark.functions.hashing import (
+        duck_minhash_perm,
+    )
+
+    mins = ",\n           ".join(
+        f"min({duck_minhash_perm('h', a, b)}) AS m{i}"
+        for i, (a, b) in enumerate(params)
+    )
+    rpb = MINHASH_N // MINHASH_BANDS
+    band_selects = "\n      UNION ALL ".join(
+        "SELECT id, {b} AS band, concat_ws(',', {cols}) AS sig FROM sigs".format(
+            b=b, cols=", ".join(f"m{b * rpb + r}" for r in range(rpb))
+        )
+        for b in range(MINHASH_BANDS)
+    )
+    return f"""
+    WITH smp AS (
+      SELECT doc_id, text FROM documents
+      WHERE {duck_hash60(f"text || '{RECALL_SALT}'")} % 100 < {RECALL_SAMPLE_PCT}
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id AS id, {duck_hash60("sh")} AS h
+      FROM (SELECT doc_id, unnest({duck_word_shingles("text", SHINGLE_K)}) AS sh
+            FROM smp)
+    ),
+    sizes AS (SELECT id, COUNT(*) AS n FROM sh GROUP BY id),
+    tinter AS (
+      SELECT x.id AS id_a, y.id AS id_b, COUNT(*) AS both
+      FROM sh x JOIN sh y ON y.h = x.h AND y.id > x.id
+      GROUP BY 1, 2
+    ),
+    truth AS (
+      SELECT i.id_a, i.id_b
+      FROM tinter i JOIN sizes na ON na.id = i.id_a JOIN sizes nb ON nb.id = i.id_b
+      WHERE i.both / (na.n + nb.n - i.both) >= {JACCARD_THR}
+    ),
+    sigs AS (SELECT id, {mins} FROM sh GROUP BY id),
+    bands AS ({band_selects}),
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.id < b.id
+    ),
+    dinter AS (
+      SELECT p.id_a, p.id_b, COUNT(*) AS both
+      FROM cand p JOIN sh x ON x.id = p.id_a JOIN sh y ON y.id = p.id_b AND y.h = x.h
+      GROUP BY 1, 2
+    ),
+    det AS (
+      SELECT i.id_a, i.id_b
+      FROM dinter i JOIN sizes na ON na.id = i.id_a JOIN sizes nb ON nb.id = i.id_b
+      WHERE i.both / (na.n + nb.n - i.both) >= {JACCARD_THR}
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_truth_pairs,
+           CAST(COUNT(d.id_a) AS BIGINT) AS n_detected,
+           CASE WHEN COUNT(*) > 0
+                THEN CAST(COUNT(d.id_a) AS BIGINT) / CAST(COUNT(*) AS BIGINT)
+                ELSE 0.0 END AS recall
+    FROM truth t LEFT JOIN det d ON d.id_a = t.id_a AND d.id_b = t.id_b
+    """
+
+
+@query("dedup_minhash_recall", oracle=_minhash_recall_oracle())
+def dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall gauge for the MinHash-LSH near-dup detector: exact all-pairs
+    jaccard ground truth over a deterministic {RECALL_SAMPLE_PCT}% hash
+    sample vs the SAME-constants LSH pipeline on the same sample —
+    the number that decides bands/rows tradeoffs before a corpus-scale
+    rollout, completing the accuracy-gauge family (ann_ivf_recall /
+    ann_lsh_recall).  Precision is 1.0 by construction (detected pairs
+    are exact-verified at the same threshold), so the single recall
+    figure characterizes the detector.
+
+    Scale shape: the exact truth pass is the deliberately-bounded part —
+    the co-shingle self-join costs Σ df(shingle)² over the SAMPLE only;
+    the sample percentage is the gauge's budget knob.  Everything else
+    reuses the production pipeline's bucketed shapes."""
+    docs = load_table(spark, sf_dir, "documents")
+    sample = docs.filter(
+        hash60(F.concat(F.col("text"), F.lit(RECALL_SALT))) % 100
+        < RECALL_SAMPLE_PCT
+    )
+    hashed = dd.shingle_hashes(sample, "doc_id", "text", SHINGLE_K).persist()
+    cand = (
+        hashed.select(F.col("_id").alias("id_a"), "h")
+        .join(hashed.select(F.col("_id").alias("id_b"), "h"), "h")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    truth = dd.verify_jaccard(cand, hashed, JACCARD_THR).select("id_a", "id_b")
+    det = dd.minhash_lsh_dedup(
+        sample,
+        "doc_id",
+        "text",
+        num_hashes=MINHASH_N,
+        bands=MINHASH_BANDS,
+        shingle_k=SHINGLE_K,
+        threshold=JACCARD_THR,
+        seed=MINHASH_SEED,
+    ).select(F.col("id_a").alias("da"), F.col("id_b").alias("db"))
+    joined = truth.join(
+        det, (F.col("id_a") == F.col("da")) & (F.col("id_b") == F.col("db")), "left"
+    )
+    return joined.agg(
+        F.count("*").cast("long").alias("n_truth_pairs"),
+        F.count("da").cast("long").alias("n_detected"),
+        F.when(
+            F.count("*") > 0,
+            F.count("da").cast("long") / F.count("*").cast("long"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("recall"),
+    )
