@@ -996,3 +996,103 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         (F.col("n").cast("double") / F.sum("n").over(wt).cast("double")).alias("p"),
     )
+
+
+# -- batch MERGE INTO semantics (round 4) ------------------------------------
+MERGE_SALT = "|merge-v1"
+MERGE_BUMP_CENTS = 500  # updates add a flat $5.00 (pure integer arithmetic)
+
+
+def _merge_oracle() -> str:
+    from mapreduceproject_spark.functions.hashing import duck_hash60
+
+    op = duck_hash60(f"CAST(o_orderkey AS VARCHAR) || '{MERGE_SALT}'")
+    return f"""
+    WITH snap AS (
+      SELECT o_orderkey AS k, o_orderstatus AS st,
+             CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
+             {op} % 10 AS op
+      FROM orders
+    ),
+    merged AS (
+      -- unchanged rows
+      SELECT k, st, cents FROM snap WHERE op NOT IN (0, 1)
+      UNION ALL
+      -- updated rows (matched + update)
+      SELECT k, st, cents + {MERGE_BUMP_CENTS} FROM snap WHERE op = 0
+      -- op = 1 rows are deleted (matched + delete)
+      UNION ALL
+      -- inserted rows (not matched by source): disjoint negative keys
+      SELECT -k, st, cents FROM snap WHERE op = 2
+    )
+    SELECT st AS o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(cents) AS BIGINT) AS total_cents
+    FROM merged GROUP BY st
+    """
+
+
+@query("cdc_merge_apply", oracle=_merge_oracle())
+def cdc_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO semantics as one distributed plan: a deterministic CDC
+    batch (10% updates, 10% deletes, 10% inserts, hash-derived) applied
+    to the orders snapshot via full-outer join on the key —
+    matched+update takes the source values, matched+delete drops the
+    row, not-matched inserts append.  Post-merge per-status row counts
+    and exact integer-cents totals are the verifiable output.
+
+    Scale shape: ONE key-partitioned full-outer join (the canonical
+    Delta/Iceberg MERGE physical plan before file-level pruning); both
+    sides shuffle on the key once, and at a real deployment the
+    snapshot side would additionally prune touched files by the change
+    batch's key min/max (the zorder_layout_extents machinery).  Cents
+    derived with floor(x*100) — cast truncation vs rounding differs
+    across engines, floor does not."""
+    from mapreduceproject_spark.functions.hashing import hash60
+
+    snap = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("st"),
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    op = hash60(
+        F.concat(F.col("k").cast("string"), F.lit(MERGE_SALT))
+    ) % 10
+    tagged = snap.select("k", "st", "cents", op.alias("op"))
+    changes = (
+        tagged.filter(F.col("op") == 0)
+        .select(
+            "k",
+            F.lit("update").alias("act"),
+            (F.col("cents") + MERGE_BUMP_CENTS).alias("new_cents"),
+            F.col("st").alias("new_st"),
+        )
+        .unionByName(
+            tagged.filter(F.col("op") == 1).select(
+                "k",
+                F.lit("delete").alias("act"),
+                F.lit(None).cast("long").alias("new_cents"),
+                F.lit(None).cast("string").alias("new_st"),
+            )
+        )
+        .unionByName(
+            tagged.filter(F.col("op") == 2).select(
+                (-F.col("k")).alias("k"),
+                F.lit("insert").alias("act"),
+                F.col("cents").alias("new_cents"),
+                F.col("st").alias("new_st"),
+            )
+        )
+    )
+    merged = (
+        snap.join(changes, "k", "full")
+        .filter((F.col("act").isNull()) | (F.col("act") != "delete"))
+        .select(
+            F.coalesce(F.col("new_st"), F.col("st")).alias("st"),
+            F.coalesce(F.col("new_cents"), F.col("cents")).alias("cents"),
+        )
+    )
+    return merged.groupBy(F.col("st").alias("o_orderstatus")).agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum("cents").cast("long").alias("total_cents"),
+    )

@@ -688,3 +688,49 @@ def heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread_for_compute(load_table(spark, sf_dir, "documents"))
     toks = docs.select(F.explode(tokens(F.lower(F.col("text")))).alias("term"))
     return heavy_hitters_exact(toks, "term", phi=HH_PHI)
+
+
+# -- weighted sampling without replacement (round 4) -------------------------
+WSAMPLE_N, WSAMPLE_SALT = 50, "|wsample-v1"
+_TWO60 = float(1 << 60)
+
+
+@query(
+    "weighted_sample_wor",
+    oracle=f"""
+    WITH k AS (
+      SELECT doc_id, lang, source, n_chars,
+             ln(({duck_hash60(f"text || '{WSAMPLE_SALT}'")} + 1) / {_TWO60!r}) / n_chars AS es_key
+      FROM documents WHERE n_chars > 0
+    )
+    SELECT doc_id, lang, source, CAST(n_chars AS BIGINT) AS weight, es_key
+    FROM k ORDER BY es_key DESC, doc_id LIMIT {WSAMPLE_N}
+    """,
+)
+def weighted_sample_wor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement in one distributed pass —
+    Efraimidis-Spirakis exponential-sort keys (key = ln(u)/w, take the
+    top {WSAMPLE_N}): each document's inclusion probability is
+    proportional to its weight (n_chars here — the 'sample long docs
+    more' curation policy), with NO sequential state, NO rejection
+    loop, and NO driver-side draw — the only global operation is a
+    TakeOrdered top-k carrying two longs + a double per row.  u is
+    hash-derived, so the sample is reproducible across runs and both
+    engines draw identical keys.  This is the distributed replacement
+    for `ORDER BY random() LIMIT n` (nondeterministic, full sort) and
+    for sequential reservoir algorithms (stateful, unmergeable)."""
+    docs = load_table(spark, sf_dir, "documents")
+    u = (hash60(F.concat(F.col("text"), F.lit(WSAMPLE_SALT))) + 1) / F.lit(_TWO60)
+    key = F.log(u) / F.col("n_chars")
+    return (
+        docs.filter(F.col("n_chars") > 0)
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            F.col("n_chars").cast("long").alias("weight"),
+            key.alias("es_key"),
+        )
+        .orderBy(F.col("es_key").desc(), "doc_id")
+        .limit(WSAMPLE_N)
+    )

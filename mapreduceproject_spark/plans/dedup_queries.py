@@ -922,7 +922,11 @@ def dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         hash60(F.concat(F.col("text"), F.lit(RECALL_SALT))) % 100
         < RECALL_SAMPLE_PCT
     )
-    hashed = dd.shingle_hashes(sample, "doc_id", "text", SHINGLE_K).persist()
+    from mapreduceproject_spark.sources.catalog import spread_for_compute
+
+    hashed = dd.shingle_hashes(
+        spread_for_compute(sample), "doc_id", "text", SHINGLE_K
+    ).persist()
     cand = (
         hashed.select(F.col("_id").alias("id_a"), "h")
         .join(hashed.select(F.col("_id").alias("id_b"), "h"), "h")
@@ -931,15 +935,14 @@ def dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     truth = dd.verify_jaccard(cand, hashed, JACCARD_THR).select("id_a", "id_b")
-    det = dd.minhash_lsh_dedup(
-        sample,
-        "doc_id",
-        "text",
-        num_hashes=MINHASH_N,
-        bands=MINHASH_BANDS,
-        shingle_k=SHINGLE_K,
-        threshold=JACCARD_THR,
-        seed=MINHASH_SEED,
+    # ONE shingle pipeline feeds both sides (the dedup_incremental_minhash
+    # lesson: a second shingle->signature pipeline costs ~1.9x for zero
+    # extra information) — compose the LSH stages on the same persisted
+    # hashed frame instead of calling minhash_lsh_dedup on the raw sample.
+    sigs = dd.minhash_signatures(hashed, MINHASH_N, MINHASH_SEED)
+    buckets = dd.lsh_band_buckets(sigs, MINHASH_N, MINHASH_BANDS)
+    det = dd.verify_jaccard(
+        dd.candidate_pairs_from_buckets(buckets, None), hashed, JACCARD_THR
     ).select(F.col("id_a").alias("da"), F.col("id_b").alias("db"))
     joined = truth.join(
         det, (F.col("id_a") == F.col("da")) & (F.col("id_b") == F.col("db")), "left"

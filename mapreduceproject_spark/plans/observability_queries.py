@@ -383,3 +383,51 @@ def join_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("freq") * F.col("n_keys") / F.col("total")).alias("skew_vs_avg"),
         F.expr(f"(freq * n_keys + total - 1) div total").alias("salt_parts"),
     )
+
+
+# -- mergeable-sketch rollup (round 4) ---------------------------------------
+
+
+@query(
+    "hll_sketch_rollup",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact,
+           CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,
+           TRUE AS within_sketch_bound
+    FROM events GROUP BY event_type
+    """,
+)
+def hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count rollup: per-(event_type, day) DataSketches
+    HLL sketches of user_id, unioned per event_type — the incremental-
+    stats pattern that matters at 100 TB: daily sketch tables roll up
+    WITHOUT rescanning history (yesterday's sketches are a few KB each;
+    the exact two-phase distinct below rescans everything, and is here
+    as the verification side).
+
+    Sketch bytes are engine/partitioning-specific, so the checkable
+    contract is the agg_approx_distinct pattern: exact distinct + the
+    merged estimate's deviation flag.  lgConfigK=12 gives RSE ~1.6%;
+    the 5% + 1 bound is ~3 sigma, deterministically TRUE for any valid
+    execution."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    rolled = daily.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("_est"),
+        F.count("*").cast("long").alias("n_days"),
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").cast("long").alias("n_exact")
+    )
+    return exact.join(rolled, "event_type").select(
+        "event_type",
+        "n_exact",
+        "n_days",
+        (
+            F.abs(F.col("_est") - F.col("n_exact"))
+            <= 0.05 * F.col("n_exact") + 1
+        ).alias("within_sketch_bound"),
+    )

@@ -28,12 +28,14 @@ ORACLES: dict[str, str] = {}
 # (a) no entry's newest row predates its current algorithm, and
 # (b) rows age oldest-first — after this round every entry has an r3/r4
 # row except five one-expression wrappers carrying r1 rows and the
-# eleven NEW round-4 queries (gopher_quality_filter,
+# fifteen NEW round-4 queries (gopher_quality_filter,
 # dsir_importance_weights, doc_shingle_novelty, ann_sq8_rerank_topk,
 # zorder_layout_extents, stream_windowed_topk, repeated_ngram_mask,
 # split_leakage_check, embedding_outlier_scores, join_key_skew_report,
-# dedup_minhash_recall — each with committed sf0.01 parity evidence via
-# scripts/window_check.py); those sixteen lead the round-5 window.  Names
+# dedup_minhash_recall, hll_sketch_rollup, weighted_sample_wor,
+# label_centroid_similarity, cdc_merge_apply — each with committed
+# sf0.01 parity evidence via scripts/window_check.py); those twenty
+# lead the round-5 window.  Names
 # absent from the registry are ignored (a pytest guards against typos);
 # everything else follows in registration order.
 # Every registry entry, windowed or not, is additionally parity-checked

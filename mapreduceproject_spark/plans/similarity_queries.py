@@ -674,3 +674,68 @@ def ann_sq8_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=TOP_K,
         rerank_factor=SQ8_RERANK,
     )
+
+
+# -- per-label centroid similarity map (round 4) ------------------------------
+
+
+def _centroid_sim_oracle() -> str:
+    dot = (
+        "list_aggregate(list_transform(range(1, len(ca)+1), "
+        "i -> ca[i] * cb[i]), 'sum')"
+    )
+    na = "list_aggregate(list_transform(ca, x -> x * x), 'sum')"
+    nb = "list_aggregate(list_transform(cb, x -> x * x), 'sum')"
+    return f"""
+    WITH e AS (SELECT label, {duck_quantize("CAST(embedding AS DOUBLE[])")} AS q
+               FROM embeddings),
+    d AS (
+      SELECT label, CAST(i AS BIGINT) - 1 AS dim, q[i] AS v
+      FROM (SELECT label, q, unnest(range(1, len(q) + 1)) AS i FROM e)
+    ),
+    cent AS (
+      SELECT label, dim,
+             CAST(SUM(v) AS BIGINT) / CAST(COUNT(*) AS BIGINT) AS mu
+      FROM d GROUP BY label, dim
+    ),
+    arr AS (SELECT label, list(mu ORDER BY dim) AS c FROM cent GROUP BY label)
+    SELECT a.label AS label_a, b.label AS label_b,
+           {dot} / (sqrt({na}) * sqrt({nb})) AS cosine
+    FROM (SELECT label, c AS ca FROM arr) a
+    JOIN (SELECT label, c AS cb FROM arr) b ON a.label < b.label
+    """
+
+
+@query("label_centroid_similarity", oracle=_centroid_sim_oracle())
+def label_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise cosine between per-label embedding centroids — the
+    cluster/source similarity map that tells a curation pipeline which
+    slices are near-redundant (merge candidates) vs complementary
+    (diversity).  Exact-integer per-(label, dim) sums make the centroids
+    bit-identical across engines; the pairwise stage is |labels|²-sized
+    (a broadcast self-join over a frame that has already collapsed from
+    corpus-size to label-count)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    dims = emb.select(
+        "label", F.posexplode(quantize(F.col("embedding"))).alias("dim", "v")
+    )
+    cent = dims.groupBy("label", "dim").agg(
+        (F.sum("v") / F.count("*")).alias("mu")
+    )
+    arr = cent.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "mu"))), lambda x: x["mu"]
+        ).alias("c")
+    )
+    a = arr.select(F.col("label").alias("label_a"), F.col("c").alias("ca"))
+    b = arr.select(F.col("label").alias("label_b"), F.col("c").alias("cb"))
+    dot = F.aggregate(
+        F.zip_with("ca", "cb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    na = F.aggregate(F.col("ca"), F.lit(0.0), lambda acc, x: acc + x * x)
+    nb = F.aggregate(F.col("cb"), F.lit(0.0), lambda acc, x: acc + x * x)
+    return a.join(F.broadcast(b), F.col("label_a") < F.col("label_b")).select(
+        "label_a",
+        "label_b",
+        (dot / (F.sqrt(na) * F.sqrt(nb))).alias("cosine"),
+    )
