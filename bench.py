@@ -57,13 +57,20 @@ def main() -> None:
             try:
                 fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
             except Exception as e:  # one broken query must not cost the whole artifact
-                if name not in failed:
+                # success-wins across passes: a query with ANY timed pass is
+                # measured, not failed (transient env errors don't demote
+                # it); a query with no successful pass is failed only.
+                if name not in failed and name not in timings:
                     failed.append(name)
                 print(f"# bench FAILED {name}: {e!r:.200}", file=sys.stderr)
                 spark.catalog.clearCache()
                 continue
             t = round(time.perf_counter() - t0, 3)
             timings[name] = min(timings.get(name, t), t)
+            # a success on any pass supersedes a transient failure on an
+            # earlier pass — the artifact must never claim both
+            if name in failed:
+                failed.remove(name)
             # Drop this query's persisted frames before the next one: across
             # 100+ queries the accumulated caches fill storage memory and the
             # resulting evictions/GC land on RANDOM later queries (observed:

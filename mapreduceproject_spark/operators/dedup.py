@@ -484,18 +484,29 @@ NGRAM_SCRATCH_BYTES_PER_CHAR = 48
 NGRAM_EST_HASHES = 24
 
 
+# Below this estimated scratch, "auto" NEVER falls back: a few GiB of
+# exact-mode scratch is affordable on any host that can run Spark at
+# all, and the floor makes the registered query's algorithm (and its
+# oracle parity) independent of how full a driver/CI box's disk happens
+# to be — the fallback is for corpus-scale scratch (the 67 GB 100×
+# DNF), not for small fixtures on crowded machines.
+NGRAM_SCRATCH_FLOOR_BYTES = 4 << 30
+
+
 def _ngram_scratch_mode(
     policy: str, need_bytes: int, free_bytes: int, headroom: float = 0.5
 ) -> str:
     """Resolve the verify mode: explicit policies pass through; "auto"
-    picks exact verification unless its estimated shuffle scratch exceeds
-    ``headroom`` of the free bytes on the shuffle-scratch volume (the
-    100×-fixture failure mode: dedup_ngram_jaccard DNF'd on DISK, not
-    compute, round 3)."""
+    picks exact verification unless its estimated shuffle scratch BOTH
+    exceeds the small-corpus floor and exceeds ``headroom`` of the free
+    bytes on the shuffle-scratch volume (the 100×-fixture failure mode:
+    dedup_ngram_jaccard DNF'd on DISK, not compute, round 3)."""
     if policy in ("exact", "estimate"):
         return policy
     if policy != "auto":
         raise ValueError(f"scratch_policy must be exact|estimate|auto, got {policy!r}")
+    if need_bytes <= NGRAM_SCRATCH_FLOOR_BYTES:
+        return "exact"
     return "exact" if need_bytes <= free_bytes * headroom else "estimate"
 
 

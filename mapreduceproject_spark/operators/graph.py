@@ -199,7 +199,13 @@ def pagerank(
                 .join(contrib, "_v", "left")
                 .select("_v", "_n", base_p.alias("p"))
             )
-        if (it + 1) % ckpt_every == 0:
+        if redistribute_dangling or (it + 1) % ckpt_every == 0:
+            # redistribute mode references the previous iteration's frame
+            # THREE times (contrib, dangling aggregate, carry-through) —
+            # without a per-iteration cut each consumer re-executes the
+            # whole prior chain, compounding across iterations.  The
+            # lazy localCheckpoint implies persist, so the three readers
+            # share one materialization.
             ranked = ckpt(ranked)
     return ranked.select(
         F.col("_v").alias(id_col),

@@ -26,7 +26,13 @@ from functools import reduce
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-ZORDER_BITS = 16
+# 31 bits per key: covers EVERY non-negative int32 key exactly (the
+# interleaved key occupies 62 bits of the signed long), so the audit is
+# correct at any scale factor — 16 bits silently aliased keys >= 65536
+# (distant keys mapped into the same z-neighborhood, corrupting the
+# extent numbers on exactly the large corpora the audit exists for,
+# invisibly to oracle parity since both engines shared the truncation).
+ZORDER_BITS = 31
 
 
 def zorder_key(a: Column, b: Column, bits: int = ZORDER_BITS) -> Column:

@@ -579,17 +579,23 @@ def mahalanobis_outlier_scores(
         id_col, *keep, quantize(F.col(vec_col)).alias("q")
     )
     dims = emb.select(id_col, F.posexplode("q").alias("dim", "v"))
+    # Overflow audit: quantized components are ~1e6-scale, so int64 Σv²
+    # wraps at ~9M vectors and (Σv)² far sooner — sum in decimal(38,0)
+    # (Spark) / HUGEINT (DuckDB twin), both exact, then convert ONCE to
+    # double: round-to-nearest from the same exact integer is the same
+    # double on every engine, and all downstream arithmetic is double.
     stats = dims.groupBy("dim").agg(
-        F.sum("v").alias("s1"),
-        F.sum(F.col("v") * F.col("v")).alias("s2"),
+        F.sum(F.col("v").cast("decimal(38,0)")).alias("s1"),
+        F.sum(
+            (F.col("v").cast("decimal(19,0)") * F.col("v")).cast("decimal(38,0)")
+        ).alias("s2"),
         F.count("*").alias("n"),
     )
+    s1d, s2d = F.col("s1").cast("double"), F.col("s2").cast("double")
     moments = stats.select(
         "dim",
-        (F.col("s1") / F.col("n")).alias("mu"),
-        (
-            (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")) / F.col("n")
-        ).alias("var"),
+        (s1d / F.col("n")).alias("mu"),
+        ((s2d - s1d * s1d / F.col("n")) / F.col("n")).alias("var"),
     )
     row = moments.groupBy().agg(
         F.transform(

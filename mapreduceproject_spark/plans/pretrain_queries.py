@@ -120,11 +120,17 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/quality.py::dsir_weights)."""
     docs = load_table(spark, sf_dir, "documents")
     w = q.dsir_weights(docs, "doc_id", "text", F.col("lang") == "en")
+    # top-N via TakeOrdered (total order through the doc_id tie-break),
+    # NOT a global row_number window — the unpartitioned window funnels
+    # the whole corpus through one task before the rank filter; the
+    # limit keeps the cut distributed and the residual rank window runs
+    # over {DSIR_TOP_N} surviving rows only.
     win = Window.orderBy(F.desc("weight_micro"), F.asc("doc_id"))
     return (
         w.join(docs.select("doc_id", "lang"), "doc_id")
+        .orderBy(F.desc("weight_micro"), F.asc("doc_id"))
+        .limit(DSIR_TOP_N)
         .withColumn("rnk", F.row_number().over(win).cast("long"))
-        .filter(F.col("rnk") <= DSIR_TOP_N)
         .select("rnk", "doc_id", "lang", "weight_micro")
     )
 
@@ -170,8 +176,8 @@ def _outlier_oracle() -> str:
       SELECT CAST(i AS BIGINT) - 1 AS dim, q[i] AS v
       FROM (SELECT q, unnest(range(1, len(q) + 1)) AS i FROM e)
     ),
-    st AS (SELECT dim, CAST(SUM(v) AS BIGINT) AS s1,
-                  CAST(SUM(v * v) AS BIGINT) AS s2,
+    st AS (SELECT dim, CAST(SUM(v) AS DOUBLE) AS s1,
+                  CAST(SUM(CAST(v AS HUGEINT) * v) AS DOUBLE) AS s2,
                   CAST(COUNT(*) AS BIGINT) AS n
            FROM d GROUP BY dim),
     mo AS (SELECT dim, s1 / n AS mu, (s2 - s1 * s1 / n) / n AS var FROM st),

@@ -607,7 +607,7 @@ def knn_degree_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # -- SQ8: scalar-quantized candidate scan + exact rerank --------------------
-EMB_DIM = 64  # fixture embedding dimensionality (TESTDATA.md)
+# (EMB_DIM shared with the k-means tier above — one source of truth)
 SQ8_RERANK = 4
 
 

@@ -318,13 +318,19 @@ def test_ngram_estimate_mode_matches_exact_pairs(spark, sf_dir):
 
 def test_ngram_scratch_policy_resolution():
     """Pure decision function: explicit policies pass through; auto
-    switches to estimate exactly when need > headroom * free."""
+    switches to estimate exactly when need > headroom * free AND the
+    need clears the small-corpus floor (below the floor, exact is
+    affordable anywhere and the registered query's algorithm must not
+    depend on a crowded host's free disk)."""
     import pytest
 
+    floor = dd.NGRAM_SCRATCH_FLOOR_BYTES
     assert dd._ngram_scratch_mode("exact", 10**15, 1, 0.5) == "exact"
     assert dd._ngram_scratch_mode("estimate", 0, 10**15, 0.5) == "estimate"
-    assert dd._ngram_scratch_mode("auto", 49, 100, 0.5) == "exact"
-    assert dd._ngram_scratch_mode("auto", 51, 100, 0.5) == "estimate"
+    assert dd._ngram_scratch_mode("auto", floor + 49, floor * 2 + 100, 0.5) == "exact"
+    assert dd._ngram_scratch_mode("auto", floor + 51, 100, 0.5) == "estimate"
+    # below the floor auto NEVER falls back, even with zero free bytes
+    assert dd._ngram_scratch_mode("auto", floor - 1, 0, 0.5) == "exact"
     with pytest.raises(ValueError):
         dd._ngram_scratch_mode("yolo", 0, 0)
 

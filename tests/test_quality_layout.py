@@ -73,12 +73,17 @@ def test_shingle_novelty_hand_truth(spark):
 def test_zorder_key_matches_python_morton(spark):
     def morton(a: int, b: int) -> int:
         out = 0
-        for i in range(16):
+        for i in range(31):
             out |= ((a >> i) & 1) << (2 * i)
             out |= ((b >> i) & 1) << (2 * i + 1)
         return out
 
-    rows = [(a, b) for a in (0, 1, 5, 255, 65535) for b in (0, 2, 7, 1023)]
+    # includes keys past the old 16-bit range: 65536+ must NOT alias
+    rows = [
+        (a, b)
+        for a in (0, 1, 5, 255, 65535, 65536, 2_000_000, 2**31 - 1)
+        for b in (0, 2, 7, 1023, 70_000, 2**31 - 1)
+    ]
     df = spark.createDataFrame(rows, ["a", "b"]).select(
         "a", "b", zorder_key(F.col("a"), F.col("b"))
     )
