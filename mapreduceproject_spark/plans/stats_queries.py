@@ -249,3 +249,254 @@ def chi2_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.any_value("n") * F.least(nl - 1, ns - 1))
         ).alias("cramers_v"),
     )
+
+
+# -- A/B test: Welch two-sample t (round 4) ----------------------------------
+AB_SALT = "|ab-v1"
+AB_T_CRIT = 1.96  # ~95% two-sided normal approximation
+
+
+def _ab_oracle() -> str:
+    from mapreduceproject_spark.functions.hashing import duck_hash60
+
+    inner = duck_hash60(f"CAST(user_id AS VARCHAR) || '{AB_SALT}'")
+    v = f"{inner} % 2"
+    return f"""
+    WITH x AS (
+      SELECT event_type, {v} AS v,
+             CAST(floor(value * 100) AS BIGINT) AS cents
+      FROM events
+    ),
+    s AS (
+      SELECT event_type,
+             CAST(SUM(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+             CAST(SUM(CASE WHEN v = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+             CAST(SUM(CASE WHEN v = 0 THEN cents ELSE 0 END) AS BIGINT) AS sa1,
+             CAST(SUM(CASE WHEN v = 1 THEN cents ELSE 0 END) AS BIGINT) AS sb1,
+             CAST(SUM(CASE WHEN v = 0 THEN cents * cents ELSE 0 END) AS BIGINT) AS sa2,
+             CAST(SUM(CASE WHEN v = 1 THEN cents * cents ELSE 0 END) AS BIGINT) AS sb2
+      FROM x GROUP BY event_type
+    )
+    SELECT event_type, na, nb,
+           sa1 / na AS mean_a_cents,
+           sb1 / nb AS mean_b_cents,
+           (sa1 / na - sb1 / nb)
+             / sqrt(((sa2 - sa1 * sa1 / na) / (na - 1)) / na
+                    + ((sb2 - sb1 * sb1 / nb) / (nb - 1)) / nb) AS t_stat,
+           abs((sa1 / na - sb1 / nb)
+             / sqrt(((sa2 - sa1 * sa1 / na) / (na - 1)) / na
+                    + ((sb2 - sb1 * sb1 / nb) / (nb - 1)) / nb)) > {AB_T_CRIT}
+             AS significant
+    FROM s
+    """
+
+
+@query("ab_test_welch", oracle=_ab_oracle())
+def ab_test_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample A/B analysis with Welch's t statistic per event type:
+    users deterministically hash-split into variants (assignment at the
+    USER level — the unit of randomization — so a user's events never
+    straddle arms), then one conditional-aggregation pass builds both
+    arms' exact integer sufficient statistics (n, Σcents, Σcents²) and
+    the t statistic comes out of identical double arithmetic on both
+    engines.  Magnitude audit: event cents ≤ 2¹⁵ (BASELINE fixture
+    bound), so Σ and Σ² stay far inside int64 at fixture scale and the
+    Σ² term wraps only past ~8.6e12 rows per (type, arm) — beyond that,
+    widen to decimal(38,0) per the SCALING.md known-cliff #5 discipline.
+    One map-side-combined groupBy is the entire plan — the classic
+    experiment-analysis query at any scale."""
+    from mapreduceproject_spark.functions.hashing import hash60
+
+    ev = load_table(spark, sf_dir, "events")
+    v = hash60(
+        F.concat(F.col("user_id").cast("string"), F.lit(AB_SALT))
+    ) % 2
+    x = ev.select(
+        "event_type",
+        v.alias("v"),
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    def csum(cond, expr):
+        return F.sum(F.when(cond, expr).otherwise(F.lit(0))).cast("long")
+
+    a, b = F.col("v") == 0, F.col("v") == 1
+    s = x.groupBy("event_type").agg(
+        csum(a, F.lit(1)).alias("na"),
+        csum(b, F.lit(1)).alias("nb"),
+        csum(a, F.col("cents")).alias("sa1"),
+        csum(b, F.col("cents")).alias("sb1"),
+        csum(a, F.col("cents") * F.col("cents")).alias("sa2"),
+        csum(b, F.col("cents") * F.col("cents")).alias("sb2"),
+    )
+    ma = F.col("sa1") / F.col("na")
+    mb = F.col("sb1") / F.col("nb")
+    va = (F.col("sa2") - F.col("sa1") * F.col("sa1") / F.col("na")) / (
+        F.col("na") - 1
+    )
+    vb = (F.col("sb2") - F.col("sb1") * F.col("sb1") / F.col("nb")) / (
+        F.col("nb") - 1
+    )
+    t = (ma - mb) / F.sqrt(va / F.col("na") + vb / F.col("nb"))
+    return s.select(
+        "event_type",
+        "na",
+        "nb",
+        ma.alias("mean_a_cents"),
+        mb.alias("mean_b_cents"),
+        t.alias("t_stat"),
+        (F.abs(t) > AB_T_CRIT).alias("significant"),
+    )
+
+
+# -- Poisson bootstrap confidence intervals (round 4) ------------------------
+# Poisson(1) inverse-CDF thresholds, inlined identically into BOTH engines
+# so every (row, replica) draws the same weight.  math.exp(-1) partial
+# sums, printed with full double precision.
+BOOT_B = 32
+BOOT_SALT = "|boot-v1"
+
+
+def _poisson_thresholds() -> list[float]:
+    import math
+
+    out, term, cdf = [], math.exp(-1.0), 0.0
+    for k in range(9):
+        cdf += term
+        out.append(cdf)
+        term /= k + 1
+    return out
+
+
+def _boot_weight_sql(u: str) -> str:
+    ts = _poisson_thresholds()
+    branches = " ".join(
+        f"WHEN {u} < {t!r} THEN {k}" for k, t in enumerate(ts)
+    )
+    return f"(CASE {branches} ELSE {len(ts)} END)"
+
+
+def _boot_params() -> list[tuple[int, int]]:
+    """Per-replica universal-hash constants: ONE md5 seed per row, then
+    u_b = ((seed mod P)·A_b + B_b mod P)/P — 32 integer ops replace 32
+    md5 evaluations (measured 3.9 s → the md5 was the whole cost)."""
+    from mapreduceproject_spark.functions.hashing import minhash_params
+
+    return minhash_params(BOOT_B, seed=7)
+
+
+def _boot_oracle() -> str:
+    from mapreduceproject_spark.functions.hashing import MERSENNE_P, duck_hash60
+
+    params = _boot_params()
+    a_lit = "[" + ", ".join(str(a) for a, _ in params) + "]"
+    b_lit = "[" + ", ".join(str(b) for _, b in params) + "]"
+    h = duck_hash60(f"CAST(event_id AS VARCHAR) || '{BOOT_SALT}'")
+    u = (
+        f"((((seed % {MERSENNE_P}) * ({a_lit})[b + 1] % {MERSENNE_P})"
+        f" + ({b_lit})[b + 1]) % {MERSENNE_P} / {float(MERSENNE_P)!r})"
+    )
+    w = _boot_weight_sql(u)
+    return f"""
+    WITH x AS (
+      SELECT event_type, event_id, {h} AS seed,
+             CAST(floor(value * 100) AS BIGINT) AS cents
+      FROM events
+    ),
+    rep AS (
+      SELECT event_type, b, cents, CAST({w} AS BIGINT) AS w
+      FROM (SELECT x.*, unnest(range(0, {BOOT_B})) AS b FROM x)
+    ),
+    g AS (
+      SELECT event_type, b, CAST(SUM(w * cents) AS BIGINT) AS sw,
+             CAST(SUM(w) AS BIGINT) AS nw
+      FROM rep GROUP BY event_type, b
+    ),
+    m AS (SELECT event_type, sw / nw AS mrep FROM g),
+    arr AS (
+      SELECT event_type, list(mrep ORDER BY mrep) AS a FROM m GROUP BY event_type
+    ),
+    pt AS (
+      SELECT event_type,
+             CAST(SUM(cents) AS BIGINT) / CAST(COUNT(*) AS BIGINT) AS mean_cents
+      FROM x GROUP BY event_type
+    )
+    SELECT pt.event_type, pt.mean_cents,
+           a[2] AS ci_lo_cents,
+           a[{BOOT_B - 1}] AS ci_hi_cents,
+           CAST(len(a) AS BIGINT) AS n_replicas
+    FROM pt JOIN arr USING (event_type)
+    """
+
+
+@query("bootstrap_ci_poisson", oracle=_boot_oracle())
+def bootstrap_ci_poisson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson bootstrap (Chamandy et al., Google) confidence interval for
+    the per-event-type mean: each row gets an independent Poisson(1)
+    weight per replica — the canonical DISTRIBUTED resampling, since
+    classic bootstrap's fixed-n multinomial draw needs global
+    coordination while Poisson weights are a pure per-row map.
+    {BOOT_B} replicas, weights drawn by inverse-CDF over a hash-derived
+    uniform (thresholds inlined identically in both engines →
+    bit-identical draws), CI from the 2nd / {BOOT_B - 1}th order
+    statistics of the replica means (~94% coverage at B={BOOT_B}).
+
+    Scale shape: the explode is a deliberate B× row fan-out — the
+    documented bootstrap cost everywhere — but all downstream state is
+    (type × B) means; no per-replica shuffle of raw data beyond the one
+    grouped aggregate, which map-side combines."""
+    from mapreduceproject_spark.functions.hashing import hash60
+
+    from mapreduceproject_spark.functions.hashing import MERSENNE_P
+
+    ev = load_table(spark, sf_dir, "events")
+    params = _boot_params()
+    a_arr = F.array(*[F.lit(a) for a, _ in params])
+    b_arr = F.array(*[F.lit(b) for _, b in params])
+    x = ev.select(
+        "event_type",
+        "event_id",
+        hash60(
+            F.concat(F.col("event_id").cast("string"), F.lit(BOOT_SALT))
+        ).alias("seed"),
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    rep = x.select(
+        "event_type",
+        "seed",
+        "cents",
+        F.explode(F.sequence(F.lit(0), F.lit(BOOT_B - 1))).alias("b"),
+    )
+    u = (
+        (F.col("seed") % MERSENNE_P)
+        * F.element_at(a_arr, F.col("b") + 1)
+        % MERSENNE_P
+        + F.element_at(b_arr, F.col("b") + 1)
+    ) % MERSENNE_P / F.lit(float(MERSENNE_P))
+    w = F.lit(None)
+    ts = _poisson_thresholds()
+    expr = F.when(u < ts[0], 0)
+    for k, t in enumerate(ts[1:], start=1):
+        expr = expr.when(u < t, k)
+    w = expr.otherwise(len(ts)).cast("long")
+    g = rep.select("event_type", "b", "cents", w.alias("w")).groupBy(
+        "event_type", "b"
+    ).agg(
+        F.sum(F.col("w") * F.col("cents")).cast("long").alias("sw"),
+        F.sum("w").cast("long").alias("nw"),
+    )
+    m = g.select("event_type", (F.col("sw") / F.col("nw")).alias("mrep"))
+    arr = m.groupBy("event_type").agg(
+        F.sort_array(F.collect_list("mrep")).alias("a")
+    )
+    pt = x.groupBy("event_type").agg(
+        (F.sum("cents").cast("long") / F.count("*").cast("long")).alias(
+            "mean_cents"
+        )
+    )
+    return pt.join(arr, "event_type").select(
+        "event_type",
+        "mean_cents",
+        F.element_at("a", 2).alias("ci_lo_cents"),
+        F.element_at("a", BOOT_B - 1).alias("ci_hi_cents"),
+        F.size("a").cast("long").alias("n_replicas"),
+    )

@@ -560,3 +560,58 @@ def test_hll_rollup_bound_is_true_and_days_counted(spark, sf_dir):
     rows = QUERIES["hll_sketch_rollup"](spark, sf_dir).collect()
     assert rows and all(r["within_sketch_bound"] for r in rows)
     assert all(r["n_days"] >= 1 and r["n_exact"] >= 1 for r in rows)
+
+
+def test_ab_test_welch_known_split(spark, sf_dir):
+    """Arms must partition each event type's rows exactly, and the t
+    statistic must match a numpy recomputation from the same split."""
+    import math
+
+    from pyspark.sql import functions as F2
+
+    from mapreduceproject_spark.functions.hashing import hash60
+    from mapreduceproject_spark.plans.registry import QUERIES
+    from mapreduceproject_spark.plans.stats_queries import AB_SALT
+    from mapreduceproject_spark.sources.catalog import load_table
+
+    out = {r["event_type"]: r for r in QUERIES["ab_test_welch"](spark, sf_dir).collect()}
+    ev = load_table(spark, sf_dir, "events")
+    v = hash60(F2.concat(F2.col("user_id").cast("string"), F2.lit(AB_SALT))) % 2
+    rows = ev.select("event_type", v.alias("v"), F2.floor(F2.col("value") * 100).cast("long").alias("c")).collect()
+    import collections
+    arms = collections.defaultdict(lambda: ([], []))
+    for r in rows:
+        arms[r["event_type"]][r["v"]].append(r["c"])
+    for et, (a, b) in arms.items():
+        assert out[et]["na"] == len(a) and out[et]["nb"] == len(b)
+        ma, mb = sum(a) / len(a), sum(b) / len(b)
+        va = sum((x - ma) ** 2 for x in a) / (len(a) - 1)
+        vb = sum((x - mb) ** 2 for x in b) / (len(b) - 1)
+        t = (ma - mb) / math.sqrt(va / len(a) + vb / len(b))
+        assert abs(out[et]["t_stat"] - t) < 1e-6, et
+
+
+def test_bootstrap_ci_brackets_mean(spark, sf_dir):
+    """The bootstrap interval must bracket the point mean for every
+    event type (B=32 replicas of a 2000-row group cannot all land on
+    one side), and lo <= hi with the full replica count present."""
+    from mapreduceproject_spark.plans.registry import QUERIES
+    from mapreduceproject_spark.plans.stats_queries import BOOT_B
+
+    for r in QUERIES["bootstrap_ci_poisson"](spark, sf_dir).collect():
+        assert r["n_replicas"] == BOOT_B
+        assert r["ci_lo_cents"] <= r["mean_cents"] <= r["ci_hi_cents"], r
+        assert r["ci_lo_cents"] < r["ci_hi_cents"]
+
+
+def test_poisson_thresholds_are_cdf():
+    """Thresholds must be the Poisson(1) CDF: increasing, CDF(8) ~ 1,
+    and P(0) = e^-1 exactly."""
+    import math
+
+    from mapreduceproject_spark.plans.stats_queries import _poisson_thresholds
+
+    ts = _poisson_thresholds()
+    assert ts == sorted(ts) and len(ts) == 9
+    assert abs(ts[0] - math.exp(-1)) < 1e-15
+    assert 1 - ts[-1] < 2e-6

@@ -326,3 +326,22 @@ def test_repeated_ngram_mask_shuffles_hashes_not_text(spark, sf_dir):
     # the optimized plan's window/aggregate keys are h / id / pos longs
     assert "hashpartitioning(h#" in _plan(df) or "h#" in opt
     assert "CartesianProduct" not in _plan(df)
+
+
+def test_ab_test_single_partial_aggregated_pass(spark, sf_dir):
+    """Both arms' sufficient statistics must come from ONE grouped
+    aggregate with a map-side partial (no per-arm scan, no join)."""
+    plan = _plan(QUERIES["ab_test_welch"](spark, sf_dir))
+    assert plan.count("Scan parquet") == 1
+    assert "HashAggregate" in plan and plan.count("HashAggregate") >= 2
+    assert "Join" not in plan
+
+
+def test_bootstrap_single_fanout_no_raw_reshuffle(spark, sf_dir):
+    """The B-replica explode must happen once, and raw rows shuffle only
+    into the (type, replica) grouped aggregate — replica means and the
+    CI order statistics are (type x B)-sized frames."""
+    plan = _plan(QUERIES["bootstrap_ci_poisson"](spark, sf_dir))
+    assert plan.count("Generate explode") == 1
+    # two scans (point mean + replica pipeline) are fine; no cartesian
+    assert "CartesianProduct" not in plan
