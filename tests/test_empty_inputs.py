@@ -53,6 +53,24 @@ REPRESENTATIVE = [
     "dedup_semantic",
     "dedup_incremental_minhash",
     "chunk_sliding_windows",
+    # round-4 waves
+    "gopher_quality_filter",
+    "dsir_importance_weights",
+    "doc_shingle_novelty",
+    "ann_sq8_rerank_topk",
+    "zorder_layout_extents",
+    "repeated_ngram_mask",
+    "split_leakage_check",
+    "embedding_outlier_scores",
+    "join_key_skew_report",
+    "dedup_minhash_recall",
+    "hll_sketch_rollup",
+    "weighted_sample_wor",
+    "label_centroid_similarity",
+    "cdc_merge_apply",
+    "chi2_lang_source",
+    "ab_test_welch",
+    "bootstrap_ci_poisson",
 ]
 
 
