@@ -239,3 +239,34 @@ def stream_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 3)
         .select("ws", "event_type", "cents", "rnk")
     )
+
+
+@query(
+    "stream_upsert_latest",
+    oracle="""
+    SELECT user_id, event_type, ts, event_id
+    FROM (SELECT user_id, event_type, ts, event_id,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY ts DESC, event_id) AS rn
+          FROM events)
+    WHERE rn = 1
+    """,
+)
+def stream_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming materialized view: foreachBatch keyed upsert maintaining
+    the latest row per user across micro-batches in a bucket-partitioned
+    parquet state table (streaming/jobs.py::upsert_latest_per_key — each
+    batch reads and atomically swaps only the buckets its keys hash
+    into, per-batch cost O(touched buckets) not O(table)).  Run with
+    availableNow the converged table must equal the batch latest-per-key
+    window — the upsert twin of the dedup/sessionizer stateful family.
+    State lands in a per-invocation temp dir (the production shape is a
+    fixed path reused every trigger, or MERGE INTO on object stores)."""
+    import tempfile
+
+    s = jobs.streaming_session(spark)
+    ev = jobs.read_events_stream(s, sf_dir).select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    path = tempfile.mkdtemp(prefix="upsert_state_") + "/state"
+    return jobs.upsert_latest_per_key(ev, spark, path, ["user_id"], "ts")
