@@ -60,22 +60,33 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_prefix() -> str:
-    """CTEs ``sh``/``sigs``/``bands`` shared by the full-corpus and
-    incremental minhash oracles (identical shingle hashing, permutation
-    minima, and banding over all documents)."""
+def _minhash_sig_cte_parts() -> tuple[str, str]:
+    """(mins, band_selects) SQL fragments shared by every minhash-family
+    oracle — the permutation-minima select list and the banded UNION ALL
+    — so a change to the permutation family or banding layout has
+    exactly one site."""
+    from mapreduceproject_spark.functions.hashing import duck_minhash_perm
+
     params = minhash_params(MINHASH_N, MINHASH_SEED)
     mins = ",\n           ".join(
-        f"min((h % {P}) * {a} % {P} + {b}) AS m{i}" for i, (a, b) in enumerate(params)
+        f"min({duck_minhash_perm('h', a, b)}) AS m{i}"
+        for i, (a, b) in enumerate(params)
     )
     rpb = MINHASH_N // MINHASH_BANDS
     band_selects = "\n      UNION ALL ".join(
         "SELECT id, {b} AS band, concat_ws(',', {cols}) AS sig FROM sigs".format(
-            b=b,
-            cols=", ".join(f"m{b * rpb + r}" for r in range(rpb)),
+            b=b, cols=", ".join(f"m{b * rpb + r}" for r in range(rpb))
         )
         for b in range(MINHASH_BANDS)
     )
+    return mins, band_selects
+
+
+def _minhash_prefix() -> str:
+    """CTEs ``sh``/``sigs``/``bands`` shared by the full-corpus and
+    incremental minhash oracles (identical shingle hashing, permutation
+    minima, and banding over all documents)."""
+    mins, band_selects = _minhash_sig_cte_parts()
     return f"""sh AS (
       SELECT DISTINCT doc_id AS id, {duck_hash60("sh")} AS h
       FROM (SELECT doc_id, unnest({duck_word_shingles("text", SHINGLE_K)}) AS sh
@@ -840,22 +851,7 @@ RECALL_SAMPLE_PCT, RECALL_SALT = 40, "|mh-recall"
 
 
 def _minhash_recall_oracle() -> str:
-    params = minhash_params(MINHASH_N, MINHASH_SEED)
-    from mapreduceproject_spark.functions.hashing import (
-        duck_minhash_perm,
-    )
-
-    mins = ",\n           ".join(
-        f"min({duck_minhash_perm('h', a, b)}) AS m{i}"
-        for i, (a, b) in enumerate(params)
-    )
-    rpb = MINHASH_N // MINHASH_BANDS
-    band_selects = "\n      UNION ALL ".join(
-        "SELECT id, {b} AS band, concat_ws(',', {cols}) AS sig FROM sigs".format(
-            b=b, cols=", ".join(f"m{b * rpb + r}" for r in range(rpb))
-        )
-        for b in range(MINHASH_BANDS)
-    )
+    mins, band_selects = _minhash_sig_cte_parts()
     return f"""
     WITH smp AS (
       SELECT doc_id, text FROM documents

@@ -271,10 +271,10 @@ def _ab_oracle() -> str:
       SELECT event_type,
              CAST(SUM(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na,
              CAST(SUM(CASE WHEN v = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nb,
-             CAST(SUM(CASE WHEN v = 0 THEN cents ELSE 0 END) AS BIGINT) AS sa1,
-             CAST(SUM(CASE WHEN v = 1 THEN cents ELSE 0 END) AS BIGINT) AS sb1,
-             CAST(SUM(CASE WHEN v = 0 THEN cents * cents ELSE 0 END) AS BIGINT) AS sa2,
-             CAST(SUM(CASE WHEN v = 1 THEN cents * cents ELSE 0 END) AS BIGINT) AS sb2
+             CAST(SUM(CASE WHEN v = 0 THEN cents ELSE 0 END) AS DOUBLE) AS sa1,
+             CAST(SUM(CASE WHEN v = 1 THEN cents ELSE 0 END) AS DOUBLE) AS sb1,
+             CAST(SUM(CASE WHEN v = 0 THEN cents * cents ELSE 0 END) AS DOUBLE) AS sa2,
+             CAST(SUM(CASE WHEN v = 1 THEN cents * cents ELSE 0 END) AS DOUBLE) AS sb2
       FROM x GROUP BY event_type
     )
     SELECT event_type, na, nb,
@@ -299,12 +299,13 @@ def ab_test_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
     straddle arms), then one conditional-aggregation pass builds both
     arms' exact integer sufficient statistics (n, Σcents, Σcents²) and
     the t statistic comes out of identical double arithmetic on both
-    engines.  Magnitude audit: event cents ≤ 2¹⁵ (BASELINE fixture
-    bound), so Σ and Σ² stay far inside int64 at fixture scale and the
-    Σ² term wraps only past ~8.6e12 rows per (type, arm) — beyond that,
-    widen to decimal(38,0) per the SCALING.md known-cliff #5 discipline.
-    One map-side-combined groupBy is the entire plan — the classic
-    experiment-analysis query at any scale."""
+    engines.  Overflow discipline (SCALING.md known-cliff #5): the
+    binding term is (Σcents)², which would wrap int64 at ~1e5 rows per
+    (type, arm) worst-case — so the sums accumulate in decimal(38,0) /
+    HUGEINT (exact, order-independent) and convert ONCE to double;
+    round-to-nearest from the same exact integer is the same double
+    everywhere.  One map-side-combined groupBy is the entire plan — the
+    classic experiment-analysis query at any scale."""
     from mapreduceproject_spark.functions.hashing import hash60
 
     ev = load_table(spark, sf_dir, "events")
@@ -316,13 +317,23 @@ def ab_test_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
         v.alias("v"),
         F.floor(F.col("value") * 100).cast("long").alias("cents"),
     )
+    def ncount(cond):
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("long")
+
     def csum(cond, expr):
-        return F.sum(F.when(cond, expr).otherwise(F.lit(0))).cast("long")
+        # accumulate in decimal(38,0): per-row terms fit long (cents <=
+        # 2^15 -> cents^2 <= 2^30) but their SUMS wrap int64 at ~1e5
+        # rows/arm worst-case for (sum cents)^2 downstream — the exact
+        # decimal sum converts ONCE to double below, same value on both
+        # engines (DuckDB accumulates the twin in HUGEINT)
+        return F.sum(
+            F.when(cond, expr).otherwise(F.lit(0)).cast("decimal(38,0)")
+        ).cast("double")
 
     a, b = F.col("v") == 0, F.col("v") == 1
     s = x.groupBy("event_type").agg(
-        csum(a, F.lit(1)).alias("na"),
-        csum(b, F.lit(1)).alias("nb"),
+        ncount(a).alias("na"),
+        ncount(b).alias("nb"),
         csum(a, F.col("cents")).alias("sa1"),
         csum(b, F.col("cents")).alias("sb1"),
         csum(a, F.col("cents") * F.col("cents")).alias("sa2"),
@@ -472,7 +483,6 @@ def bootstrap_ci_poisson(spark: SparkSession, sf_dir: str) -> DataFrame:
         % MERSENNE_P
         + F.element_at(b_arr, F.col("b") + 1)
     ) % MERSENNE_P / F.lit(float(MERSENNE_P))
-    w = F.lit(None)
     ts = _poisson_thresholds()
     expr = F.when(u < ts[0], 0)
     for k, t in enumerate(ts[1:], start=1):

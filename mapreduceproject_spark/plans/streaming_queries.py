@@ -260,13 +260,25 @@ def stream_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     into, per-batch cost O(touched buckets) not O(table)).  Run with
     availableNow the converged table must equal the batch latest-per-key
     window — the upsert twin of the dedup/sessionizer stateful family.
-    State lands in a per-invocation temp dir (the production shape is a
-    fixed path reused every trigger, or MERGE INTO on object stores)."""
+    event_id is the explicit tie-break so same-timestamp rows resolve
+    deterministically (matching the oracle).  State lands in a
+    per-invocation temp dir, eagerly checkpointed off it so the dir can
+    be removed before returning (the production shape is a fixed path
+    reused every trigger, or MERGE INTO on object stores)."""
+    import shutil
     import tempfile
 
     s = jobs.streaming_session(spark)
     ev = jobs.read_events_stream(s, sf_dir).select(
         "user_id", "event_type", "ts", "event_id"
     )
-    path = tempfile.mkdtemp(prefix="upsert_state_") + "/state"
-    return jobs.upsert_latest_per_key(ev, spark, path, ["user_id"], "ts")
+    root = tempfile.mkdtemp(prefix="upsert_state_")
+    try:
+        out = jobs.upsert_latest_per_key(
+            ev, spark, f"{root}/state", ["user_id"], "ts",
+            tiebreak_cols=["event_id"],
+        )
+        # materialize off the temp table so the dir is deletable now
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

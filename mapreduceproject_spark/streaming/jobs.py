@@ -219,6 +219,7 @@ def upsert_latest_per_key(
     key_cols: list[str],
     ts_col: str,
     num_buckets: int = 16,
+    tiebreak_cols: list[str] | None = None,
 ) -> DataFrame:
     """foreachBatch keyed upsert: maintain the latest row per key in a
     parquet table across micro-batches.
@@ -240,8 +241,11 @@ def upsert_latest_per_key(
     independent key sets, so a partial swap is still a consistent table).
     Rename is atomic on local FS and HDFS; on object stores use
     Delta/Iceberg MERGE INTO instead, which is what this whole body
-    collapses to there.  Ties on ``ts_col`` break by the key columns,
-    deterministically.
+    collapses to there.  Ties on ``ts_col`` within a key are broken by
+    ``tiebreak_cols`` (ascending); pass a column that is unique per
+    event (an id) whenever same-timestamp rows are possible — without
+    it the winner among tied rows is whichever the shuffle delivers
+    first.
     """
     import os
     import shutil
@@ -262,7 +266,7 @@ def upsert_latest_per_key(
         except Exception:  # first batch: no table yet
             unioned = b
         w = Window.partitionBy(*key_cols).orderBy(
-            F.desc(ts_col), *[F.asc(c) for c in key_cols]
+            F.desc(ts_col), *[F.asc(c) for c in (tiebreak_cols or [])]
         )
         merged = (
             unioned.withColumn("_rn", F.row_number().over(w))
@@ -291,4 +295,8 @@ def upsert_latest_per_key(
         .start()
     )
     q.awaitTermination()
+    if not os.path.exists(path):
+        # zero data rows: no batch ever wrote the table — the converged
+        # state is the empty table with the stream's schema
+        return spark.createDataFrame([], schema=stream.schema)
     return spark.read.parquet(path).drop("_kb")

@@ -71,6 +71,7 @@ REPRESENTATIVE = [
     "chi2_lang_source",
     "ab_test_welch",
     "bootstrap_ci_poisson",
+    "stream_upsert_latest",
 ]
 
 

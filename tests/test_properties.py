@@ -280,20 +280,17 @@ def test_kmeans_twolevel_assignment_matches_brute_small_n(spark, sf_dir):
 def test_zorder_interleave_roundtrip(a, b):
     """The Morton key must be a BIJECTION on (int31, int31): deinterleave
     recovers both keys exactly for the full key range (the 16-bit-era
-    aliasing bug made distant keys collide — this pins the 31-bit fix),
-    and the key fits the signed-long budget."""
+    aliasing bug made distant keys collide — this pins the current
+    width), and the key fits the signed-long budget.  Width comes from
+    layout.ZORDER_BITS so this test and the operator cannot drift."""
+    from mapreduceproject_spark.operators.layout import ZORDER_BITS
 
-    def morton(a: int, b: int) -> int:
-        out = 0
-        for i in range(31):
-            out |= ((a >> i) & 1) << (2 * i)
-            out |= ((b >> i) & 1) << (2 * i + 1)
-        return out
+    from tests.test_quality_layout import morton_ref
 
-    z = morton(a, b)
-    assert 0 <= z < 1 << 62
-    ra = sum(((z >> (2 * i)) & 1) << i for i in range(31))
-    rb = sum(((z >> (2 * i + 1)) & 1) << i for i in range(31))
+    z = morton_ref(a, b)
+    assert 0 <= z < 1 << (2 * ZORDER_BITS)
+    ra = sum(((z >> (2 * i)) & 1) << i for i in range(ZORDER_BITS))
+    rb = sum(((z >> (2 * i + 1)) & 1) << i for i in range(ZORDER_BITS))
     assert (ra, rb) == (a, b)
 
 

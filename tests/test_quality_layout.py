@@ -70,14 +70,19 @@ def test_shingle_novelty_hand_truth(spark):
     assert out[3]["novelty_bp"] == 10_000
 
 
-def test_zorder_key_matches_python_morton(spark):
-    def morton(a: int, b: int) -> int:
-        out = 0
-        for i in range(31):
-            out |= ((a >> i) & 1) << (2 * i)
-            out |= ((b >> i) & 1) << (2 * i + 1)
-        return out
+def morton_ref(a: int, b: int) -> int:
+    """Pure-Python Morton reference at the operator's own width — the
+    single reference implementation shared with test_properties."""
+    from mapreduceproject_spark.operators.layout import ZORDER_BITS
 
+    out = 0
+    for i in range(ZORDER_BITS):
+        out |= ((a >> i) & 1) << (2 * i)
+        out |= ((b >> i) & 1) << (2 * i + 1)
+    return out
+
+
+def test_zorder_key_matches_python_morton(spark):
     # includes keys past the old 16-bit range: 65536+ must NOT alias
     rows = [
         (a, b)
@@ -88,7 +93,7 @@ def test_zorder_key_matches_python_morton(spark):
         "a", "b", zorder_key(F.col("a"), F.col("b"))
     )
     for r in df.collect():
-        assert r["zkey"] == morton(r["a"], r["b"]), (r["a"], r["b"])
+        assert r["zkey"] == morton_ref(r["a"], r["b"]), (r["a"], r["b"])
 
 
 def test_zorder_layout_tightens_second_key_extents(spark, sf_dir):
