@@ -310,3 +310,54 @@ def degree_histogram(edges: DataFrame) -> DataFrame:
         .groupBy("deg")
         .agg(F.count("*").cast("long").alias("n_nodes"))
     )
+
+
+def bfs_hops(edges: DataFrame, seeds: DataFrame, id_col: str, max_hops: int = 4) -> DataFrame:
+    """Multi-source BFS over a directed edge list: minimum hop distance
+    (≤ ``max_hops``) from every seed to every vertex it reaches.
+
+    Output: (seed, vid, dist) with dist ∈ [0, max_hops]; a vertex
+    reachable from several seeds gets one row per seed.  The traversal
+    is level-synchronous — per hop, one join of the CURRENT frontier
+    (vertices first reached last hop) against ``edges`` on src, one
+    distinct, one anti-join against the reached set — so each hop is
+    two key-partitioned shuffles whose size is frontier·k, never
+    corpus².  With a fixed fan-out k (the kNN graphs here) the frontier
+    is bounded by seeds·k^hop; the unrolled hop count keeps the plan
+    deterministic and oracle-replicable (the pagerank contract).  Each
+    new frontier is lazily localCheckpoint'ed: max_hops is small, but
+    the anti-join chain would otherwise nest hop plans inside one
+    another.
+
+    The edge list is checkpointed ONCE up front — it is consumed
+    max_hops times, and when it arrives as an unmaterialized pipeline
+    (the kNN edge build here) every hop would otherwise re-run that
+    whole build (measured 4× cost at 4 hops).  The frontier side of each
+    expansion is broadcast: seed-based exploration keeps it seeds·k^hop
+    rows, so the per-hop join is one edge-scan map stage, no shuffle of
+    the edge table.
+    """
+    edges = edges.localCheckpoint(eager=False)
+    reached = seeds.select(
+        F.col(id_col).alias("seed"),
+        F.col(id_col).alias("vid"),
+        F.lit(0).cast("long").alias("dist"),
+    )
+    frontier = reached
+    for hop in range(1, max_hops + 1):
+        nxt = (
+            F.broadcast(frontier.alias("f"))
+            .join(edges.alias("e"), F.col("f.vid") == F.col("e.src"))
+            .select(
+                F.col("f.seed").alias("seed"),
+                F.col("e.dst").alias("vid"),
+                F.lit(hop).cast("long").alias("dist"),
+            )
+            .distinct()
+        )
+        new = nxt.join(
+            F.broadcast(reached.select("seed", "vid")), ["seed", "vid"], "left_anti"
+        ).localCheckpoint(eager=False)
+        reached = reached.unionByName(new)
+        frontier = new
+    return reached

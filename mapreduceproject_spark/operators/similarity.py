@@ -368,6 +368,76 @@ def brute_force_topk(
     )
 
 
+def hard_negative_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    label_col: str,
+    query_id_col: str,
+    query_vec_col: str,
+    query_label_col: str,
+    k: int = 5,
+) -> DataFrame:
+    """Top-k most-similar vectors with a DIFFERENT label per query —
+    contrastive hard-negative mining (the pairs a metric-learning /
+    embedding-training run feeds its loss: close in vector space, apart
+    in label space).
+
+    Output: (query_id, qlabel, neighbor_id, nlabel, cosine, rank).  Same
+    broadcast-queries × corpus-scan shape as :func:`brute_force_topk` —
+    the label-mismatch predicate prunes same-class pairs BEFORE the
+    per-query top-k window, so the only shuffle is Q·k rows.  At corpus
+    scale the scan side swaps for :func:`ivf_topk`'s probed candidates
+    (k widened to survive the label filter); the scoring and ordering
+    contract here is the exact baseline that variant is measured against.
+    """
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.col(query_label_col).alias("qlabel"),
+            quantize(F.col(query_vec_col)).alias("_qq"),
+        ).withColumn("_qn2", quantized_norm2(F.col("_qq")))
+    )
+    # same index-build projection as _quantized_side, carrying the label
+    cq = (
+        spread_for_compute(corpus)
+        .select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(label_col).alias("nlabel"),
+            quantize(F.col(vec_col)).alias("_q"),
+        )
+        .withColumn("_n2", quantized_norm2(F.col("_q")))
+        .persist()
+    )
+    scored = (
+        cq.crossJoin(q)
+        .filter(F.col("nlabel") != F.col("qlabel"))
+        .select(
+            "query_id",
+            "qlabel",
+            "neighbor_id",
+            "nlabel",
+            prequantized_cosine(
+                F.col("_qq"), F.col("_q"), F.col("_qn2"), F.col("_n2")
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "qlabel",
+            "neighbor_id",
+            "nlabel",
+            "cosine",
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -33,6 +33,25 @@ BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 PUNCT_PATTERN = r"[^A-Za-z0-9\s]"
 STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
 
+# The composite quality score over the three ratio columns — ONE
+# arithmetic shape, referenced by quality_scores and every oracle that
+# orders or filters on quality (identical doubles on both engines).
+QUALITY_COMPOSITE_SQL = "1.0 - punct_ratio * 2.0 - digit_ratio + stopword_ratio * 0.5"
+
+
+def duck_quality_ratio_cols(toks_expr: str, text_expr: str = "text") -> str:
+    """DuckDB select-list fragment computing ``punct_ratio``,
+    ``digit_ratio``, ``stopword_ratio`` — the oracle twin of
+    :func:`quality_scores`' ratio columns (same regexes, same stoplist,
+    same int/int-exact double divisions)."""
+    stoplist = ", ".join(f"'{s}'" for s in STOPWORDS)
+    return f"""CAST(len(regexp_extract_all({text_expr}, '{PUNCT_PATTERN}')) AS DOUBLE)
+               / length({text_expr}) AS punct_ratio,
+             CAST(len(regexp_extract_all({text_expr}, '[0-9]')) AS DOUBLE)
+               / length({text_expr}) AS digit_ratio,
+             CAST(len(list_filter({toks_expr}, t -> list_contains([{stoplist}], lower(t)))) AS DOUBLE)
+               / len({toks_expr}) AS stopword_ratio"""
+
 
 def token_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Per-document token accounting: whitespace tokens, BPE-ish regex
@@ -55,11 +74,15 @@ def token_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def quality_scores(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def quality_scores(
+    df: DataFrame, id_col: str, text_col: str, keep: tuple[str, ...] = ()
+) -> DataFrame:
     """Heuristic quality metrics + composite score + keep flag.
 
     All ratios are int/int divisions (exact doubles, engine-identical);
-    the composite combines them in a fixed arithmetic order.
+    the composite combines them in a fixed arithmetic order.  ``keep``
+    names extra input columns carried through unchanged (e.g. the source
+    a downstream budget selection partitions on).
     """
     t = F.col(text_col)
     toks = tokens(t)
@@ -71,6 +94,7 @@ def quality_scores(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     stops = F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, F.lower(x))))
     out = df.select(
         F.col(id_col),
+        *[F.col(c) for c in keep],
         n_toks.cast("long").alias("n_tokens"),
         (punct.cast("double") / n_chars).alias("punct_ratio"),
         (digits.cast("double") / n_chars).alias("digit_ratio"),
@@ -86,6 +110,57 @@ def quality_scores(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         "*",
         score.alias("quality"),
         ((F.col("n_tokens") >= 5) & (score > 0.5)).alias("keep"),
+    )
+
+
+def bigram_surprisal(
+    df: DataFrame, id_col: str, text_col: str, add_k: float = 0.5
+) -> DataFrame:
+    """Per-document average surprisal under the corpus add-k bigram LM —
+    the second rung of the CCNet-style perplexity ladder (unigram rung:
+    plans/curation_queries.py text_unigram_logprob).  Low avg_nll =
+    predictable boilerplate, high = noise / language mismatch.
+
+    Same self-contained model as :func:`bigram_lm_top` (head counts and
+    continuation vocabulary V from the bigram table itself); each bigram
+    instance's −ln p(w2|w1) is micro-quantized (floor·1e6) to a long
+    BEFORE the per-document sum, so the aggregate is order-independent
+    and bit-identical across engines.  Shape: one lead() window (shuffle
+    on id), one bigram groupBy, a head window, then an instances×model
+    join on the bigram key — deliberately NOT broadcast-hinted (a
+    web-corpus bigram table is tens of GB; AQE broadcasts only when it
+    truly fits, the text_tfidf_top_terms contract) — and one final
+    per-document agg.  Linear end to end.
+    """
+    from mapreduceproject_spark.functions.textfn import token_rows
+
+    toks = token_rows(df.select(id_col, text_col), F.lower(F.col(text_col)), [id_col])
+    wd = Window.partitionBy(id_col).orderBy("pos")
+    inst = (
+        toks.withColumn("w2", F.lead("tok").over(wd))
+        .filter(F.col("w2").isNotNull())
+        .select(id_col, F.col("tok").alias("w1"), "w2")
+    )
+    c2 = inst.groupBy("w1", "w2").agg(F.count("*").cast("long").alias("n_bigram"))
+    wh = Window.partitionBy("w1")
+    model = c2.withColumn("n_head", F.sum("n_bigram").over(wh).cast("long"))
+    vocab = c2.agg(F.countDistinct("w2").alias("_v"))
+    scored = model.crossJoin(F.broadcast(vocab)).select(
+        "w1",
+        "w2",
+        F.floor(
+            -F.log(
+                (F.col("n_bigram") + F.lit(add_k))
+                / (F.col("n_head") + F.lit(add_k) * F.col("_v"))
+            )
+            * F.lit(1e6)
+        )
+        .cast("long")
+        .alias("q_nll"),
+    )
+    return inst.join(scored, ["w1", "w2"]).groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_bigrams"),
+        (F.sum("q_nll").cast("double") / (F.lit(1e6) * F.count("*"))).alias("avg_nll"),
     )
 
 

@@ -9,7 +9,7 @@ bit-exact parity.
 from __future__ import annotations
 
 from pyspark.sql import functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from mapreduceproject_spark.functions.hashing import duck_hash60, hash60
 from mapreduceproject_spark.functions.textfn import (
@@ -734,3 +734,77 @@ def weighted_sample_wor(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("es_key").desc(), "doc_id")
         .limit(WSAMPLE_N)
     )
+
+
+# -- budget-constrained top-p selection (round 4) ---------------------------
+# Per source, take the highest-quality documents until TOPP_BUDGET_BP
+# basis points of that source's token mass is selected (the crossing
+# document is included) — the nucleus-sampling analogue of a token-budget
+# data mix: "the best 60% of tokens from every source".
+TOPP_BUDGET_BP = 6000
+
+
+def _topp_oracle() -> str:
+    from mapreduceproject_spark.operators.text_analysis import (
+        QUALITY_COMPOSITE_SQL,
+        duck_quality_ratio_cols,
+    )
+
+    return f"""
+    WITH m AS (
+      SELECT doc_id, source,
+             CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+             {duck_quality_ratio_cols(_TOKS)}
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, source, n_tokens, {QUALITY_COMPOSITE_SQL} AS quality FROM m
+    ),
+    c AS (
+      SELECT *,
+             CAST(SUM(n_tokens) OVER (
+               PARTITION BY source
+               ORDER BY quality DESC NULLS LAST, doc_id
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens,
+             CAST(SUM(n_tokens) OVER (PARTITION BY source) AS BIGINT) AS total_tokens
+      FROM s
+    )
+    SELECT source, doc_id, quality, n_tokens, cum_tokens, total_tokens
+    FROM c
+    WHERE (cum_tokens - n_tokens) * 10000 < {TOPP_BUDGET_BP} * total_tokens
+    """
+
+
+@query("budget_top_p_selection", oracle=_topp_oracle())
+def budget_top_p_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budgeted quality selection: per source, walk documents from
+    highest to lowest quality and keep them until {TOPP_BUDGET_BP} bp of
+    the source's token mass is covered (crossing document included) —
+    "the best 60% of tokens from every source", the budgeted counterpart
+    of stratified_sample_stats' rate-based mix.
+
+    The inclusion test is pure integer arithmetic
+    ((cum − n)·10⁴ < bp·total — no float budget thresholds), and the
+    ordering key is the oracle-proven quality double with a doc_id
+    tie-break, so selection is bit-deterministic.  Scale: two windows
+    per source partition (running + total token sums) — sources
+    parallelize; a pathologically dominant source falls back to the
+    two-pass prefix-sum (per-partition subtotal broadcast) the packing
+    operator documents."""
+    from mapreduceproject_spark.operators import text_analysis as ta
+
+    docs = load_table(spark, sf_dir, "documents")
+    q = ta.quality_scores(docs, "doc_id", "text", keep=("source",))
+    wr = (
+        Window.partitionBy("source")
+        .orderBy(F.desc_nulls_last("quality"), F.asc("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wt = Window.partitionBy("source")
+    c = q.withColumn("cum_tokens", F.sum("n_tokens").over(wr).cast("long")).withColumn(
+        "total_tokens", F.sum("n_tokens").over(wt).cast("long")
+    )
+    return c.filter(
+        (F.col("cum_tokens") - F.col("n_tokens")) * 10000
+        < F.lit(TOPP_BUDGET_BP) * F.col("total_tokens")
+    ).select("source", "doc_id", "quality", "n_tokens", "cum_tokens", "total_tokens")

@@ -431,3 +431,93 @@ def hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= 0.05 * F.col("n_exact") + 1
         ).alias("within_sketch_bound"),
     )
+
+
+# -- seasonal-profile residual outliers (round 4) ---------------------------
+# Cell = (event_type, day-of-week, hour): the weekly seasonality grid.  A
+# cell needs SEASONAL_MIN_N observations before its variance is trusted;
+# SEASONAL_TOP outliers are reported.  Day-of-week is Spark's convention
+# (Sunday=1..Saturday=7); the oracle shifts DuckDB's Sunday=0 by one.
+SEASONAL_MIN_N, SEASONAL_TOP = 5, 50
+
+
+def _seasonal_oracle() -> str:
+    return f"""
+    WITH x AS (
+      SELECT event_id, event_type,
+             dayofweek(ts) + 1 AS dow, hour(ts) AS hr,
+             CAST(floor(value * 100) AS BIGINT) AS cents
+      FROM events
+    ),
+    cell AS (
+      SELECT event_type, dow, hr,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(cents AS HUGEINT)) AS DOUBLE) AS s1,
+             CAST(SUM(CAST(cents AS HUGEINT) * cents) AS DOUBLE) AS s2
+      FROM x GROUP BY event_type, dow, hr
+    ),
+    z AS (
+      SELECT x.event_id, x.event_type,
+             CAST(x.dow AS BIGINT) AS dow, CAST(x.hr AS BIGINT) AS hr,
+             (x.cents - cell.s1 / cell.n)
+               / sqrt((cell.s2 - cell.s1 * cell.s1 / cell.n) / (cell.n - 1)) AS z
+      FROM x JOIN cell USING (event_type, dow, hr)
+      WHERE cell.n >= {SEASONAL_MIN_N}
+        AND (cell.s2 - cell.s1 * cell.s1 / cell.n) > 0
+    )
+    SELECT event_id, event_type, dow, hr, z, CAST(rnk AS BIGINT) AS rnk
+    FROM (SELECT *, row_number() OVER (ORDER BY abs(z) DESC, event_id) AS rnk
+          FROM z)
+    WHERE rnk <= {SEASONAL_TOP}
+    """
+
+
+@query("seasonal_residual_outliers", oracle=_seasonal_oracle())
+def seasonal_residual_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly-seasonality anomaly detection at the EVENT level: each
+    value's z-score against its (event_type, day-of-week, hour) seasonal
+    cell, top-{SEASONAL_TOP} by |z| — the seasonal-decomposition residual
+    that catches a 3am metric spike a global z-score (running_zscore) or
+    a daily-count monitor (event_anomaly_zscore) normalizes away.
+
+    Determinism: cents are floor-quantized, the cell moments accumulate
+    in decimal(38,0)/HUGEINT and convert once to double, and z comes out
+    of identically-shaped double arithmetic on both engines (the
+    ab_test_welch discipline).  Scale: one map-side-combined groupBy to
+    the ≤ 168·|types| cell grid, a broadcast join back (statically
+    bounded small side), and a TakeOrdered top-{SEASONAL_TOP} — never a
+    corpus-wide window."""
+    ev = load_table(spark, sf_dir, "events")
+    x = ev.select(
+        "event_id",
+        "event_type",
+        F.dayofweek("ts").alias("dow"),
+        F.hour("ts").alias("hr"),
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    dec = lambda c: F.sum(F.col(c).cast("decimal(38,0)")).cast("double")  # noqa: E731
+    cell = x.groupBy("event_type", "dow", "hr").agg(
+        F.count("*").cast("long").alias("n"),
+        dec("cents").alias("s1"),
+        F.sum((F.col("cents") * F.col("cents")).cast("decimal(38,0)"))
+        .cast("double")
+        .alias("s2"),
+    )
+    var_num = F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")
+    z = (
+        x.join(F.broadcast(cell), ["event_type", "dow", "hr"])
+        .filter((F.col("n") >= SEASONAL_MIN_N) & (var_num > 0))
+        .select(
+            "event_id",
+            "event_type",
+            F.col("dow").cast("long").alias("dow"),
+            F.col("hr").cast("long").alias("hr"),
+            (
+                (F.col("cents") - F.col("s1") / F.col("n"))
+                / F.sqrt(var_num / (F.col("n") - 1))
+            ).alias("z"),
+        )
+    )
+    top = z.orderBy(F.abs(F.col("z")).desc(), F.asc("event_id")).limit(SEASONAL_TOP)
+    w = Window.orderBy(F.abs(F.col("z")).desc(), F.asc("event_id"))
+    return top.withColumn("rnk", F.row_number().over(w).cast("long"))

@@ -739,3 +739,250 @@ def label_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label_b",
         (dot / (F.sqrt(na) * F.sqrt(nb))).alias("cosine"),
     )
+
+
+# -- contrastive hard-negative mining (round 4) -------------------------------
+
+
+def _hard_negative_oracle() -> str:
+    return f"""
+    {_QUANT_CTE},
+    scored AS (
+      SELECT qs.query_id, qs.qlabel, v.id AS neighbor_id, v.label AS nlabel,
+             {duck_quantized_cosine("qs.qq", "v.q")} AS cosine
+      FROM qs, v WHERE v.label <> qs.qlabel
+    )
+    SELECT query_id, qlabel, neighbor_id, nlabel, cosine, CAST(rnk AS BIGINT) AS rnk
+    FROM (SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+          FROM scored)
+    WHERE rnk <= {TOP_K}
+    """
+
+
+@query("ann_hard_negatives", oracle=_hard_negative_oracle())
+def ann_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{TOP_K} most-similar OTHER-label vectors per query — the
+    contrastive hard negatives a metric-learning / embedding-training
+    pipeline mines for its loss (close in vector space, apart in label
+    space; the complement of ann_filtered_topk's same-label constraint).
+    Queries broadcast against the corpus scan; the label-mismatch
+    predicate prunes before the per-query top-k window, so only Q·k rows
+    shuffle (operators/similarity.py hard_negative_topk)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = sim.hard_negative_topk(
+        emb,
+        emb.filter(F.col("vec_id") < NUM_QUERIES),
+        "vec_id",
+        "embedding",
+        "label",
+        "vec_id",
+        "embedding",
+        "label",
+        k=TOP_K,
+    )
+    return out.withColumnRenamed("rank", "rnk")
+
+
+# -- hybrid lexical+dense retrieval, RRF fusion (round 4) ---------------------
+# Query documents are doc_id < RRF_QUERIES; the fixtures pin doc_id ≡ vec_id
+# (both 0..n-1, TESTDATA.md), so the dense twin of a query document is the
+# embedding with the same id.  RRF_C = 60 is the standard reciprocal-rank-
+# fusion constant (Cormack et al.); candidates = top-RRF_CAND from each
+# ranker, fused top-RRF_TOP reported.
+RRF_QUERIES, RRF_CAND, RRF_C, RRF_TOP = 8, 20, 60, 10
+
+
+def _rrf_oracle() -> str:
+    from mapreduceproject_spark.functions.textfn import duck_tokens
+
+    toks = f"list_distinct({duck_tokens('lower(text)')})"
+    return f"""
+    WITH d AS (SELECT doc_id, {toks} AS toks FROM documents),
+    q AS (SELECT doc_id AS query_id, toks AS qtoks FROM d WHERE doc_id < {RRF_QUERIES}),
+    qt AS (SELECT query_id, unnest(qtoks) AS tok FROM q),
+    dt AS (SELECT doc_id, unnest(toks) AS tok FROM d),
+    ov AS (
+      SELECT qt.query_id, dt.doc_id, count(*) AS ov
+      FROM qt JOIN dt USING (tok) WHERE dt.doc_id <> qt.query_id
+      GROUP BY qt.query_id, dt.doc_id
+    ),
+    lex AS (
+      SELECT query_id, doc_id, row_number() OVER (
+               PARTITION BY query_id ORDER BY jac DESC, doc_id) AS lex_rnk
+      FROM (SELECT ov.query_id, ov.doc_id,
+                   CAST(ov.ov AS DOUBLE) / (len(q.qtoks) + len(d2.toks) - ov.ov) AS jac
+            FROM ov
+            JOIN q ON q.query_id = ov.query_id
+            JOIN d d2 ON d2.doc_id = ov.doc_id)
+      QUALIFY lex_rnk <= {RRF_CAND}
+    ),
+    v AS (SELECT vec_id AS id, {duck_quantize("CAST(embedding AS DOUBLE[])")} AS vq
+          FROM embeddings),
+    qv AS (SELECT id AS query_id, vq AS qq FROM v WHERE id < {RRF_QUERIES}),
+    den AS (
+      SELECT query_id, id AS doc_id, row_number() OVER (
+               PARTITION BY query_id ORDER BY cosine DESC, id) AS den_rnk
+      FROM (SELECT qv.query_id, v.id, {duck_quantized_cosine("qv.qq", "v.vq")} AS cosine
+            FROM qv, v WHERE v.id <> qv.query_id)
+      QUALIFY den_rnk <= {RRF_CAND}
+    ),
+    fused AS (
+      SELECT coalesce(lex.query_id, den.query_id) AS query_id,
+             coalesce(lex.doc_id, den.doc_id) AS doc_id,
+             coalesce(lex_rnk, 0) AS lex_rnk,
+             coalesce(den_rnk, 0) AS den_rnk,
+             (CASE WHEN lex_rnk IS NULL THEN 0.0
+                   ELSE 1.0 / ({RRF_C} + lex_rnk) END
+              + CASE WHEN den_rnk IS NULL THEN 0.0
+                     ELSE 1.0 / ({RRF_C} + den_rnk) END) AS rrf_score
+      FROM lex FULL OUTER JOIN den
+        ON lex.query_id = den.query_id AND lex.doc_id = den.doc_id
+    )
+    SELECT query_id, doc_id, CAST(lex_rnk AS BIGINT) AS lex_rnk,
+           CAST(den_rnk AS BIGINT) AS den_rnk, rrf_score, CAST(rnk AS BIGINT) AS rnk
+    FROM (SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY rrf_score DESC, doc_id) AS rnk
+          FROM fused)
+    WHERE rnk <= {RRF_TOP}
+    """
+
+
+@query("hybrid_rrf_retrieval", oracle=_rrf_oracle())
+def hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: token-set Jaccard (lexical) and quantized cosine
+    (dense) rankers fused by reciprocal-rank fusion, top-{RRF_TOP} per
+    query document — the two-tower + BM25-style ensemble a curation
+    pipeline uses to mine eval-adjacent or topically-linked documents
+    that either ranker alone misses.
+
+    Scale shape: the query token sets and query vectors broadcast (Q
+    rows); each ranker is one corpus scan + a per-query top-{RRF_CAND}
+    window over filtered candidates; the fusion join is Q·{RRF_CAND}
+    rows a side — driver-free and linear in the corpus.  At 100 TB the
+    lexical scan swaps its broadcast-intersect for the inverted-index
+    (explode + token join) form and the dense scan for IVF probing;
+    ranks 0 mean "absent from that ranker's candidate list"."""
+    from mapreduceproject_spark.functions.textfn import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.array_distinct(tokens(F.lower(F.col("text")))).alias("toks")
+    )
+    q = F.broadcast(
+        toks.filter(F.col("doc_id") < RRF_QUERIES).select(
+            F.col("doc_id").alias("query_id"), F.col("toks").alias("qtoks")
+        )
+    )
+    ov = (
+        toks.crossJoin(q)
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "doc_id",
+            F.size(F.array_intersect("toks", "qtoks")).alias("ov"),
+            F.size("qtoks").alias("qsz"),
+            F.size("toks").alias("dsz"),
+        )
+        .filter(F.col("ov") > 0)
+        .withColumn(
+            "jac",
+            F.col("ov").cast("double")
+            / (F.col("qsz") + F.col("dsz") - F.col("ov")),
+        )
+    )
+    wl = Window.partitionBy("query_id").orderBy(F.desc("jac"), F.asc("doc_id"))
+    lex = (
+        ov.withColumn("lex_rnk", F.row_number().over(wl))
+        .filter(F.col("lex_rnk") <= RRF_CAND)
+        .select("query_id", "doc_id", "lex_rnk")
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    den = sim.brute_force_topk(
+        emb,
+        emb.filter(F.col("vec_id") < RRF_QUERIES),
+        "vec_id",
+        "embedding",
+        "vec_id",
+        "embedding",
+        k=RRF_CAND,
+    ).select(
+        "query_id",
+        F.col("neighbor_id").alias("doc_id"),
+        F.col("rank").alias("den_rnk"),
+    )
+    contrib = lambda c: F.when(  # noqa: E731 — tiny local expression builder
+        F.col(c).isNull(), F.lit(0.0)
+    ).otherwise(F.lit(1.0) / (F.lit(RRF_C) + F.col(c)))
+    fused = (
+        lex.join(den, ["query_id", "doc_id"], "full_outer")
+        .withColumn("rrf_score", contrib("lex_rnk") + contrib("den_rnk"))
+        .select(
+            "query_id",
+            "doc_id",
+            F.coalesce("lex_rnk", F.lit(0)).cast("long").alias("lex_rnk"),
+            F.coalesce("den_rnk", F.lit(0)).cast("long").alias("den_rnk"),
+            "rrf_score",
+        )
+    )
+    wf = Window.partitionBy("query_id").orderBy(F.desc("rrf_score"), F.asc("doc_id"))
+    return (
+        fused.withColumn("rnk", F.row_number().over(wf))
+        .filter(F.col("rnk") <= RRF_TOP)
+        .select(
+            "query_id", "doc_id", "lex_rnk", "den_rnk", "rrf_score",
+            F.col("rnk").cast("long").alias("rnk"),
+        )
+    )
+
+
+# -- bounded BFS reachability over the kNN graph (round 4) --------------------
+BFS_SEEDS, BFS_HOPS = 3, 4
+
+
+def _bfs_oracle() -> str:
+    parts = [
+        f"""r0 AS (
+      SELECT id AS seed, id AS vid, CAST(0 AS BIGINT) AS dist
+      FROM v WHERE id < {BFS_SEEDS}
+    )"""
+    ]
+    for hop in range(1, BFS_HOPS + 1):
+        parts.append(
+            f"""r{hop} AS (
+      SELECT seed, vid, CAST(MIN(dist) AS BIGINT) AS dist FROM (
+        SELECT seed, vid, dist FROM r{hop - 1}
+        UNION ALL
+        SELECT r.seed, e.dst AS vid, r.dist + 1 AS dist
+        FROM r{hop - 1} r JOIN edges e ON e.src = r.vid
+        WHERE r.dist = {hop - 1}
+      ) GROUP BY seed, vid
+    )"""
+        )
+    body = ",\n    ".join(parts)
+    return f"""
+    {_QUANT_CTE},
+    {_knn_edges_ctes(PR_K)},
+    {body}
+    SELECT seed, vid AS vec_id, dist FROM r{BFS_HOPS}
+    """
+
+
+@query("knn_bfs_reach", oracle=_bfs_oracle())
+def knn_bfs_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum hop distance (≤ {BFS_HOPS}) from {BFS_SEEDS} seed vectors
+    over the same IVF-cell-bounded kNN graph PageRank ranks — the
+    neighborhood-expansion primitive behind "find everything within N
+    hops of these exemplars" (seed-based corpus exploration, influence
+    radius, contamination blast-radius checks).  Level-synchronous BFS:
+    per hop one frontier×edges join + one anti-join, frontier ≤
+    seeds·k^hop with the graph's fixed fan-out k={PR_K}
+    (operators/graph.py bfs_hops); the oracle unrolls the same recurrence
+    as min-dist CTEs."""
+    from mapreduceproject_spark.operators.graph import bfs_hops, knn_edges_ivf
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    edges = knn_edges_ivf(emb, "vec_id", "embedding", num_centroids="auto", k=PR_K)
+    seeds = emb.select("vec_id").filter(F.col("vec_id") < BFS_SEEDS)
+    out = bfs_hops(edges, seeds, "vec_id", max_hops=BFS_HOPS)
+    return out.select("seed", F.col("vid").alias("vec_id"), "dist")

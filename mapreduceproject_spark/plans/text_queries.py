@@ -43,23 +43,17 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _quality_oracle() -> str:
-    stoplist = ", ".join(f"'{s}'" for s in ta.STOPWORDS)
     return rf"""
     WITH m AS (
       SELECT doc_id,
              CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
-             CAST(len(regexp_extract_all(text, '{ta.PUNCT_PATTERN}')) AS DOUBLE)
-               / length(text) AS punct_ratio,
-             CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE)
-               / length(text) AS digit_ratio,
-             CAST(len(list_filter({_TOKS}, t -> list_contains([{stoplist}], lower(t)))) AS DOUBLE)
-               / len({_TOKS}) AS stopword_ratio
+             {ta.duck_quality_ratio_cols(_TOKS)}
       FROM documents
     )
     SELECT *,
-           1.0 - punct_ratio * 2.0 - digit_ratio + stopword_ratio * 0.5 AS quality,
+           {ta.QUALITY_COMPOSITE_SQL} AS quality,
            n_tokens >= 5
-             AND (1.0 - punct_ratio * 2.0 - digit_ratio + stopword_ratio * 0.5) > 0.5 AS keep
+             AND ({ta.QUALITY_COMPOSITE_SQL}) > 0.5 AS keep
     FROM m
     """
 
@@ -466,4 +460,56 @@ def bigram_lm_top(spark: SparkSession, sf_dir: str) -> DataFrame:
         "text",
         top_n=BIGRAM_TOP,
         add_k=BIGRAM_ADD_K,
+    )
+
+
+# -- per-document bigram surprisal (round 4) --------------------------------
+
+
+def _bigram_surprisal_oracle() -> str:
+    from mapreduceproject_spark.functions.textfn import duck_token_rows
+
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, pos, tok FROM {duck_token_rows("lower(text)", "doc_id")}
+    ),
+    inst AS (
+      SELECT doc_id, w1, w2 FROM (
+        SELECT doc_id, tok AS w1,
+               lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+        FROM tok)
+      WHERE w2 IS NOT NULL
+    ),
+    c2 AS (SELECT w1, w2, COUNT(*) AS n_bigram FROM inst GROUP BY 1, 2),
+    h AS (
+      SELECT w1, w2, CAST(n_bigram AS BIGINT) AS n_bigram,
+             CAST(SUM(n_bigram) OVER (PARTITION BY w1) AS BIGINT) AS n_head
+      FROM c2
+    ),
+    v AS (SELECT COUNT(DISTINCT w2) AS vv FROM c2),
+    q AS (
+      SELECT w1, w2,
+             CAST(floor(-ln((n_bigram + {BIGRAM_ADD_K})
+                            / (n_head + {BIGRAM_ADD_K} * vv)) * 1000000.0) AS BIGINT)
+               AS q_nll
+      FROM h, v
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(q_nll) AS DOUBLE) / (1000000.0 * COUNT(*)) AS avg_nll
+    FROM inst JOIN q USING (w1, w2)
+    GROUP BY doc_id
+    """
+
+
+@query("bigram_surprisal_filter", oracle=_bigram_surprisal_oracle())
+def bigram_surprisal_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document average bigram surprisal under the corpus add-k LM —
+    the perplexity-proxy quality score one rung above
+    text_unigram_logprob's unigram model (CCNet ranks and filters web
+    documents exactly this way).  Micro-quantized per-instance surprisal
+    makes the per-document mean order-independent; the instances×model
+    join is bigram-keyed and AQE-sized (operators/text_analysis.py
+    bigram_surprisal)."""
+    return ta.bigram_surprisal(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text", add_k=BIGRAM_ADD_K
     )

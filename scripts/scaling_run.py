@@ -86,6 +86,13 @@ TIER = [
     "repeated_ngram_mask",
     "split_leakage_check",
     "embedding_outlier_scores",
+    # round-4 retrieval/mining wave (seasonal_residual_outliers is
+    # events-backed and events don't scale in this fixture)
+    "ann_hard_negatives",
+    "hybrid_rrf_retrieval",
+    "budget_top_p_selection",
+    "bigram_surprisal_filter",
+    "knn_bfs_reach",
 ]
 
 ALPHA = "abcdefghijklmnopqrstuvwxyz"

@@ -72,6 +72,13 @@ REPRESENTATIVE = [
     "ab_test_welch",
     "bootstrap_ci_poisson",
     "stream_upsert_latest",
+    # round-4 retrieval/mining wave
+    "ann_hard_negatives",
+    "hybrid_rrf_retrieval",
+    "seasonal_residual_outliers",
+    "budget_top_p_selection",
+    "bigram_surprisal_filter",
+    "knn_bfs_reach",
 ]
 
 

@@ -345,3 +345,54 @@ def test_bootstrap_single_fanout_no_raw_reshuffle(spark, sf_dir):
     assert plan.count("Generate explode") == 1
     # two scans (point mean + replica pipeline) are fine; no cartesian
     assert "CartesianProduct" not in plan
+
+
+def test_hard_negatives_broadcast_query_side(spark, sf_dir):
+    """Hard-negative mining must keep the brute shape: queries broadcast
+    against the corpus scan, never a shuffle pair join."""
+    plan = _plan(QUERIES["ann_hard_negatives"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_rrf_fusion_joins_candidate_lists_not_corpora(spark, sf_dir):
+    """Both rankers broadcast their query side; the full-outer fusion join
+    runs over Q x RRF_CAND candidate lists, so no SortMergeJoin may touch a
+    corpus-sized side and nothing is cartesian."""
+    plan = _plan(QUERIES["hybrid_rrf_retrieval"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_seasonal_outliers_broadcast_cells_and_takeordered(spark, sf_dir):
+    """The seasonal-cell side is statically bounded (168 x |types|): the
+    join back must broadcast, and the top-N must be TakeOrdered, not a
+    global single-partition window over all events."""
+    plan = _plan(QUERIES["seasonal_residual_outliers"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_top_p_selection_single_scan_source_windows(spark, sf_dir):
+    """Budget selection is two windows over the same source partitioning —
+    one scan, no join, and only source-keyed exchanges."""
+    plan = _plan(QUERIES["budget_top_p_selection"](spark, sf_dir))
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan
+
+
+def test_bigram_surprisal_model_join_is_aqe_sized(spark, sf_dir):
+    """The instances x model join is bigram-keyed; a web-corpus model is
+    tens of GB so the plan must not hard-pin a broadcast on it (AQE decides
+    at runtime) and must never be cartesian."""
+    df = QUERIES["bigram_surprisal_filter"](spark, sf_dir)
+    opt = _optimized(df)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    # the only UnresolvedHint-born broadcast allowed is the 1-row vocab
+    assert opt.count("ResolvedHint (strategy=broadcast)") <= 1
+
+
+def test_bfs_reach_no_cartesian_bounded_frontier(spark, sf_dir):
+    plan = _plan(QUERIES["knn_bfs_reach"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
