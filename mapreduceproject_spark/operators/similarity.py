@@ -306,8 +306,14 @@ def hyperplane_lsh_topk(
     )
 
 
-def _quantized_side(df: DataFrame, id_col: str, vec_col: str, out_id: str) -> DataFrame:
-    """(id, quantized array, Σq²) — the per-vector scoring artifact.
+def _quantized_side(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    out_id: str,
+    keep: dict[str, str] | None = None,
+) -> DataFrame:
+    """(id, quantized array, Σq², *keep) — the per-vector scoring artifact.
 
     Persisted: it feeds every pair-scoring expression downstream, and the
     persist() barrier stops CollapseProject from inlining quantize() into
@@ -316,10 +322,17 @@ def _quantized_side(df: DataFrame, id_col: str, vec_col: str, out_id: str) -> Da
     half of similarity search: at corpus scale you materialize it once
     and amortize over every query batch.  Spread first so the per-vector
     scoring that follows parallelizes even off a single-split local scan.
+
+    ``keep`` maps source column → output alias for payload columns the
+    caller needs alongside the vectors (e.g. a class label for
+    hard-negative mining).
     """
+    extra = [F.col(src).alias(dst) for src, dst in (keep or {}).items()]
     return (
         spread_for_compute(df)
-        .select(F.col(id_col).alias(out_id), quantize(F.col(vec_col)).alias("_q"))
+        .select(
+            F.col(id_col).alias(out_id), *extra, quantize(F.col(vec_col)).alias("_q")
+        )
         .withColumn("_n2", quantized_norm2(F.col("_q")))
         .persist()
     )
@@ -399,16 +412,8 @@ def hard_negative_topk(
             quantize(F.col(query_vec_col)).alias("_qq"),
         ).withColumn("_qn2", quantized_norm2(F.col("_qq")))
     )
-    # same index-build projection as _quantized_side, carrying the label
-    cq = (
-        spread_for_compute(corpus)
-        .select(
-            F.col(id_col).alias("neighbor_id"),
-            F.col(label_col).alias("nlabel"),
-            quantize(F.col(vec_col)).alias("_q"),
-        )
-        .withColumn("_n2", quantized_norm2(F.col("_q")))
-        .persist()
+    cq = _quantized_side(
+        corpus, id_col, vec_col, "neighbor_id", keep={label_col: "nlabel"}
     )
     scored = (
         cq.crossJoin(q)

@@ -113,6 +113,35 @@ def quality_scores(
     )
 
 
+def _bigram_model(
+    df: DataFrame, id_col: str, text_col: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Shared add-k bigram-LM construction for :func:`bigram_lm_top` and
+    :func:`bigram_surprisal` — ONE definition of the tokenization, the
+    per-document lead() window, the bigram count table, the head counts
+    (w1 counted *as a bigram head*), and the distinct-continuation
+    vocabulary V, so the two consumers cannot drift.
+
+    Returns ``(inst, with_head, vocab)``: per-document bigram instances
+    ``(id, w1, w2)``, the count table with ``n_bigram``/``n_head`` longs,
+    and the single-row ``_v`` vocabulary aggregate (broadcast by callers).
+    """
+    from mapreduceproject_spark.functions.textfn import token_rows
+
+    toks = token_rows(df.select(id_col, text_col), F.lower(F.col(text_col)), [id_col])
+    wd = Window.partitionBy(id_col).orderBy("pos")
+    inst = (
+        toks.withColumn("w2", F.lead("tok").over(wd))
+        .filter(F.col("w2").isNotNull())
+        .select(id_col, F.col("tok").alias("w1"), "w2")
+    )
+    c2 = inst.groupBy("w1", "w2").agg(F.count("*").cast("long").alias("n_bigram"))
+    wh = Window.partitionBy("w1")
+    with_head = c2.withColumn("n_head", F.sum("n_bigram").over(wh).cast("long"))
+    vocab = c2.agg(F.countDistinct("w2").alias("_v"))
+    return inst, with_head, vocab
+
+
 def bigram_surprisal(
     df: DataFrame, id_col: str, text_col: str, add_k: float = 0.5
 ) -> DataFrame:
@@ -132,19 +161,7 @@ def bigram_surprisal(
     truly fits, the text_tfidf_top_terms contract) — and one final
     per-document agg.  Linear end to end.
     """
-    from mapreduceproject_spark.functions.textfn import token_rows
-
-    toks = token_rows(df.select(id_col, text_col), F.lower(F.col(text_col)), [id_col])
-    wd = Window.partitionBy(id_col).orderBy("pos")
-    inst = (
-        toks.withColumn("w2", F.lead("tok").over(wd))
-        .filter(F.col("w2").isNotNull())
-        .select(id_col, F.col("tok").alias("w1"), "w2")
-    )
-    c2 = inst.groupBy("w1", "w2").agg(F.count("*").cast("long").alias("n_bigram"))
-    wh = Window.partitionBy("w1")
-    model = c2.withColumn("n_head", F.sum("n_bigram").over(wh).cast("long"))
-    vocab = c2.agg(F.countDistinct("w2").alias("_v"))
+    inst, model, vocab = _bigram_model(df, id_col, text_col)
     scored = model.crossJoin(F.broadcast(vocab)).select(
         "w1",
         "w2",
@@ -325,21 +342,10 @@ def bigram_lm_top(
     a lead() over the per-document window (shuffle on id), one bigram
     groupBy, a head-count window, and a broadcast of the single-row V —
     linear end to end, the exact plan you'd run over a 100 TB corpus to
-    seed a KenLM-style count table.
+    seed a KenLM-style count table.  Model construction is shared with
+    :func:`bigram_surprisal` via :func:`_bigram_model`.
     """
-    from mapreduceproject_spark.functions.textfn import token_rows
-
-    toks = token_rows(df.select(id_col, text_col), F.lower(F.col(text_col)), [id_col])
-    wd = Window.partitionBy(id_col).orderBy("pos")
-    bigrams = (
-        toks.withColumn("w2", F.lead("tok").over(wd))
-        .filter(F.col("w2").isNotNull())
-        .select(F.col("tok").alias("w1"), "w2")
-    )
-    c2 = bigrams.groupBy("w1", "w2").agg(F.count("*").cast("long").alias("n_bigram"))
-    wh = Window.partitionBy("w1")
-    with_head = c2.withColumn("n_head", F.sum("n_bigram").over(wh).cast("long"))
-    vocab = c2.agg(F.countDistinct("w2").alias("_v"))
+    _inst, with_head, vocab = _bigram_model(df, id_col, text_col)
     scored = with_head.crossJoin(F.broadcast(vocab)).select(
         "w1",
         "w2",

@@ -499,7 +499,9 @@ def seasonal_residual_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     cell = x.groupBy("event_type", "dow", "hr").agg(
         F.count("*").cast("long").alias("n"),
         dec("cents").alias("s1"),
-        F.sum((F.col("cents") * F.col("cents")).cast("decimal(38,0)"))
+        # decimal BEFORE the multiply (mirrors the oracle's HUGEINT-first
+        # product): cents*cents in int64 overflows past ~$30M values
+        F.sum(F.col("cents").cast("decimal(38,0)") * F.col("cents"))
         .cast("double")
         .alias("s2"),
     )

@@ -448,11 +448,21 @@ def main() -> None:
         out["ngram_scratch"] = ngram_scratch_check(spark)
     print(json.dumps(out))
     # persist the full artifact (same rationale as bench.py: stdout tails
-    # get truncated; the committed file under measurements/ is the record)
+    # get truncated; the committed file under measurements/ is the record).
+    # MERGE into any existing artifact for this fixture size: chunked
+    # SPARK_GRAFT_SCALE_ONLY runs each carry a subset of the tier, and an
+    # overwrite would drop the other chunks' evidence (round-4 lesson —
+    # a single-query run once erased the whole 10x table).
     dest = Path(__file__).resolve().parent.parent / "measurements" / (
         f"scale_{REPLICAS}x_latest.json"
     )
     dest.parent.mkdir(exist_ok=True)
+    if dest.exists():
+        prior = json.loads(dest.read_text())
+        if prior.get("fixture") == out["fixture"]:
+            merged_q = {**prior.get("queries", {}), **out["queries"]}
+            out = {**prior, **out, "queries": merged_q}
+            out["total"] = round(sum(merged_q.values()), 2)
     dest.write_text(json.dumps(out, indent=1, sort_keys=True) + "\n")
     spark.stop()
 

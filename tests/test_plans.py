@@ -386,11 +386,17 @@ def test_bigram_surprisal_model_join_is_aqe_sized(spark, sf_dir):
     tens of GB so the plan must not hard-pin a broadcast on it (AQE decides
     at runtime) and must never be cartesian."""
     df = QUERIES["bigram_surprisal_filter"](spark, sf_dir)
-    opt = _optimized(df)
     plan = _plan(df)
     assert "CartesianProduct" not in plan
-    # the only UnresolvedHint-born broadcast allowed is the 1-row vocab
-    assert opt.count("ResolvedHint (strategy=broadcast)") <= 1
+    # hints live in the ANALYZED plan (EliminateResolvedHint folds them
+    # away before the optimized plan — same rationale as the tfidf test):
+    # the only broadcast hint allowed is the 1-row vocab scalar
+    logical = df._jdf.queryExecution().analyzed().toString()
+    hints = [ln for ln in logical.splitlines() if "ResolvedHint" in ln]
+    assert len(hints) <= 1, hints
+    if hints:
+        after = logical.split("ResolvedHint")[1]
+        assert "_v" in after.splitlines()[1] + after.splitlines()[2], hints
 
 
 def test_bfs_reach_no_cartesian_bounded_frontier(spark, sf_dir):
