@@ -476,11 +476,16 @@ def simhash_dedup(
 # 4. character n-gram jaccard
 # ---------------------------------------------------------------------------
 
-# Exact-mode scratch model: the gram stream (≈ one row per character) is
-# shuffled ~3× (df window, prefix window, verify arrays) at ~16 bytes per
-# (id, hash) row — the 100× fixture measured 67 GB of shuffle scratch
-# from ~1.4 G chars, ≈ 48 B/char end-to-end including spill-file overhead.
-NGRAM_SCRATCH_BYTES_PER_CHAR = 48
+# Exact-mode scratch model, calibrated from the 100× fixture run that
+# filled the disk: ~148.5 M input chars drove ~70 GB of shuffle scratch
+# before dying — ≈480 B/char end-to-end.  The per-(id,hash) row is only
+# ~16 B, but the gram stream is sorted for two windows (each with spill
+# files), and the verify join materializes BOTH docs' gram arrays on
+# every surviving candidate row, which is where the bulk of the bytes
+# land.  A round-3 note estimated 48 B/char from a mis-measured char
+# count; the 10× fixture (14.9 M chars, exact mode, completed) fits the
+# 480 B/char model at ~7 GB scratch.
+NGRAM_SCRATCH_BYTES_PER_CHAR = 480
 NGRAM_EST_HASHES = 24
 
 
@@ -518,29 +523,44 @@ def _ngram_jaccard_minhash_verify(
     threshold: float,
     num_hashes: int,
     seed: int = 42,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Scratch-light fallback: MinHash width-1-band candidates, then the
     SAME exact array-intersect jaccard verify as the main path.
 
-    The gram stream is shuffled exactly twice (signature groupBy + the
-    verify's per-doc gram arrays) — the exact path's two extra full
-    gram-stream sorts (document-frequency window + prefix-rank window)
-    never run, which is where the 100× fixture's 67 GB of shuffle
-    scratch went.  Width-1 bands (a bucket per permutation minimum) give
-    candidate recall 1-(1-J)^K per true pair — at K=24 and J≥0.55 a miss
-    has probability ≈5e-9 — and every emitted pair carries its EXACT
-    jaccard, so output values are identical to exact mode; only an
-    astronomically unlikely candidate miss can differ (pytest pins full
-    equality on the fixture).
+    The gram stream is shuffled exactly ONCE — the per-doc gram-set
+    arrays are collected in a single groupBy, and the minhash signatures
+    are derived FROM those arrays with in-plan F.aggregate folds (no
+    second gram-stream exchange; a first cut that shuffled grams once
+    for signatures and once for arrays still wrote ~70 GB at the 100×
+    fixture and died of disk exactly like the exact path).  The exact
+    path's two additional full gram-stream sorts (document-frequency
+    window + prefix-rank window) never run either.  Width-1 bands (a
+    bucket per permutation minimum) give candidate recall 1-(1-J)^K per
+    true pair — at K=24 and J≥0.55 a miss has probability ≈5e-9 — and
+    every emitted pair carries its EXACT jaccard (array_intersect on the
+    collected gram sets), so output values are identical to exact mode;
+    only an astronomically unlikely candidate miss can differ (pytest
+    pins full equality on the fixture).  With ``max_bucket_size`` set
+    the contract weakens to bounded-cost: saturated buckets are dropped
+    before pairing (see ``ngram_jaccard_dedup``'s ``est_bucket_cap``).
     """
     params = minhash_params(num_hashes, seed)
+    arrs = grams.groupBy("_id").agg(F.collect_list("h").alias("hs")).persist()
+    init = F.lit(9223372036854775807).cast("long")
+
+    def _fold_min(a: int, b: int):
+        # closure factory: PySpark inspects the lambda's arity, so the
+        # (a, b) constants can't ride as defaulted extra parameters
+        return lambda acc, h: F.least(acc, minhash_perm(h, a, b))
+
     sigs = (
-        grams.groupBy("_id")
-        .agg(
+        arrs.select(
+            "_id",
             F.array(
-                *[F.min(minhash_perm(F.col("h"), a, b)) for a, b in params]
+                *[F.aggregate("hs", init, _fold_min(a, b)) for a, b in params]
             ).alias("sig"),
-            F.count("*").alias("ng"),
+            F.size("hs").cast("long").alias("ng"),
         )
         .join(meta, "_id")
         .persist()
@@ -548,6 +568,26 @@ def _ngram_jaccard_minhash_verify(
     buckets = sigs.select(
         "_id", *block_cols, "_len", "ng", F.posexplode("sig").alias("hi", "hv")
     )
+    if max_bucket_size is not None:
+        from pyspark.sql import Window
+
+        # viral-bucket pressure valve (same contract as
+        # candidate_pairs_from_buckets): a width-1 band whose minimum is
+        # a hot common gram collects a block-sized bucket, and the pair
+        # join below is quadratic per bucket — measured 341 M candidate
+        # pairs at the 100× fixture uncapped, because that corpus's
+        # BACKGROUND char-trigram similarity sits near the threshold.
+        # One window count on the join's own (hi, hv) partitioning drops
+        # such buckets up front.  Lossy by design: pairs whose every
+        # shared-minimum bucket is viral are not emitted — bounded cost
+        # in exchange for recall inside saturated buckets.  Default None
+        # keeps the estimate≡exact contract.
+        wb = Window.partitionBy("hi", "hv")
+        buckets = (
+            buckets.withColumn("_bn", F.count("*").over(wb))
+            .filter(F.col("_bn") <= max_bucket_size)
+            .drop("_bn")
+        )
     a = buckets.select(
         F.col("_id").alias("id_a"),
         *[F.col(c).alias(f"{c}_a") for c in block_cols],
@@ -575,7 +615,9 @@ def _ngram_jaccard_minhash_verify(
         .select("id_a", "id_b", "na", "nb")
         .distinct()
     )
-    arrs = grams.groupBy("_id").agg(F.collect_list("h").alias("hs"))
+    # verify reuses the SAME persisted arrays the signatures came from —
+    # no fresh gram-stream exchange; the candidate side is bounded, so
+    # AQE broadcasts it and the array table is probed in place
     inter = (
         pairs.join(
             arrs.select(F.col("_id").alias("id_a"), F.col("hs").alias("ha")), "id_a"
@@ -610,19 +652,29 @@ def ngram_jaccard_dedup(
     prefix_filter: bool = True,
     scratch_policy: str = "auto",
     scratch_headroom: float = 0.5,
+    est_bucket_cap: int | None = None,
 ) -> DataFrame:
     """n-gram jaccard near-dup within (block_cols, |length diff| ≤ band).
 
     ``scratch_policy`` guards the exact path's shuffle scratch: "exact"
     always runs full PPJoin + exact verification; "estimate" runs the
     MinHash-candidate fallback (:func:`_ngram_jaccard_minhash_verify` —
-    two gram shuffles, no full gram-stream window sorts, exact verify); "auto" (default) estimates the
+    ONE gram shuffle, no full gram-stream window sorts, exact verify on
+    the collected gram sets); "auto" (default) estimates the
     exact path's scratch from a one-column sum of ``length_col``
     (~{NGRAM_SCRATCH_BYTES_PER_CHAR} B/char measured) and switches to
     "estimate" when it would exceed ``scratch_headroom`` of the free
-    space on spark.local.dir — the round-3 100× fixture DNF'd on disk
-    (67 GB scratch), not compute, and this policy lets the same call
-    complete by explicit, logged fallback.
+    space on spark.local.dir — the round-3 100× fixture DNF'd on disk,
+    not compute, and this policy lets the same call complete by
+    explicit, logged fallback.
+
+    ``est_bucket_cap`` (estimate mode only) drops width-1 minhash
+    buckets larger than the cap before pairing.  On corpora whose
+    BACKGROUND gram similarity sits near the threshold, the candidate
+    volume is quadratic in block size no matter the sketch (the 100×
+    fixture measured 341 M uncapped candidates); the cap bounds the cost
+    and forfeits pairs confined to saturated buckets — an explicitly
+    lossy trade the caller opts into.  None (default) is lossless.
 
     Blocking: equi-join on block columns + a length range predicate — the
     classic blocking-key pattern.  At 100 TB the equi part shuffles; the
@@ -696,7 +748,13 @@ def ngram_jaccard_dedup(
     )
     if mode == "estimate":
         return _ngram_jaccard_minhash_verify(
-            grams, meta, block_cols, length_band, threshold, NGRAM_EST_HASHES
+            grams,
+            meta,
+            block_cols,
+            length_band,
+            threshold,
+            NGRAM_EST_HASHES,
+            max_bucket_size=est_bucket_cap,
         )
     docs = grams.groupBy("_id").agg(F.count("*").alias("n_grams")).join(meta, "_id")
     cond = (F.col("id_a") < F.col("id_b")) & (

@@ -316,6 +316,34 @@ def test_ngram_estimate_mode_matches_exact_pairs(spark, sf_dir):
     assert exact and est == exact
 
 
+def test_ngram_estimate_bucket_cap_is_bounded_subset(spark, sf_dir):
+    """est_bucket_cap is the estimate mode's viral-bucket valve: capped
+    output must be a SUBSET of uncapped (it only drops pairs whose every
+    shared-minimum bucket is saturated), a huge cap must be a no-op, and
+    a tiny cap must actually shrink the pair set on this fixture (whose
+    background char-trigram similarity concentrates ~80% of docs into
+    one bucket per band — the measured 341 M-candidate shape at 100×)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    kw = dict(
+        block_cols=["lang"], length_col="n_chars", n=3, length_band=8,
+        threshold=0.55, scratch_policy="estimate",
+    )
+
+    def pairs(cap):
+        return {
+            (r["id_a"], r["id_b"])
+            for r in dd.ngram_jaccard_dedup(
+                docs, "doc_id", "text", est_bucket_cap=cap, **kw
+            ).collect()
+        }
+
+    uncapped = pairs(None)
+    assert pairs(10**9) == uncapped
+    capped = pairs(50)
+    assert capped <= uncapped
+    assert len(capped) < len(uncapped)
+
+
 def test_ngram_scratch_policy_resolution():
     """Pure decision function: explicit policies pass through; auto
     switches to estimate exactly when need > headroom * free AND the
