@@ -132,6 +132,23 @@ def lsh_band_buckets(
     ).select("_id", *carry, F.col("bk.band").alias("band"), F.col("bk.sig").alias("sig"))
 
 
+def _drop_saturated_buckets(
+    df: DataFrame, keys: list[str], cap: int
+) -> DataFrame:
+    """Viral-bucket pressure valve shared by every bucketed pair join:
+    one window count on the join's own bucket partitioning, buckets over
+    ``cap`` dropped before pairing (the self-join is quadratic per
+    bucket).  See the callers for the recall contract each one trades."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*keys)
+    return (
+        df.withColumn("_bn", F.count("*").over(w))
+        .filter(F.col("_bn") <= cap)
+        .drop("_bn")
+    )
+
+
 def candidate_pairs_from_buckets(
     buckets: DataFrame, max_bucket_size: int | None = None
 ) -> DataFrame:
@@ -151,14 +168,7 @@ def candidate_pairs_from_buckets(
     recovers if it matters.  Default None = exact (the registered
     correctness queries)."""
     if max_bucket_size is not None:
-        from pyspark.sql import Window
-
-        w = Window.partitionBy("band", "sig")
-        buckets = (
-            buckets.withColumn("_bn", F.count("*").over(w))
-            .filter(F.col("_bn") <= max_bucket_size)
-            .drop("_bn")
-        )
+        buckets = _drop_saturated_buckets(buckets, ["band", "sig"], max_bucket_size)
     a = buckets.alias("a")
     b = buckets.alias("b")
     return (
@@ -569,25 +579,15 @@ def _ngram_jaccard_minhash_verify(
         "_id", *block_cols, "_len", "ng", F.posexplode("sig").alias("hi", "hv")
     )
     if max_bucket_size is not None:
-        from pyspark.sql import Window
-
-        # viral-bucket pressure valve (same contract as
-        # candidate_pairs_from_buckets): a width-1 band whose minimum is
-        # a hot common gram collects a block-sized bucket, and the pair
-        # join below is quadratic per bucket — measured 341 M candidate
-        # pairs at the 100× fixture uncapped, because that corpus's
-        # BACKGROUND char-trigram similarity sits near the threshold.
-        # One window count on the join's own (hi, hv) partitioning drops
-        # such buckets up front.  Lossy by design: pairs whose every
-        # shared-minimum bucket is viral are not emitted — bounded cost
-        # in exchange for recall inside saturated buckets.  Default None
-        # keeps the estimate≡exact contract.
-        wb = Window.partitionBy("hi", "hv")
-        buckets = (
-            buckets.withColumn("_bn", F.count("*").over(wb))
-            .filter(F.col("_bn") <= max_bucket_size)
-            .drop("_bn")
-        )
+        # a width-1 band whose minimum is a hot common gram collects a
+        # block-sized bucket — measured 341 M candidate pairs at the
+        # 100× fixture uncapped, because that corpus's BACKGROUND
+        # char-trigram similarity sits near the threshold.  Lossy by
+        # design: pairs whose every shared-minimum bucket is viral are
+        # not emitted — bounded cost in exchange for recall inside
+        # saturated buckets.  Default None keeps the estimate≡exact
+        # contract.
+        buckets = _drop_saturated_buckets(buckets, ["hi", "hv"], max_bucket_size)
     a = buckets.select(
         F.col("_id").alias("id_a"),
         *[F.col(c).alias(f"{c}_a") for c in block_cols],
@@ -740,13 +740,12 @@ def ngram_jaccard_dedup(
         char_ngram_rows(base, F.lower(F.col("_txt")), n, keep=["_id"])
         .select("_id", hash60(F.col("g")).alias("h"))
         .distinct()
-        # grams feeds doc sizes, the prefix index, and both verify sides;
-        # persist() makes the branches share one computation instead of
-        # re-running the explode+hash pipeline per consumer (lookup is by
-        # canonicalized plan, so repeated builder calls also reuse it)
-        .persist()
     )
     if mode == "estimate":
+        # NOT persisted here: the fallback consumes grams exactly once
+        # (its single arrs groupBy); caching the corpus-sized gram
+        # stream would re-create memory/disk pressure on precisely the
+        # scratch-constrained path
         return _ngram_jaccard_minhash_verify(
             grams,
             meta,
@@ -756,6 +755,12 @@ def ngram_jaccard_dedup(
             NGRAM_EST_HASHES,
             max_bucket_size=est_bucket_cap,
         )
+    # exact mode: grams feeds doc sizes, the prefix index, and both
+    # verify sides — persist() makes the branches share one computation
+    # instead of re-running the explode+hash pipeline per consumer
+    # (lookup is by canonicalized plan, so repeated builder calls also
+    # reuse it)
+    grams = grams.persist()
     docs = grams.groupBy("_id").agg(F.count("*").alias("n_grams")).join(meta, "_id")
     cond = (F.col("id_a") < F.col("id_b")) & (
         F.abs(F.col("len_a") - F.col("len_b")) <= length_band

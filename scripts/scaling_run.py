@@ -197,6 +197,14 @@ def skew_split_check(spark) -> bool:
     return "skew=true" in plan
 
 
+def _skip_brute() -> bool:
+    """SPARK_GRAFT_SCALE_SKIP_BRUTE with conventional falsy strings:
+    '0'/'false'/'no'/'' re-enable the brute baseline measurement."""
+    return os.environ.get("SPARK_GRAFT_SCALE_SKIP_BRUTE", "").strip().lower() not in (
+        "", "0", "false", "no",
+    )
+
+
 def ivf_centroid_scaling_check(spark) -> dict:
     """The dedup_embedding_cosine 10x-fixture run shows the documented IVF
     cliff: fixed C=16 means 10x corpus -> (n/C)^2 = 100x per-cell pairs.
@@ -210,7 +218,7 @@ def ivf_centroid_scaling_check(spark) -> dict:
 
     emb = spark.read.parquet(f"{OUT_DIR}/embeddings.parquet")
     brute_sec = None
-    if not os.environ.get("SPARK_GRAFT_SCALE_SKIP_BRUTE"):
+    if not _skip_brute():
         # the brute side is a pure re-measure (recorded in the committed
         # 100x artifact); skip it when only the twolevel delta is needed
         t0 = time.perf_counter()
@@ -250,7 +258,7 @@ def pagerank_centroid_scaling_check(spark) -> dict:
 
     emb = spark.read.parquet(f"{OUT_DIR}/embeddings.parquet")
     brute_sec = None
-    if not os.environ.get("SPARK_GRAFT_SCALE_SKIP_BRUTE"):
+    if not _skip_brute():
         t0 = time.perf_counter()
         edges = knn_edges_ivf(
             emb, "vec_id", "embedding", num_centroids=16 * REPLICAS, k=4
@@ -287,7 +295,7 @@ def semantic_k_scaling_check(spark) -> dict:
 
     emb = spark.read.parquet(f"{OUT_DIR}/embeddings.parquet")
     brute_sec = None
-    if not os.environ.get("SPARK_GRAFT_SCALE_SKIP_BRUTE"):
+    if not _skip_brute():
         t0 = time.perf_counter()
         semantic_dedup(
             spark, emb, "vec_id", "embedding", k=8 * REPLICAS, iterations=2, threshold=0.4
@@ -309,8 +317,10 @@ def semantic_k_scaling_check(spark) -> dict:
 def mg_throughput_check(spark) -> dict:
     """Candidate-pass throughput of the vectorized Misra-Gries summary
     (operators/frequency.py): tokens/sec over the scaled fixture's token
-    stream, isolated from the verify pass.  Round 3 measured the Python
-    dict loop at ~1M tok/s/core; the np.partition rewrite must clear 3×."""
+    stream, isolated from the verify pass.  Measured same-harness against
+    the round-3 per-token dict loop at the 100× fixture: 6.2 s → 3.1 s
+    end-to-end (2.0×; the artifact's legacy_dict_* fields record the
+    baseline — scan+schedule overhead common to both bounds the ratio)."""
     import time
 
     from pyspark.sql import functions as F
@@ -465,6 +475,13 @@ def main() -> None:
             "mg": ("mg_throughput", mg_throughput_check),
             "ngram": ("ngram_scratch", ngram_scratch_check),
         }
+        if chosen is not None and (unknown := chosen - checks.keys()):
+            # a typo here would silently run ZERO checks after an
+            # hours-long fixture run — fail loudly instead
+            raise SystemExit(
+                f"unknown SPARK_GRAFT_SCALE_CHECKS names {sorted(unknown)}; "
+                f"valid: {sorted(checks)}"
+            )
         for short, (key, fn) in checks.items():
             if chosen is not None and short not in chosen:
                 continue
@@ -485,7 +502,18 @@ def main() -> None:
         prior = json.loads(dest.read_text())
         if prior.get("fixture") == out["fixture"]:
             merged_q = {**prior.get("queries", {}), **out["queries"]}
-            out = {**prior, **out, "queries": merged_q}
+            merged = {**prior, **out, "queries": merged_q}
+            # deep-merge check sub-dicts so a partial re-run (e.g. a
+            # SKIP_BRUTE twolevel-only pass) cannot null out previously
+            # recorded fields or drop keys the rerun does not emit
+            for k, v in out.items():
+                pv = prior.get(k)
+                if isinstance(v, dict) and isinstance(pv, dict) and k != "queries":
+                    merged[k] = {
+                        **pv,
+                        **{kk: vv for kk, vv in v.items() if vv is not None},
+                    }
+            out = merged
             out["total"] = round(sum(merged_q.values()), 2)
     dest.write_text(json.dumps(out, indent=1, sort_keys=True) + "\n")
     spark.stop()
