@@ -5,7 +5,11 @@ tests/test_oracle_parity.py covers the full surface at sf0.001, but the
 deserves a check at the exact sf the driver uses).
 
 Usage: python scripts/window_check.py [N] [sf_dir]
-Prints one line per query and a final summary; exit 1 on any mismatch.
+       python scripts/window_check.py name1,name2,... [sf_dir]
+The first argument is either a window size (first-N registry entries in
+driver order) or a comma-separated list of registry names (targeted
+re-check after touching specific queries).  Prints one line per query
+and a final summary; exit 1 on any mismatch or unknown name.
 """
 
 from __future__ import annotations
@@ -18,15 +22,22 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
 def main() -> None:
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 50
+    arg = sys.argv[1] if len(sys.argv) > 1 else "50"
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
 
     from mapreduceproject_spark import plans
     from mapreduceproject_spark.oracle import check_query
     from mapreduceproject_spark.session import get_spark
 
+    registered = list(plans.queries())
+    if arg.isdigit():
+        names = registered[: int(arg)]
+    else:
+        names = [n.strip() for n in arg.split(",") if n.strip()]
+        unknown = [n for n in names if n not in registered]
+        if unknown:
+            sys.exit(f"unknown registry names: {unknown}")
     spark = get_spark(app_name="window_check")
-    names = list(plans.queries())[:n]
     bad = []
     for i, name in enumerate(names):
         t0 = time.perf_counter()
