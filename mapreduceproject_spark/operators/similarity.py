@@ -695,3 +695,72 @@ def mahalanobis_outlier_scores(
         d2.alias("maha_d2"),
         (d2 > cut).alias("is_outlier"),
     )
+
+
+def split_centroid_drift(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    label_col: str,
+    salt: str,
+    min_cos: float = 0.99,
+) -> DataFrame:
+    """Per-label centroid cosine between two deterministic hash-split
+    halves of the corpus — the embedding-space drift gauge for a
+    train/validation split.  A healthy random split puts both halves on
+    the same distribution, so per-label centroids should be near-equal
+    (cosine ≈ 1); a label whose halves diverge below ``min_cos`` signals
+    a split correlated with content (time-ordered ids, source-clustered
+    ids) — exactly the pathology split_leakage_check cannot see because
+    no individual pair is a near-duplicate.
+
+    Split assignment is hash60(id || salt) % 2 — the ab_test_welch
+    discipline: deterministic, engine-portable, assignment at the row
+    level.  Determinism: vectors quantize to 1e-6-floor longs; per
+    (label, dim) the half-sums are exact integer sums
+    (order-independent, int64 — wraps only past ~9e12 rows per half per
+    label, ~300× above a 100 TB corpus on one label); the cross/self
+    dot products accumulate in decimal(38,0) / HUGEINT (their terms
+    reach ~4e20, past int64 — SCALING.md known-cliff #5) and convert
+    ONCE to double, so cos(Σa, Σb) = cos(mean_a, mean_b) exactly (scale
+    invariance) and both engines emit the same bits.
+
+    Scale: one n·D posexplode into a (labels × D)-key aggregate, then a
+    labels-key aggregate — the embedding_outlier_scores shape, linear
+    in corpus size with bounded aggregate state.
+    """
+    from mapreduceproject_spark.functions.hashing import hash60
+    from mapreduceproject_spark.functions.vectors import quantize
+
+    v = hash60(F.concat(F.col(id_col).cast("string"), F.lit(salt))) % 2
+    e = df.select(F.col(label_col).alias("label"), v.alias("v"), quantize(F.col(vec_col)).alias("q"))
+    counts = e.groupBy("label").agg(
+        F.sum(F.when(F.col("v") == 0, 1).otherwise(0)).cast("long").alias("n_train"),
+        F.sum(F.when(F.col("v") == 1, 1).otherwise(0)).cast("long").alias("n_val"),
+    )
+    d = e.select("label", "v", F.posexplode("q").alias("dim", "qv")).select(
+        "label", F.col("dim").cast("long").alias("dim"), "v", "qv"
+    )
+    s = d.groupBy("label", "dim").agg(
+        F.sum(F.when(F.col("v") == 0, F.col("qv")).otherwise(0)).cast("long").alias("sa"),
+        F.sum(F.when(F.col("v") == 1, F.col("qv")).otherwise(0)).cast("long").alias("sb"),
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    g = s.groupBy("label").agg(
+        F.sum(dec("sa") * F.col("sb")).cast("double").alias("dt"),
+        F.sum(dec("sa") * F.col("sa")).cast("double").alias("n2a"),
+        F.sum(dec("sb") * F.col("sb")).cast("double").alias("n2b"),
+    )
+    cos = F.col("dt") / (F.sqrt(F.col("n2a")) * F.sqrt(F.col("n2b")))
+    return (
+        g.join(counts, "label")
+        .filter((F.col("n_train") > 0) & (F.col("n_val") > 0))
+        .select(
+            "label",
+            "n_train",
+            "n_val",
+            cos.alias("drift_cos"),
+            (cos < F.lit(min_cos)).alias("is_drifted"),
+        )
+        .orderBy("label")
+    )

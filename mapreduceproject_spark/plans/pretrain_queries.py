@@ -210,3 +210,59 @@ def embedding_outlier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return mahalanobis_outlier_scores(emb, "vec_id", "embedding", keep=["label"])
+
+
+# -- split drift gauge (round 4) ---------------------------------------------
+DRIFT_SALT = "|split-v1"
+DRIFT_MIN_COS = 0.99
+
+
+def _drift_oracle() -> str:
+    from mapreduceproject_spark.functions.hashing import duck_hash60
+    from mapreduceproject_spark.functions.vectors import duck_quantize
+
+    v = f"{duck_hash60(f'CAST(vec_id AS VARCHAR) || {DRIFT_SALT!r}')} % 2"
+    return f"""
+    WITH e AS (SELECT label, {v} AS v, {duck_quantize("embedding")} AS q
+               FROM embeddings),
+    c AS (SELECT label,
+                 CAST(SUM(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+                 CAST(SUM(CASE WHEN v = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_val
+          FROM e GROUP BY label),
+    d AS (SELECT label, v, CAST(i AS BIGINT) - 1 AS dim, q[i] AS qv
+          FROM (SELECT label, v, q, unnest(range(1, len(q) + 1)) AS i FROM e)),
+    s AS (SELECT label, dim,
+                 CAST(SUM(CASE WHEN v = 0 THEN qv ELSE 0 END) AS BIGINT) AS sa,
+                 CAST(SUM(CASE WHEN v = 1 THEN qv ELSE 0 END) AS BIGINT) AS sb
+          FROM d GROUP BY label, dim),
+    g AS (SELECT label,
+                 CAST(SUM(CAST(sa AS HUGEINT) * sb) AS DOUBLE) AS dt,
+                 CAST(SUM(CAST(sa AS HUGEINT) * sa) AS DOUBLE) AS n2a,
+                 CAST(SUM(CAST(sb AS HUGEINT) * sb) AS DOUBLE) AS n2b
+          FROM s GROUP BY label)
+    SELECT g.label, n_train, n_val,
+           dt / (sqrt(n2a) * sqrt(n2b)) AS drift_cos,
+           dt / (sqrt(n2a) * sqrt(n2b)) < {DRIFT_MIN_COS} AS is_drifted
+    FROM g JOIN c ON g.label = c.label
+    WHERE n_train > 0 AND n_val > 0
+    ORDER BY g.label
+    """
+
+
+@query("embedding_split_drift", oracle=_drift_oracle())
+def embedding_split_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid cosine between the two hash-split halves of the
+    embedding corpus — the distribution-drift complement to
+    split_leakage_check: leakage catches near-dup PAIRS straddling the
+    split, this catches a split whose halves come from different
+    DISTRIBUTIONS (time- or source-correlated assignment) even when no
+    individual pair is similar.  Healthy random split → cosine ≈ 1 per
+    label; ``is_drifted`` flags labels below {DRIFT_MIN_COS}.
+    operators/similarity.py::split_centroid_drift documents the
+    integer-exact determinism and the n·D-linear shape."""
+    from mapreduceproject_spark.operators.similarity import split_centroid_drift
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return split_centroid_drift(
+        emb, "vec_id", "embedding", "label", DRIFT_SALT, DRIFT_MIN_COS
+    )

@@ -28,7 +28,7 @@ ORACLES: dict[str, str] = {}
 # (a) no entry's newest row predates its current algorithm, and
 # (b) rows age oldest-first — after this round every entry has an r3/r4
 # row except five one-expression wrappers carrying r1 rows and the
-# twenty-five NEW round-4 queries (gopher_quality_filter,
+# twenty-six NEW round-4 queries (gopher_quality_filter,
 # dsir_importance_weights, doc_shingle_novelty, ann_sq8_rerank_topk,
 # zorder_layout_extents, stream_windowed_topk, repeated_ngram_mask,
 # split_leakage_check, embedding_outlier_scores, join_key_skew_report,
@@ -36,9 +36,10 @@ ORACLES: dict[str, str] = {}
 # label_centroid_similarity, cdc_merge_apply, chi2_lang_source,
 # ab_test_welch, bootstrap_ci_poisson, stream_upsert_latest,
 # ann_hard_negatives, hybrid_rrf_retrieval, seasonal_residual_outliers,
-# budget_top_p_selection, bigram_surprisal_filter, knn_bfs_reach — each
+# budget_top_p_selection, bigram_surprisal_filter, knn_bfs_reach,
+# embedding_split_drift — each
 # with committed sf0.01 parity evidence via scripts/window_check.py);
-# those thirty lead the round-5 window.  Names
+# those thirty-one lead the round-5 window.  Names
 # absent from the registry are ignored (a pytest guards against typos);
 # everything else follows in registration order.
 # Every registry entry, windowed or not, is additionally parity-checked

@@ -93,6 +93,7 @@ TIER = [
     "budget_top_p_selection",
     "bigram_surprisal_filter",
     "knn_bfs_reach",
+    "embedding_split_drift",
 ]
 
 ALPHA = "abcdefghijklmnopqrstuvwxyz"

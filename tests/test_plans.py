@@ -402,3 +402,15 @@ def test_bigram_surprisal_model_join_is_aqe_sized(spark, sf_dir):
 def test_bfs_reach_no_cartesian_bounded_frontier(spark, sf_dir):
     plan = _plan(QUERIES["knn_bfs_reach"](spark, sf_dir))
     assert "CartesianProduct" not in plan
+
+
+def test_split_drift_partial_agg_no_cartesian(spark, sf_dir):
+    """The drift gauge is two map-side-combined aggregates over a
+    posexplode (the embedding_outlier_scores shape): partial aggregation
+    must appear, no cartesian anywhere, and the corpus is read at most
+    twice (counts branch + moments branch)."""
+    df = QUERIES["embedding_split_drift"](spark, sf_dir)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "partial_sum" in plan
+    assert plan.count("Scan parquet") <= 2
