@@ -417,7 +417,14 @@ def hard_negative_topk(
     )
     scored = (
         cq.crossJoin(q)
-        .filter(F.col("nlabel") != F.col("qlabel"))
+        # self-match guard, same contract as brute_force_topk: when the
+        # query and corpus tables share an id space but NOT a label
+        # assignment (separately-labeled query sets), label mismatch
+        # alone would return a vector as its own cosine-1.0 "negative".
+        .filter(
+            (F.col("nlabel") != F.col("qlabel"))
+            & (F.col("neighbor_id") != F.col("query_id"))
+        )
         .select(
             "query_id",
             "qlabel",

@@ -350,8 +350,9 @@ SKEW_TOP_N = 10
     top AS (SELECT user_id, freq FROM f ORDER BY freq DESC, user_id LIMIT {SKEW_TOP_N})
     SELECT top.user_id, top.freq, t.n_keys, t.total,
            top.freq / t.total AS share,
-           top.freq * t.n_keys / t.total AS skew_vs_avg,
-           (top.freq * t.n_keys + t.total - 1) // t.total AS salt_parts
+           CAST(top.freq AS DOUBLE) * t.n_keys / t.total AS skew_vs_avg,
+           CAST((CAST(top.freq AS HUGEINT) * t.n_keys + t.total - 1) // t.total
+                AS BIGINT) AS salt_parts
     FROM top, t
     """,
 )
@@ -380,8 +381,18 @@ def join_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_keys",
         "total",
         (F.col("freq") / F.col("total")).alias("share"),
-        (F.col("freq") * F.col("n_keys") / F.col("total")).alias("skew_vs_avg"),
-        F.expr(f"(freq * n_keys + total - 1) div total").alias("salt_parts"),
+        # freq*n_keys is exactly the product that overflows int64 in the
+        # heavy-key/high-cardinality regime this report exists to
+        # diagnose (freq=2e10 × n_keys=5e8 = 1e19 > 2^63): skew_vs_avg
+        # widens to double before the multiply (same IEEE sequence as
+        # the oracle), salt_parts stays EXACT via decimal(38,0) /
+        # HUGEINT integer ceil-division on the two engines.
+        (
+            F.col("freq").cast("double") * F.col("n_keys") / F.col("total")
+        ).alias("skew_vs_avg"),
+        F.expr(
+            "(CAST(freq AS DECIMAL(38,0)) * n_keys + total - 1) div total"
+        ).alias("salt_parts"),
     )
 
 

@@ -750,7 +750,7 @@ def _hard_negative_oracle() -> str:
     scored AS (
       SELECT qs.query_id, qs.qlabel, v.id AS neighbor_id, v.label AS nlabel,
              {duck_quantized_cosine("qs.qq", "v.q")} AS cosine
-      FROM qs, v WHERE v.label <> qs.qlabel
+      FROM qs, v WHERE v.label <> qs.qlabel AND v.id <> qs.query_id
     )
     SELECT query_id, qlabel, neighbor_id, nlabel, cosine, CAST(rnk AS BIGINT) AS rnk
     FROM (SELECT *, row_number() OVER (

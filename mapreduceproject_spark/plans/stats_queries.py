@@ -187,9 +187,9 @@ CHI2_QUANT = 1_000_000  # per-cell term micro-quantization (order-free sum)
     t AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM cells),
     terms AS (
       SELECT cells.lang, cells.source, cells.o, r.r, c.c, t.n,
-             CAST(floor(((cells.o - r.r * c.c / t.n)
-                         * (cells.o - r.r * c.c / t.n)
-                         / (r.r * c.c / t.n)) * {CHI2_QUANT}) AS BIGINT)
+             CAST(floor(((cells.o - CAST(r.r AS DOUBLE) * c.c / t.n)
+                         * (cells.o - CAST(r.r AS DOUBLE) * c.c / t.n)
+                         / (CAST(r.r AS DOUBLE) * c.c / t.n)) * {CHI2_QUANT}) AS BIGINT)
                AS term_micro
       FROM cells JOIN r USING (lang) JOIN c USING (source) CROSS JOIN t
     )
@@ -225,7 +225,12 @@ def chi2_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = cells.groupBy("lang").agg(F.sum("o").cast("long").alias("r"))
     cols = cells.groupBy("source").agg(F.sum("o").cast("long").alias("c"))
     tot = cells.groupBy().agg(F.sum("o").cast("long").alias("n"))
-    e = F.col("r") * F.col("c") / F.col("n")
+    # r is widened to double BEFORE the multiply on BOTH engines: the
+    # exact r*c int64 product wraps at ~3e9 total rows (Spark wraps
+    # silently, DuckDB errors), and e is consumed in double arithmetic
+    # anyway — (double)r * (double)c / (double)n is the same IEEE754
+    # sequence on both sides, exact whenever r*c < 2^53.
+    e = F.col("r").cast("double") * F.col("c") / F.col("n")
     term_micro = F.floor(
         ((F.col("o") - e) * (F.col("o") - e) / e) * CHI2_QUANT
     ).cast("long")
@@ -273,8 +278,8 @@ def _ab_oracle() -> str:
              CAST(SUM(CASE WHEN v = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nb,
              CAST(SUM(CASE WHEN v = 0 THEN cents ELSE 0 END) AS DOUBLE) AS sa1,
              CAST(SUM(CASE WHEN v = 1 THEN cents ELSE 0 END) AS DOUBLE) AS sb1,
-             CAST(SUM(CASE WHEN v = 0 THEN cents * cents ELSE 0 END) AS DOUBLE) AS sa2,
-             CAST(SUM(CASE WHEN v = 1 THEN cents * cents ELSE 0 END) AS DOUBLE) AS sb2
+             CAST(SUM(CASE WHEN v = 0 THEN cents * CAST(cents AS HUGEINT) ELSE 0 END) AS DOUBLE) AS sa2,
+             CAST(SUM(CASE WHEN v = 1 THEN cents * CAST(cents AS HUGEINT) ELSE 0 END) AS DOUBLE) AS sb2
       FROM x GROUP BY event_type
     )
     SELECT event_type, na, nb,
@@ -321,11 +326,12 @@ def ab_test_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
         return F.sum(F.when(cond, 1).otherwise(0)).cast("long")
 
     def csum(cond, expr):
-        # accumulate in decimal(38,0): per-row terms fit long (cents <=
-        # 2^15 -> cents^2 <= 2^30) but their SUMS wrap int64 at ~1e5
-        # rows/arm worst-case for (sum cents)^2 downstream — the exact
-        # decimal sum converts ONCE to double below, same value on both
-        # engines (DuckDB accumulates the twin in HUGEINT)
+        # accumulate in decimal(38,0): the cents^2 per-row term is
+        # widened BEFORE the multiply at the call site (a long*long
+        # product wraps at |value| ~ $30M) and the SUMS wrap int64 far
+        # earlier still — the exact decimal sum converts ONCE to double
+        # below, same value on both engines (DuckDB accumulates the
+        # HUGEINT twin of the same widened product)
         return F.sum(
             F.when(cond, expr).otherwise(F.lit(0)).cast("decimal(38,0)")
         ).cast("double")
@@ -336,8 +342,12 @@ def ab_test_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
         ncount(b).alias("nb"),
         csum(a, F.col("cents")).alias("sa1"),
         csum(b, F.col("cents")).alias("sb1"),
-        csum(a, F.col("cents") * F.col("cents")).alias("sa2"),
-        csum(b, F.col("cents") * F.col("cents")).alias("sb2"),
+        csum(
+            a, F.col("cents").cast("decimal(38,0)") * F.col("cents")
+        ).alias("sa2"),
+        csum(
+            b, F.col("cents").cast("decimal(38,0)") * F.col("cents")
+        ).alias("sb2"),
     )
     ma = F.col("sa1") / F.col("na")
     mb = F.col("sb1") / F.col("nb")
@@ -422,7 +432,7 @@ def _boot_oracle() -> str:
              CAST(SUM(w) AS BIGINT) AS nw
       FROM rep GROUP BY event_type, b
     ),
-    m AS (SELECT event_type, sw / nw AS mrep FROM g),
+    m AS (SELECT event_type, sw / nw AS mrep FROM g WHERE nw > 0),
     arr AS (
       SELECT event_type, list(mrep ORDER BY mrep) AS a FROM m GROUP BY event_type
     ),
@@ -432,8 +442,8 @@ def _boot_oracle() -> str:
       FROM x GROUP BY event_type
     )
     SELECT pt.event_type, pt.mean_cents,
-           a[2] AS ci_lo_cents,
-           a[{BOOT_B - 1}] AS ci_hi_cents,
+           a[least(2, len(a))] AS ci_lo_cents,
+           a[greatest(len(a) - 1, 1)] AS ci_hi_cents,
            CAST(len(a) AS BIGINT) AS n_replicas
     FROM pt JOIN arr USING (event_type)
     """
@@ -494,7 +504,15 @@ def bootstrap_ci_poisson(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("w") * F.col("cents")).cast("long").alias("sw"),
         F.sum("w").cast("long").alias("nw"),
     )
-    m = g.select("event_type", (F.col("sw") / F.col("nw")).alias("mrep"))
+    # a replica whose weights all drew 0 has no resample (nw = 0): its
+    # mean is undefined, and a NULL mrep would sort FIRST in Spark's
+    # sort_array but LAST in DuckDB's list(ORDER BY) — drop empty
+    # replicas on BOTH engines (P(empty) = e^-n per replica, so this
+    # only fires for near-empty groups) and index the CI order
+    # statistics relative to the surviving count below.
+    m = g.filter(F.col("nw") > 0).select(
+        "event_type", (F.col("sw") / F.col("nw")).alias("mrep")
+    )
     arr = m.groupBy("event_type").agg(
         F.sort_array(F.collect_list("mrep")).alias("a")
     )
@@ -506,7 +524,11 @@ def bootstrap_ci_poisson(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pt.join(arr, "event_type").select(
         "event_type",
         "mean_cents",
-        F.element_at("a", 2).alias("ci_lo_cents"),
-        F.element_at("a", BOOT_B - 1).alias("ci_hi_cents"),
+        F.element_at(
+            F.col("a"), F.least(F.lit(2), F.size("a"))
+        ).alias("ci_lo_cents"),
+        F.element_at(
+            F.col("a"), F.greatest(F.size("a") - 1, F.lit(1))
+        ).alias("ci_hi_cents"),
         F.size("a").cast("long").alias("n_replicas"),
     )

@@ -432,7 +432,15 @@ def main() -> None:
     ]
     if wanted is not None:
         # an explicit selection overrides the cliff skip: naming a cliff
-        # query re-runs it even at >10x
+        # query re-runs it even at >10x.  Unknown names are a hard error
+        # (same contract as SPARK_GRAFT_SCALE_CHECKS below): a typo after
+        # an hours-long fixture build must not silently run zero queries.
+        unknown = wanted - set(TIER) - {"checks"}
+        if unknown:
+            sys.exit(
+                f"SPARK_GRAFT_SCALE_ONLY names not in the tier: "
+                f"{sorted(unknown)}; known: {sorted(TIER)} + 'checks'"
+            )
         tier = [n for n in TIER if n in wanted]
     else:
         tier = [n for n in TIER if n not in cliff_skipped]

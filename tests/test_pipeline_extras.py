@@ -615,3 +615,74 @@ def test_poisson_thresholds_are_cdf():
     assert ts == sorted(ts) and len(ts) == 9
     assert abs(ts[0] - math.exp(-1)) < 1e-15
     assert 1 - ts[-1] < 2e-6
+
+
+# -- round-4 review regressions: overflow widening + NULL-ordering ------------
+
+
+def test_welch_square_widens_before_multiply(spark):
+    """cents^2 must be exact past the long*long wrap point (~$30M value):
+    ab_test_welch casts to decimal(38,0) BEFORE the multiply; this pins
+    the arithmetic that fix relies on, next to proof the naive form
+    fails (Spark 4 ANSI default: ARITHMETIC_OVERFLOW error — a dead
+    query at exactly the rows the test exists for; pre-ANSI it wrapped
+    silently instead)."""
+    import pytest
+    from pyspark.sql import functions as F2
+    from pyspark.errors import PySparkException
+
+    cents = 3_100_000_000  # |value| ~ $31M -> cents^2 ~ 9.6e18 > 2^63-1
+    df = spark.range(1).select(F2.lit(cents).cast("long").alias("cents"))
+    widened = df.select(
+        F2.sum(
+            (F2.col("cents").cast("decimal(38,0)") * F2.col("cents")).cast(
+                "decimal(38,0)"
+            )
+        )
+        .cast("double")
+        .alias("s")
+    ).first()["s"]
+    assert widened == float(cents * cents)
+    with pytest.raises(PySparkException):  # what the widening prevents
+        df.select(
+            F2.sum(F2.col("cents") * F2.col("cents")).alias("s")
+        ).first()
+
+
+def test_salt_parts_div_exact_beyond_int64(spark):
+    """join_key_skew_report's salt factor is an exact integer ceil-division
+    via decimal(38,0) `div`: pin it in the regime where the raw freq*n_keys
+    product exceeds 2^63 (hot key x high-cardinality table — exactly what
+    the skew report exists to diagnose)."""
+    from pyspark.sql import functions as F2
+
+    freq, n_keys, total = 20_000_000_000, 500_000_000, 40_000_000_000
+    assert freq * n_keys > 2**63 - 1
+    df = spark.range(1).select(
+        F2.lit(freq).alias("freq"),
+        F2.lit(n_keys).alias("n_keys"),
+        F2.lit(total).alias("total"),
+    )
+    got = df.select(
+        F2.expr(
+            "(CAST(freq AS DECIMAL(38,0)) * n_keys + total - 1) div total"
+        ).alias("salt_parts")
+    ).first()["salt_parts"]
+    assert got == (freq * n_keys + total - 1) // total == 250_000_000
+
+
+def test_null_sort_divergence_motivates_replica_filter(spark):
+    """Spark sort_array puts NULLs FIRST; DuckDB list(ORDER BY) puts them
+    LAST — so bootstrap_ci_poisson must drop empty (nw=0, NULL-mean)
+    replicas on both engines before taking order statistics.  Pin the
+    divergence itself so an engine behavior change resurfaces loudly."""
+    import duckdb
+
+    a = spark.sql(
+        "select sort_array(array(2.0d, cast(null as double), 1.0d)) as a"
+    ).first()["a"]
+    assert a[0] is None and a[1:] == [1.0, 2.0]
+    d = duckdb.sql(
+        "select list(x order by x) from (values (2.0), (NULL), (1.0)) t(x)"
+    ).fetchone()[0]
+    assert d[-1] is None and d[:2] == [1.0, 2.0]

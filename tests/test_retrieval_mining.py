@@ -156,3 +156,24 @@ def test_bfs_reach_is_monotone_in_hops(spark, sf_dir):
     assert seeds == set(range(BFS_SEEDS))
     for r in out:
         assert 0 <= r["dist"] <= BFS_HOPS
+
+
+def test_hard_negatives_exclude_self_when_query_relabeled(spark):
+    """The self-match guard must hold even when the query table re-labels
+    a corpus id: label mismatch alone would return the vector as its own
+    cosine-1.0 'hard negative' at rank 1."""
+    import mapreduceproject_spark.operators.similarity as sim
+
+    corpus = spark.createDataFrame(
+        [(0, [1.0, 0.0], "a"), (1, [0.0, 1.0], "b"), (2, [0.7, 0.7], "a")],
+        "id bigint, v array<double>, label string",
+    )
+    queries = corpus.filter("id = 0").select(
+        "id", "v", F.lit("z").alias("label")  # id 0 re-labeled: != every corpus label
+    )
+    out = sim.hard_negative_topk(
+        corpus, queries, "id", "v", "label", "id", "v", "label", k=3
+    ).collect()
+    ids = {r["neighbor_id"] for r in out}
+    assert 0 not in ids, "query's own vector returned as its hard negative"
+    assert ids == {1, 2}
