@@ -39,7 +39,12 @@ ORACLES: dict[str, str] = {}
 # budget_top_p_selection, bigram_surprisal_filter, knn_bfs_reach,
 # embedding_split_drift — each
 # with committed sf0.01 parity evidence via scripts/window_check.py);
-# those thirty-one lead the round-5 window.  Names
+# those thirty-one lead the round-5 window.  Beyond the driver's 50-row
+# window, the ENTIRE 169-query surface was re-checked against the
+# DuckDB oracles at the driver's own sf0.01 late in round 4 — 169/169
+# ok, committed as measurements/parity_sf0.01_r04.json — so every
+# entry, windowed or not, has current-round parity evidence for its
+# current algorithm.  Names
 # absent from the registry are ignored (a pytest guards against typos);
 # everything else follows in registration order.
 # Every registry entry, windowed or not, is additionally parity-checked
