@@ -19,13 +19,18 @@ from pathlib import Path
 
 from pyspark.sql import SparkSession
 
-_DONE: set[int] = set()
+_DONE: set[str] = set()
 
 
 def ensure_worker_imports(spark: SparkSession) -> None:
     """Idempotently attach this package as a pyfile to the session."""
     sc = spark.sparkContext
-    key = id(sc)
+    # key on applicationId, not id(sc): after stop()+rebuild in the same
+    # process CPython can hand the new context a recycled object address,
+    # which would silently skip addPyFile and strand every Arrow-kernel
+    # query on workers with ModuleNotFoundError.  applicationId is unique
+    # per context (local-<epoch-ms> locally, cluster-assigned on YARN/k8s).
+    key = sc.applicationId
     if key in _DONE:
         return
     pkg_root = Path(__file__).resolve().parent

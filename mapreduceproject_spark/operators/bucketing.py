@@ -35,7 +35,17 @@ def write_bucketed(
     from urllib.parse import urlparse
 
     warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
-    shutil.rmtree(f"{warehouse}/{table}", ignore_errors=True)
+    # managed-table directories are stored LOWERCASED, and db-qualified
+    # names live under <db>.db/<table> — clearing the raw name would
+    # no-op on case-sensitive filesystems and CREATE would still fail
+    # on the orphaned location this guard exists for.
+    name = table.lower()
+    if "." in name:
+        db, tbl = name.split(".", 1)
+        rel = f"{db}.db/{tbl}"
+    else:
+        rel = name
+    shutil.rmtree(f"{warehouse}/{rel}", ignore_errors=True)
 
     w = df.write.mode("overwrite").format("parquet").bucketBy(num_buckets, *bucket_cols)
     if sort_cols:

@@ -23,8 +23,8 @@ from pyspark.sql import functions as F
 
 from mapreduceproject_spark.functions.vectors import (
     QUANT_SCALE,
+    prequantized_cosine,
     quantize,
-    quantized_cosine,
     quantized_norm2,
 )
 
@@ -38,28 +38,34 @@ def _assign(qvecs: DataFrame, centroids: DataFrame, assign: str = "brute") -> Da
     (prequantized cosine is bit-equal to quantized_cosine), approximate
     only in which centroids get scored; the n·k fix for corpus-scaled k.
     """
+    cents = centroids.select(
+        "cid", quantize(F.col("cvec")).alias("cq")
+    ).withColumn("cn2", quantized_norm2(F.col("cq")))
     if assign == "twolevel":
         from mapreduceproject_spark.operators.similarity import assign_cells
 
         vecs = qvecs.select(
             "id",
             F.col("q").alias("_q"),
-            quantized_norm2(F.col("q")).alias("_n2"),
+            F.col("n2").alias("_n2"),
         )
-        cents = centroids.select(
-            "cid", quantize(F.col("cvec")).alias("cq")
-        ).withColumn("cn2", quantized_norm2(F.col("cq")))
         return assign_cells(vecs, cents, "id", nprobe=1, assign="twolevel").select(
             "id",
             F.col("_q").alias("q"),
             F.col("cid").alias("cluster_id"),
             F.col("cos").alias("ccos"),
         )
-    scored = qvecs.crossJoin(F.broadcast(centroids)).select(
+    # prequantized scoring on the dominant n*k term: qvecs carries its
+    # once-computed (q, n2) and the k centroids quantize once per pass —
+    # bit-identical to quantized_cosine(v, cvec) (the prequantized form's
+    # contract), without re-quantizing both sides per (vector, centroid).
+    scored = qvecs.crossJoin(F.broadcast(cents)).select(
         "id",
         "q",
         "cid",
-        quantized_cosine(F.col("v"), F.col("cvec")).alias("cos"),
+        prequantized_cosine(
+            F.col("q"), F.col("cq"), F.col("n2"), F.col("cn2")
+        ).alias("cos"),
     )
     w = Window.partitionBy("id").orderBy(F.desc("cos"), F.asc("cid"))
     return (
@@ -100,7 +106,13 @@ def kmeans_assignments(
     # Every Lloyd iteration (and the final assignment) re-consumes qvecs;
     # persist so the scan+quantize pipeline runs once instead of
     # 2·iterations+1 times — the same corpus-caching MLlib's KMeans does.
-    qvecs = base.select("id", "v", quantize(F.col("v")).alias("q")).persist()
+    # n2 rides in the persisted frame so assignment passes never
+    # re-aggregate the vector's own norm per centroid pairing.
+    qvecs = (
+        base.select("id", "v", quantize(F.col("v")).alias("q"))
+        .withColumn("n2", quantized_norm2(F.col("q")))
+        .persist()
+    )
 
     from mapreduceproject_spark.operators.similarity import resolve_centroid_filter
 

@@ -44,7 +44,6 @@ from mapreduceproject_spark.functions.textfn import (
 from mapreduceproject_spark.functions.vectors import (
     prequantized_cosine,
     quantize,
-    quantized_cosine,
     quantized_norm2,
 )
 
@@ -115,7 +114,19 @@ def minhash_signatures(
 def lsh_band_buckets(
     sigs: DataFrame, num_hashes: int, bands: int, carry: tuple[str, ...] = ()
 ) -> DataFrame:
-    """Explode signatures into (band, band-signature) bucket keys."""
+    """Explode signatures into (band, band-signature) bucket keys.
+
+    ``bands`` must divide ``num_hashes`` exactly: a remainder would mean
+    hashes that are computed (and shuffled) but silently never banded —
+    the effective (n, b) LSH recall curve would differ from the one the
+    caller configured.  Loud, like simhash_dedup's lossy-banding guard.
+    """
+    if num_hashes % bands != 0:
+        raise ValueError(
+            f"bands={bands} must divide num_hashes={num_hashes}: "
+            f"{num_hashes % bands} trailing hash(es) would be silently "
+            f"dropped from every bucket key"
+        )
     rows_per_band = num_hashes // bands
     band_structs = [
         F.struct(
@@ -761,7 +772,6 @@ def ngram_jaccard_dedup(
     # (lookup is by canonicalized plan, so repeated builder calls also
     # reuse it)
     grams = grams.persist()
-    docs = grams.groupBy("_id").agg(F.count("*").alias("n_grams")).join(meta, "_id")
     cond = (F.col("id_a") < F.col("id_b")) & (
         F.abs(F.col("len_a") - F.col("len_b")) <= length_band
     )
@@ -813,6 +823,13 @@ def ngram_jaccard_dedup(
             .distinct()
         )
     else:
+        # per-doc gram counts only exist on this branch — the prefix path
+        # derives its own ng window count over the persisted gram stream
+        docs = (
+            grams.groupBy("_id")
+            .agg(F.count("*").alias("n_grams"))
+            .join(meta, "_id")
+        )
         a = docs.select(
             F.col("_id").alias("id_a"),
             *[F.col(c).alias(f"{c}_a") for c in block_cols],
@@ -860,34 +877,6 @@ def ngram_jaccard_dedup(
 # ---------------------------------------------------------------------------
 # 5. embedding cosine near-dup (IVF-bucketed)
 # ---------------------------------------------------------------------------
-
-def ivf_assign(
-    vectors: DataFrame,
-    centroids: DataFrame,
-    id_col: str,
-    vec_col: str,
-    nprobe: int = 1,
-) -> DataFrame:
-    """Rank every (vector, centroid) pair by cosine and keep each vector's
-    top-``nprobe`` cells (deterministic ties → lowest centroid id).
-    centroids must be broadcast-small.  One output row per (vector,
-    probed cell), with the probe rank in ``rn`` (rn=1 is the primary
-    cell)."""
-    scored = vectors.select(
-        F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")
-    ).crossJoin(F.broadcast(centroids.select(F.col("cid"), F.col("cvec"))))
-    scored = scored.select(
-        "_id", "_v", "cid", quantized_cosine(F.col("_v"), F.col("cvec")).alias("cos")
-    )
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("_id").orderBy(F.desc("cos"), F.asc("cid"))
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= nprobe)
-        .select("_id", "_v", "cid", "rn")
-    )
-
 
 def embedding_near_dup(
     vectors: DataFrame,
@@ -1029,8 +1018,16 @@ def connected_components(
             F.min(F.when(F.col("own"), F.col("label"))).alias("_old"),
         )
         obs = Observation(f"cc_changed_{uuid.uuid4().hex[:8]}")
+        # coalesce: F.sum over ZERO rows is NULL, and NULL == 0 is False —
+        # without it an empty label table (clean corpus, no near-dup
+        # pairs) never trips the convergence break and burns all max_iter
+        # checkpoint jobs on empty frames.
         flagged = agged.observe(
-            obs, F.sum((F.col("label") < F.col("_old")).cast("long")).alias("changed")
+            obs,
+            F.coalesce(
+                F.sum((F.col("label") < F.col("_old")).cast("long")),
+                F.lit(0),
+            ).alias("changed"),
         )
         labels = ckpt(flagged.select("id", "label"))
         if obs.get["changed"] == 0:

@@ -80,6 +80,15 @@ def heavy_hitters_exact(
     """
     if capacity is None:
         capacity = int(2.0 / phi) + 1
+    elif capacity + 1 <= 1.0 / phi:
+        # loud, like simhash_dedup's lossy-banding guard: MG with M
+        # counters only guarantees survival of items above N/(M+1), so a
+        # capacity at or below 1/phi - 1 can silently drop a TRUE heavy
+        # hitter from the candidate set — breaking the EXACT contract.
+        raise ValueError(
+            f"capacity={capacity} cannot guarantee phi={phi} candidates: "
+            f"need capacity + 1 > 1/phi (>= {int(1.0 / phi)})"
+        )
     # The stream feeds three consumers (MG pass, total, verify count) and
     # is deliberately NOT persisted: re-running a codegen'd tokenize scan
     # costs ~1/5th of materializing the exploded token stream (measured

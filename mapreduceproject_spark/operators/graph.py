@@ -154,6 +154,19 @@ def pagerank(
         .select("_v", "_n", F.expr(f"{PR_SCALE}L div _n").alias("p"))
     )
     ed = ckpt(edges.join(outdeg, "src"))
+    if redistribute_dangling:
+        # the dangling-node SET is static across iterations — derive it
+        # once and checkpoint, so the per-iteration mass aggregate joins
+        # a materialized id list instead of re-running the whole
+        # un-checkpointed edge pipeline (outdeg's groupBy over the raw
+        # edge build) every iteration.
+        dang_nodes = ckpt(
+            nodes.select(F.col(id_col).alias("_v")).join(
+                outdeg.select(F.col("src").alias("_v")),
+                "_v",
+                "left_anti",
+            )
+        )
     for it in range(iterations):
         contrib = (
             ed.join(ranked.select(F.col("_v").alias("src"), "p"), "src")
@@ -171,13 +184,7 @@ def pagerank(
             # dangling mass of the CURRENT scores, shared back uniformly:
             # one broadcast 1-row aggregate per iteration, integer floor
             dang = F.broadcast(
-                ranked.join(
-                    outdeg.select(F.col("src").alias("_v"), "_deg"),
-                    "_v",
-                    "left",
-                )
-                .filter(F.col("_deg").isNull())
-                .agg(
+                ranked.join(dang_nodes, "_v").agg(
                     F.coalesce(F.sum("p"), F.lit(0)).cast("long").alias("_dm")
                 )
             )

@@ -204,9 +204,13 @@ def read_kv_lines(spark: SparkSession, paths: list[str] | str) -> DataFrame:
         .filter(F.col("line") != "")
     )
     parts = F.split(F.col("line"), r"\s+", 2)
+    # F.get (0-based) returns NULL out-of-bounds; element_at would THROW
+    # under Spark 4's default ANSI mode on a key-only line ('key' with no
+    # value is legal per the reference protocol — _parse_kv_line reads it
+    # as ('key', '')), killing the juice job instead of coalescing.
     return lines.select(
-        F.element_at(parts, 1).alias("key"),
-        F.coalesce(F.element_at(parts, 2), F.lit("")).alias("value"),
+        F.get(parts, 0).alias("key"),
+        F.coalesce(F.get(parts, 1), F.lit("")).alias("value"),
     )
 
 

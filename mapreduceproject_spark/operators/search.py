@@ -57,12 +57,19 @@ def bm25_topk(
     )
     terms = sorted({t for _, t in qterms})
 
-    rows = docs.select(
-        F.col(id_col).alias("doc_id"), F.explode(tokens(F.col(text_col))).alias("term")
-    )
-    # dl needs every token; tf only the query terms (literal IN-filter runs
+    dtoks = tokens(F.col(text_col))
+    # dl is a pure per-row projection — size(tokens) equals the exploded
+    # count without a second corpus tokenize+Generate or a doc-key
+    # shuffle.  The >0 filter keeps the oracle's exact dl semantics
+    # (token-free docs have no exploded rows, so they never reach dl).
+    dl = docs.select(
+        F.col(id_col).alias("doc_id"), F.size(dtoks).cast("long").alias("dl")
+    ).filter(F.col("dl") > 0)
+    # tf explodes only for the query terms (literal IN-filter runs
     # scan-side, so non-query terms never reach the tf shuffle)
-    dl = rows.groupBy("doc_id").agg(F.count("*").cast("long").alias("dl"))
+    rows = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(dtoks).alias("term")
+    )
     tf = (
         rows.filter(F.col("term").isin(terms))
         .groupBy("doc_id", "term")

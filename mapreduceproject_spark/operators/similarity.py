@@ -657,8 +657,14 @@ def mahalanobis_outlier_scores(
     than the D-key aggregate, and D is a constant (64 here).
     """
     keep = keep or []
-    emb = spread_for_compute(df).select(
-        id_col, *keep, quantize(F.col(vec_col)).alias("q")
+    # persist: emb feeds BOTH the stats subtree (posexplode -> groupBy)
+    # and the final scoring projection — without the barrier the corpus
+    # scan + quantize pipeline executes twice per action (the same
+    # dual-consumer rule as minhash sigs / knn cells).
+    emb = (
+        spread_for_compute(df)
+        .select(id_col, *keep, quantize(F.col(vec_col)).alias("q"))
+        .persist()
     )
     dims = emb.select(id_col, F.posexplode("q").alias("dim", "v"))
     # Overflow audit: quantized components are ~1e6-scale, so int64 Σv²
@@ -758,7 +764,16 @@ def split_centroid_drift(
         F.sum(dec("sa") * F.col("sa")).cast("double").alias("n2a"),
         F.sum(dec("sb") * F.col("sb")).cast("double").alias("n2b"),
     )
-    cos = F.col("dt") / (F.sqrt(F.col("n2a")) * F.sqrt(F.col("n2b")))
+    # degenerate-half guard: a half whose vectors are ALL zero has norm 0
+    # and no defined centroid direction — engines also disagree on
+    # double/0 (NULL vs inf), so gate the division explicitly.  drift_cos
+    # stays NULL (undefined) but is_drifted is TRUE: an all-zero half
+    # (encoder failures concentrated in one split) is maximal divergence,
+    # not a label to silently drop from the report.
+    cos = F.when(
+        (F.col("n2a") > 0) & (F.col("n2b") > 0),
+        F.col("dt") / (F.sqrt(F.col("n2a")) * F.sqrt(F.col("n2b"))),
+    )
     return (
         g.join(counts, "label")
         .filter((F.col("n_train") > 0) & (F.col("n_val") > 0))
@@ -767,7 +782,7 @@ def split_centroid_drift(
             "n_train",
             "n_val",
             cos.alias("drift_cos"),
-            (cos < F.lit(min_cos)).alias("is_drifted"),
+            F.coalesce(cos < F.lit(min_cos), F.lit(True)).alias("is_drifted"),
         )
         .orderBy("label")
     )

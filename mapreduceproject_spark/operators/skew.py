@@ -28,12 +28,22 @@ def with_salt(df: DataFrame, from_cols: list[str], buckets: int) -> DataFrame:
     degenerates to unsalted.  Downstream results are salt-invariant (the
     two-stage agg sums partials; the replicated join carries every small
     row in every bucket), so the nondeterministic component never leaks
-    into output."""
+    into output.
+
+    Arithmetic: both terms are pmod-reduced BEFORE the add — a raw
+    hash + id long addition overflows (and under ANSI mode, throws)
+    whenever xxhash64 lands near Long.MAX, a per-row probability that a
+    multi-billion-row input turns into a certainty.  (a%m + b%m) % m ==
+    (a+b) % m, so salt values are unchanged.  Retry semantics: the
+    per-row id is a nondeterministic expression, so Spark marks the map
+    stage indeterminate and a fetch-failure retry rolls back the WHOLE
+    stage (SPARK-25341) rather than recomputing a subset with different
+    salts — partial double-counting cannot happen."""
     return df.withColumn(
         "_salt",
         F.pmod(
-            F.xxhash64(*[F.col(c) for c in from_cols])
-            + F.monotonically_increasing_id(),
+            F.pmod(F.xxhash64(*[F.col(c) for c in from_cols]), F.lit(buckets))
+            + F.pmod(F.monotonically_increasing_id(), F.lit(buckets)),
             F.lit(buckets),
         ),
     )
@@ -70,7 +80,21 @@ def replicated_broadcast_join(
     reducers, each holding a full copy of the matching ``small`` rows —
     the standard salted-join pattern when the small side is broadcastable
     but the big side's key histogram is too skewed for a plain shuffle.
+
+    ``how`` must preserve the big side's row identity (inner/left/semi/
+    anti): right and full outer joins are rejected, because an unmatched
+    SMALL row exists once per salt replica and would survive the outer
+    join ``buckets`` times — silently inflating the small side.
     """
+    allowed = {"inner", "left", "left_outer", "leftouter", "left_semi",
+               "leftsemi", "left_anti", "leftanti"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"replicated_broadcast_join does not support how={how!r}: "
+            f"small-side rows are replicated {buckets}x, so right/full "
+            f"outer joins would duplicate unmatched small rows; use one "
+            f"of {sorted(allowed)}"
+        )
     salted_big = with_salt(big, big.columns, buckets)
     replicated = small.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(buckets - 1)).cast("array<long>"))

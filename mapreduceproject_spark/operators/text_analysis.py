@@ -45,12 +45,16 @@ def duck_quality_ratio_cols(toks_expr: str, text_expr: str = "text") -> str:
     :func:`quality_scores`' ratio columns (same regexes, same stoplist,
     same int/int-exact double divisions)."""
     stoplist = ", ".join(f"'{s}'" for s in STOPWORDS)
+    # NULLIF mirrors the Spark side's zero-denominator guard: ratios are
+    # NULL for empty/whitespace-only docs on BOTH engines (Spark ANSI
+    # would otherwise raise DIVIDE_BY_ZERO; DuckDB would return NULL
+    # unilaterally and diverge).
     return f"""CAST(len(regexp_extract_all({text_expr}, '{PUNCT_PATTERN}')) AS DOUBLE)
-               / length({text_expr}) AS punct_ratio,
+               / NULLIF(length({text_expr}), 0) AS punct_ratio,
              CAST(len(regexp_extract_all({text_expr}, '[0-9]')) AS DOUBLE)
-               / length({text_expr}) AS digit_ratio,
+               / NULLIF(length({text_expr}), 0) AS digit_ratio,
              CAST(len(list_filter({toks_expr}, t -> list_contains([{stoplist}], lower(t)))) AS DOUBLE)
-               / len({toks_expr}) AS stopword_ratio"""
+               / NULLIF(len({toks_expr}), 0) AS stopword_ratio"""
 
 
 def token_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -65,11 +69,14 @@ def token_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.size(F.regexp_extract_all(t, F.lit(BPE_ISH_PATTERN), F.lit(0)))
         .cast("long")
         .alias("n_bpe_tokens"),
-        (
+        # NULL for token-free docs: Spark ANSI raises DIVIDE_BY_ZERO even
+        # on double/0, so the guard is a crash fix, not a cosmetic one
+        F.when(
+            F.size(toks) > 0,
             F.aggregate(
                 F.transform(toks, F.length), F.lit(0).cast("long"), lambda a, x: a + x
             ).cast("double")
-            / F.size(toks)
+            / F.size(toks),
         ).alias("mean_token_len"),
     )
 
@@ -96,9 +103,15 @@ def quality_scores(
         F.col(id_col),
         *[F.col(c) for c in keep],
         n_toks.cast("long").alias("n_tokens"),
-        (punct.cast("double") / n_chars).alias("punct_ratio"),
-        (digits.cast("double") / n_chars).alias("digit_ratio"),
-        (stops.cast("double") / n_toks).alias("stopword_ratio"),
+        # zero-denominator guards (empty / whitespace-only docs): NULL
+        # ratios on both engines — Spark ANSI raises DIVIDE_BY_ZERO even
+        # for double/0, and the DuckDB twin NULLIFs identically.  The
+        # composite quality then stays NULL and keep is deterministically
+        # FALSE (n_tokens >= 5 is already false, and false AND NULL =
+        # false in three-valued logic).
+        F.when(n_chars > 0, punct.cast("double") / n_chars).alias("punct_ratio"),
+        F.when(n_chars > 0, digits.cast("double") / n_chars).alias("digit_ratio"),
+        F.when(n_toks > 0, stops.cast("double") / n_toks).alias("stopword_ratio"),
     )
     score = (
         F.lit(1.0)

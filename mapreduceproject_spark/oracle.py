@@ -12,6 +12,7 @@ import math
 from dataclasses import dataclass, field
 
 import duckdb
+import numpy as np
 import pandas as pd
 
 from mapreduceproject_spark.sources.catalog import TABLES
@@ -33,6 +34,17 @@ def duck_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
 def _canon_cell(v):
     if v is None:
         return ("N",)
+    # numpy first: array cells arrive as np.ndarray from BOTH engines
+    # (Arrow toPandas and DuckDB .df()), and ndarray is NOT a list/tuple —
+    # without this branch arrays fell through to ("o", str(ndarray)),
+    # whose summarized formatting elides long arrays (middle-element
+    # diffs compared EQUAL) and prints ~8 significant digits (tolerance-
+    # close values compared UNEQUAL).  np.floating covers float32, which
+    # unlike float64 is not a subclass of Python float.
+    if isinstance(v, np.ndarray):
+        return ("l", tuple(_canon_cell(x) for x in v.tolist()))
+    if isinstance(v, np.floating):
+        v = float(v)
     if isinstance(v, float):
         if math.isnan(v):
             # NaN ≡ NULL is INTENTIONAL: pandas materializes SQL NULL in a
@@ -112,16 +124,39 @@ def compare_frames(name: str, spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame)
     # can order differently on the two engines and produce false positional
     # mismatches.  Rows group by their non-float cells (exact), and within
     # a group each Spark row claims one tolerance-close oracle row.
-    from collections import defaultdict
+    def float_blind_cell(t):
+        # recurse into array cells: a float inside an array<double> must
+        # be just as bucket-blind as a top-level float, or tolerance-
+        # close arrays land in different buckets and never get compared.
+        if t[0] == "f":
+            return ("f",)
+        if t[0] == "l":
+            return ("l", tuple(float_blind_cell(x) for x in t[1]))
+        return t
 
     def float_blind(row):
-        return tuple(("f",) if t[0] == "f" else t for t in row)
+        return tuple(float_blind_cell(t) for t in row)
 
-    remaining: dict[tuple, list[tuple]] = defaultdict(list)
-    for row in _canon_rows(oracle_pdf):
-        remaining[float_blind(row)].append(row)
-    bad = 0
+    # Exact-match fast path first: engines usually agree bit-for-bit, so
+    # an exact multiset Counter drains almost every row in O(n); the
+    # tolerance scan below then only sees last-ulp leftovers.  Without
+    # this, a frame whose rows have no distinguishing non-float cells
+    # collapses into ONE float_blind bucket and the scan is O(n² · cols).
+    from collections import Counter, defaultdict
+
+    o_left = Counter(_canon_rows(oracle_pdf))
+    s_left: list[tuple] = []
     for srow in _canon_rows(spark_pdf):
+        if o_left.get(srow, 0) > 0:
+            o_left[srow] -= 1
+        else:
+            s_left.append(srow)
+    remaining: dict[tuple, list[tuple]] = defaultdict(list)
+    for row, n in o_left.items():
+        for _ in range(n):
+            remaining[float_blind(row)].append(row)
+    bad = 0
+    for srow in s_left:
         cands = remaining.get(float_blind(srow), [])
         for i, orow in enumerate(cands):
             if all(_cells_equal(a, b) for a, b in zip(srow, orow)):
@@ -151,16 +186,30 @@ def _driver_hash(pdf: pd.DataFrame) -> str:
     import hashlib
 
     cols = sorted(pdf.columns)
+
     # itertuples, not iterrows: iterrows coerces each row to a common
     # dtype (ints silently become floats next to a float column), which
     # only masked cross-engine dtype drift; per-column values are what
     # the driver hashes.  Both frames hash through this same path, so
     # the comparison stays internally consistent either way.
+    # One deliberate divergence from the driver: an ndarray cell hashes
+    # as a tuple of its round-6 elements, NOT repr(ndarray) — numpy's
+    # summarized repr elides long arrays (middle-element diffs would
+    # hash EQUAL) and floats format at print precision (stable values
+    # could hash UNEQUAL).  Element-wise round-6 is the scalar rule
+    # applied inside the array: strictly stronger than the driver's
+    # formatting on the cases that matter.
+    def cell(v):
+        if isinstance(v, np.ndarray):
+            return repr(tuple(cell(x) for x in v.tolist()))
+        if isinstance(v, (list, tuple)):  # non-Arrow path yields lists
+            return repr(tuple(cell(x) for x in v))
+        if isinstance(v, np.floating):
+            v = float(v)
+        return repr(round(v, 6)) if isinstance(v, float) else repr(v)
+
     rows = sorted(
-        tuple(
-            repr(round(v, 6)) if isinstance(v, float) else repr(v)
-            for v in row
-        )
+        tuple(cell(v) for v in row)
         for row in pdf[cols].itertuples(index=False, name=None)
     )
     return hashlib.md5(repr(rows).encode()).hexdigest()
@@ -171,8 +220,21 @@ def check_query(spark, name: str, sf_dir: str) -> ParityReport:
 
     spark_pdf = QUERIES[name](spark, sf_dir).toPandas()
     if name not in ORACLES:
-        # rows-only check, like the driver's weaker path
-        return ParityReport(name, len(spark_pdf), len(spark_pdf), True, True)
+        # rows-only check, like the driver's weaker path: no oracle to
+        # compare against, but "ran and produced rows" is still a real
+        # assertion — do NOT fabricate an unconditional pass (a query
+        # regressing to 0 rows must fail here exactly as it would fail
+        # the driver's smoke).  oracle_rows mirrors spark_rows only so
+        # the ok property's rowcount clause is inert in this mode.
+        n = len(spark_pdf)
+        return ParityReport(
+            name,
+            n,
+            n,
+            True,
+            rows_match=n > 0,
+            mismatches=[] if n > 0 else ["rows-only check: query returned 0 rows"],
+        )
     con = duck_connect(sf_dir)
     try:
         oracle_pdf = con.execute(ORACLES[name]).df()

@@ -241,8 +241,11 @@ def _drift_oracle() -> str:
                  CAST(SUM(CAST(sb AS HUGEINT) * sb) AS DOUBLE) AS n2b
           FROM s GROUP BY label)
     SELECT g.label, n_train, n_val,
-           dt / (sqrt(n2a) * sqrt(n2b)) AS drift_cos,
-           dt / (sqrt(n2a) * sqrt(n2b)) < {DRIFT_MIN_COS} AS is_drifted
+           CASE WHEN n2a > 0 AND n2b > 0
+                THEN dt / (sqrt(n2a) * sqrt(n2b)) END AS drift_cos,
+           COALESCE(CASE WHEN n2a > 0 AND n2b > 0
+                         THEN dt / (sqrt(n2a) * sqrt(n2b)) END
+                    < {DRIFT_MIN_COS}, TRUE) AS is_drifted
     FROM g JOIN c ON g.label = c.label
     WHERE n_train > 0 AND n_val > 0
     ORDER BY g.label

@@ -32,7 +32,7 @@ _LTOKS = duck_tokens("lower(text)")
            CAST(len({_TOKS}) AS BIGINT) AS n_ws_tokens,
            CAST(len(regexp_extract_all(text, '{ta.BPE_ISH_PATTERN}')) AS BIGINT) AS n_bpe_tokens,
            CAST(list_aggregate(list_transform({_TOKS}, t -> length(t)), 'sum') AS DOUBLE)
-             / len({_TOKS}) AS mean_token_len
+             / NULLIF(len({_TOKS}), 0) AS mean_token_len
     FROM documents
     """,
 )

@@ -104,18 +104,34 @@ def compact_parquet(
 
     The standard maintenance op after streaming/incremental writes leave
     thousands of KB-sized files (each file costs a task + a footer read
-    at scan time).  Local-fs sizing here; on a real cluster the listing
+    at scan time).  Hive-partitioned layouts (``key=value`` directories,
+    e.g. write_training_shards' ``shard=K``) are preserved: the rewrite
+    re-partitions BY the discovered partition columns so the directory
+    structure — and every reader's partition pruning — survives
+    compaction.  Local-fs sizing here; on a real cluster the listing
     comes from the FileSystem API, the rewrite is identical.  Returns the
-    output file count.
+    output file count (per partition directory for partitioned layouts:
+    compaction targets file size, not total count).
     """
     import math
     import os
 
     total = 0
+    part_cols: list[str] = []
+    for entry in sorted(os.listdir(src)):
+        if "=" in entry and os.path.isdir(os.path.join(src, entry)):
+            col = entry.split("=", 1)[0]
+            if col and col not in part_cols:
+                part_cols.append(col)
     for root, _dirs, files in os.walk(src):
         for f in files:
             if not f.startswith(("_", ".")):
                 total += os.path.getsize(os.path.join(root, f))
     n = max(1, math.ceil(total / (target_mb * 1024 * 1024)))
-    spark.read.parquet(src).repartition(n).write.mode("overwrite").parquet(dest)
+    df = spark.read.parquet(src)
+    w = df.repartition(n, *part_cols) if part_cols else df.repartition(n)
+    writer = w.write.mode("overwrite")
+    if part_cols:
+        writer = writer.partitionBy(*part_cols)
+    writer.parquet(dest)
     return n

@@ -73,7 +73,11 @@ class SdfsStore:
         self._pending: dict[str, _Pending] = {}
 
     def _path(self, name: str) -> Path:
-        if "/" in name or name.startswith("."):
+        # empty name would resolve to the store ROOT itself (put -> a
+        # spurious WriteConflict then IsADirectoryError, delete -> unlink
+        # on a directory) — reject it with the same error as other
+        # malformed names.
+        if not name or "/" in name or name.startswith("."):
             raise ValueError(f"flat namespace only: bad name {name!r}")
         return self.root / name
 

@@ -254,16 +254,44 @@ def upsert_latest_per_key(
 
     kb = F.pmod(F.xxhash64(*[F.col(c) for c in key_cols]), F.lit(num_buckets))
 
+    def recover_interrupted_swap() -> None:
+        # crash-recovery sweep: a swap interrupted between the two renames
+        # leaves a dot-prefixed saved dir (invisible to Spark's listing —
+        # names starting with '.' are always filtered) and a missing
+        # bucket.  Restore the old bucket in that case; clear the leftover
+        # when the swap had already completed.  This closes the window
+        # where a killed process would silently drop a bucket's state.
+        if not os.path.isdir(path):
+            return
+        for entry in os.listdir(path):
+            if not entry.startswith(".old-"):
+                continue
+            bk_name = entry.split("-", 2)[-1]  # .old-<swap>-<_kb=N>
+            dst_dir = os.path.join(path, bk_name)
+            src_dir = os.path.join(path, entry)
+            if os.path.exists(dst_dir):
+                shutil.rmtree(src_dir, ignore_errors=True)
+            else:
+                os.rename(src_dir, dst_dir)
+
     def apply_batch(batch: DataFrame, _bid: int) -> None:
         s = batch.sparkSession
         b = batch.withColumn("_kb", kb)
         buckets = sorted(r["_kb"] for r in b.select("_kb").distinct().collect())
         if not buckets:
             return
-        try:
+        recover_interrupted_swap()
+        # explicit existence check, NOT a bare except: a transient read
+        # failure (corrupt footer, FS hiccup) must FAIL the batch and
+        # preserve state — swallowing it as "first batch" would merge the
+        # batch against nothing and the swap would replace every touched
+        # bucket with batch-only rows.
+        if os.path.exists(path) and any(
+            e.startswith("_kb=") for e in os.listdir(path)
+        ):
             current = s.read.parquet(path).filter(F.col("_kb").isin(buckets))
             unioned = current.unionByName(b)
-        except Exception:  # first batch: no table yet
+        else:  # first batch: no table yet
             unioned = b
         w = Window.partitionBy(*key_cols).orderBy(
             F.desc(ts_col), *[F.asc(c) for c in (tiebreak_cols or [])]
@@ -282,7 +310,13 @@ def upsert_latest_per_key(
             if not os.path.exists(src_dir):
                 continue
             dst_dir = os.path.join(path, f"_kb={bk}")
-            old = f"{dst_dir}.old-{swap}"
+            # the saved-old dir is dot-prefixed so Spark's file listing
+            # never discovers it as a partition value (a sibling named
+            # '_kb=3.old-…' would be parsed as partition value
+            # '3.old-…' and corrupt the _kb column's inferred type);
+            # recover_interrupted_swap() restores it if we crash between
+            # the two renames.
+            old = os.path.join(path, f".old-{swap}-_kb={bk}")
             if os.path.exists(dst_dir):
                 os.rename(dst_dir, old)
             os.rename(src_dir, dst_dir)

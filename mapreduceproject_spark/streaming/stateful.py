@@ -126,8 +126,16 @@ def sessionize(events: DataFrame, watermark_delay: str = "0 seconds") -> DataFra
 # -- online anomaly scoring: running z-score per event type -----------------
 # State is three integers (n, Σcents, Σcents²) per key — integer-exact, so
 # the streaming scores are bit-identical to the batch window twin
-# (plans/observability_queries.py::running_zscore) no matter how events
-# split across micro-batches.
+# (plans/observability_queries.py::running_zscore) for any batch SLICING
+# of an event-time-ordered arrival: the sort below fixes order within a
+# batch, but state accumulates in ARRIVAL order across batches, so a
+# source that delivers a later-timestamped file before an earlier one
+# scores both against a different prefix than the batch twin.  That is
+# the inherent contract of an online score (you can only standardize
+# against what has arrived); an out-of-order-tolerant variant would
+# buffer rows in state until the watermark passes them — a different,
+# latency-trading operator.  The registered stream replays a
+# chronologically written file source, where the two are identical.
 
 ZSCORE_OUTPUT = StructType(
     [

@@ -444,3 +444,22 @@ def test_mahalanobis_outlier_hand_truth(spark):
     assert rows[99]["maha_d2"] > 10 * max(
         r["maha_d2"] for i, r in rows.items() if i != 99
     )
+
+
+def test_lsh_band_buckets_rejects_nondivisible_bands(spark):
+    """A bands count that doesn't divide num_hashes would silently drop
+    trailing hashes from every bucket key — must raise instead."""
+    import pytest
+
+    df = spark.createDataFrame([(1, "a b c d e f")], ["doc_id", "text"])
+    with pytest.raises(ValueError, match="must divide"):
+        dd.minhash_lsh_dedup(df, "doc_id", "text", num_hashes=14, bands=4)
+
+
+def test_connected_components_empty_pairs_terminates_clean(spark):
+    """Zero near-dup pairs (a clean corpus) must converge immediately —
+    the observe() sum over zero rows is NULL and needs the coalesce to
+    trip the break — and return an empty labeling."""
+    empty = spark.createDataFrame([], "id_a bigint, id_b bigint")
+    out = dd.duplicate_clusters(empty)
+    assert out.count() == 0

@@ -112,3 +112,28 @@ def test_parquet_codec_roundtrip(spark, sf_dir, tmp_path):
         assert files and all(f.endswith(ext) for f in files), (codec, files)
         got = sorted(map(tuple, read_parquet(spark, path).collect()))
         assert got == expect, codec
+
+
+def test_compact_parquet_preserves_partition_layout(spark, sf_dir, tmp_path):
+    """Compacting a hive-partitioned dataset must keep the key=value
+    directory layout (and therefore every reader's partition pruning) —
+    not silently flatten partition columns into data columns."""
+    import glob
+
+    from mapreduceproject_spark.sources.formats import compact_parquet
+
+    docs = _docs(spark, sf_dir)
+    src = str(tmp_path / "part_src")
+    docs.repartition(11).write.partitionBy("lang").parquet(src)
+    dest = str(tmp_path / "part_dest")
+    compact_parquet(spark, src, dest, target_mb=128)
+    src_dirs = {p.rsplit("/", 1)[-1] for p in glob.glob(f"{src}/lang=*")}
+    dest_dirs = {p.rsplit("/", 1)[-1] for p in glob.glob(f"{dest}/lang=*")}
+    assert dest_dirs == src_dirs and dest_dirs
+    # fewer files after compaction, identical content
+    assert len(glob.glob(f"{dest}/lang=*/part-*")) < len(
+        glob.glob(f"{src}/lang=*/part-*")
+    )
+    # partition column reads back last — align column order before comparing
+    back = spark.read.parquet(dest).select(*docs.columns)
+    assert _sorted_rows(back) == _sorted_rows(docs)

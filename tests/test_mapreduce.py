@@ -194,3 +194,16 @@ def test_cli_parity_verb(spark, sf_dir, capsys):
     assert main(["parity", "word_count", "--sf-dir", sf_dir]) == 0
     assert "MATCH" in capsys.readouterr().out
     assert main(["parity", "no_such_query", "--sf-dir", sf_dir]) == 2
+
+
+def test_read_kv_lines_key_only_line(spark, tmp_path):
+    """A line holding a key and no value is legal in the reference
+    protocol and must parse as (key, '') — under ANSI mode an
+    element_at(parts, 2) would throw on the 1-element split array."""
+    p = tmp_path / "kv.txt"
+    p.write_text("alpha 1\nbare\nbeta  2 3\n")
+    got = {
+        (r["key"], r["value"])
+        for r in mr.read_kv_lines(spark, str(p)).collect()
+    }
+    assert got == {("alpha", "1"), ("bare", ""), ("beta", "2 3")}

@@ -686,3 +686,45 @@ def test_null_sort_divergence_motivates_replica_filter(spark):
         "select list(x order by x) from (values (2.0), (NULL), (1.0)) t(x)"
     ).fetchone()[0]
     assert d[-1] is None and d[:2] == [1.0, 2.0]
+
+
+def test_bench_sf_parse_tolerates_versioned_dirs():
+    """sf_from_dir runs AFTER the bench loop; a malformed sf token must
+    degrade to the sentinel, never crash away a completed run."""
+    import importlib.util
+    from pathlib import Path
+
+    spec = importlib.util.spec_from_file_location(
+        "bench", Path(__file__).resolve().parent.parent / "bench.py"
+    )
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+    assert bench.sf_from_dir("/root/testdata/sf0.1") == 0.1
+    assert bench.sf_from_dir("/x/sf0.1.bak") == 0.1
+    assert bench.sf_from_dir("/x/sf3") == 3.0
+    assert bench.sf_from_dir("/x/nothing") == -1.0
+
+
+def test_worker_imports_keyed_by_application_id(spark):
+    """bootstrap dedups addPyFile by applicationId (unique per context),
+    not id(sc) — a recycled object address after stop()+rebuild must not
+    skip shipping the package zip to the new context's workers."""
+    from mapreduceproject_spark import bootstrap
+
+    bootstrap.ensure_worker_imports(spark)
+    assert spark.sparkContext.applicationId in bootstrap._DONE
+    assert all(isinstance(k, str) for k in bootstrap._DONE)
+
+
+def test_heavy_hitters_rejects_undersized_capacity(spark):
+    """A capacity that cannot guarantee the phi-superset contract must be
+    rejected loudly, not silently drop true heavy hitters."""
+    import pytest
+
+    from mapreduceproject_spark.operators.frequency import heavy_hitters_exact
+
+    df = spark.createDataFrame([("a",)], ["term"])
+    with pytest.raises(ValueError, match="capacity"):
+        heavy_hitters_exact(df, "term", phi=0.05, capacity=10)
+    # at the bound: capacity 20 -> 21 > 1/0.05, allowed
+    heavy_hitters_exact(df, "term", phi=0.05, capacity=20)

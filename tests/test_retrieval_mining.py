@@ -177,3 +177,43 @@ def test_hard_negatives_exclude_self_when_query_relabeled(spark):
     ids = {r["neighbor_id"] for r in out}
     assert 0 not in ids, "query's own vector returned as its hard negative"
     assert ids == {1, 2}
+
+
+def test_split_drift_flags_degenerate_zero_half(spark):
+    """A label whose val-half is all zero vectors has no centroid
+    direction: drift_cos must be NULL (not an engine-dependent div-by-0)
+    and is_drifted must be TRUE — the maximally divergent label must not
+    vanish from the report."""
+    from mapreduceproject_spark.operators.similarity import split_centroid_drift
+
+    # ids chosen so hash60(id||salt)%2 puts >=1 row in each half per label
+    rows = [(i, [1.0, 0.0], "ok") for i in range(8)]
+    rows += [(100 + i, [0.0, 0.0], "dead") for i in range(8)]
+    df = spark.createDataFrame(rows, "id bigint, v array<double>, label string")
+    out = {
+        r["label"]: r
+        for r in split_centroid_drift(df, "id", "v", "label", "|t").collect()
+    }
+    assert "dead" in out, "degenerate label dropped from the drift report"
+    assert out["dead"]["drift_cos"] is None
+    assert out["dead"]["is_drifted"] is True
+    assert abs(out["ok"]["drift_cos"] - 1.0) < 1e-9
+    assert out["ok"]["is_drifted"] is False
+
+
+def test_text_ops_survive_empty_documents(spark):
+    """Empty / whitespace-only docs must yield NULL ratios and keep=False,
+    not an ANSI DIVIDE_BY_ZERO abort (Spark 4 raises even on double/0)."""
+    from mapreduceproject_spark.operators import text_analysis as ta2
+
+    df = spark.createDataFrame(
+        [(1, "real words here and more"), (2, ""), (3, "   ")],
+        ["doc_id", "text"],
+    )
+    q = {r["doc_id"]: r for r in ta2.quality_scores(df, "doc_id", "text").collect()}
+    assert q[2]["punct_ratio"] is None and q[2]["keep"] is False
+    assert q[3]["stopword_ratio"] is None and q[3]["keep"] is False
+    assert q[1]["keep"] is True
+    s = {r["doc_id"]: r for r in ta2.token_stats(df, "doc_id", "text").collect()}
+    assert s[2]["mean_token_len"] is None and s[2]["n_ws_tokens"] == 0
+    assert s[1]["mean_token_len"] is not None

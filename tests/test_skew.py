@@ -41,3 +41,33 @@ def test_skew_report_shares_sum_sensibly(spark, sf_dir):
     # ordered hottest-first
     ns = [r["n"] for r in rep]
     assert ns == sorted(ns, reverse=True)
+
+
+def test_replicated_join_rejects_small_side_outer(spark):
+    """Right/full outer joins would emit an unmatched small-side row once
+    per salt replica — must be rejected loudly."""
+    import pytest
+
+    from mapreduceproject_spark.operators import skew
+
+    big = spark.range(10).withColumnRenamed("id", "k")
+    small = spark.range(3).withColumnRenamed("id", "k")
+    for how in ("right", "full", "full_outer", "right_outer"):
+        with pytest.raises(ValueError, match="replicated"):
+            skew.replicated_broadcast_join(big, small, ["k"], buckets=4, how=how)
+    # supported modes still work
+    assert skew.replicated_broadcast_join(big, small, ["k"], how="left").count() == 10
+
+
+def test_salt_values_bounded_and_overflow_safe(spark):
+    """Salts must stay in [0, buckets) with the pmod-before-add form —
+    (a%m + b%m) %m == (a+b)%m without the raw long addition that throws
+    ARITHMETIC_OVERFLOW under ANSI when the hash lands near Long.MAX."""
+    from mapreduceproject_spark.operators import skew
+
+    df = spark.range(1000).withColumnRenamed("id", "k")
+    salts = [
+        r["_salt"] for r in skew.with_salt(df, ["k"], 16).select("_salt").collect()
+    ]
+    assert all(0 <= s < 16 for s in salts)
+    assert len(set(salts)) > 1  # actually spreads

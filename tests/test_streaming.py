@@ -385,3 +385,64 @@ def test_rocksdb_state_store_matches_default(spark, sf_dir):
         ).collect()
     }
     assert base and rocks == base
+
+
+def test_upsert_recovers_interrupted_bucket_swap(spark, tmp_path):
+    """Simulate a crash between the two swap renames (bucket dir moved to
+    its dot-prefixed .old name, new dir never arrived): the next batch
+    must restore the saved bucket before merging, so its state survives.
+    Also: the saved dir must be invisible to partition discovery while it
+    exists (dot-prefixed names are always filtered)."""
+    import os
+    import shutil
+
+    path = str(tmp_path / "state_recover")
+
+    def stream_of(rows, subdir):
+        src = tmp_path / subdir
+        src.mkdir()
+        _write_parquet(src / "x.parquet", rows)
+        from pyspark.sql.types import LongType, StructField, StructType
+
+        schema = StructType(
+            [
+                StructField("k", LongType()),
+                StructField("ts", LongType()),
+                StructField("v", LongType()),
+            ]
+        )
+        return spark.readStream.schema(schema).parquet(str(src))
+
+    got1 = jobs.upsert_latest_per_key(
+        stream_of({"k": list(range(40)), "ts": [1] * 40, "v": [10] * 40}, "r1"),
+        spark,
+        path,
+        ["k"],
+        "ts",
+        num_buckets=8,
+    )
+    assert got1.count() == 40
+    # simulate the interrupted swap on one bucket
+    victims = [e for e in os.listdir(path) if e.startswith("_kb=")]
+    victim = sorted(victims)[0]
+    os.rename(
+        os.path.join(path, victim),
+        os.path.join(path, f".old-deadbeef-{victim}"),
+    )
+    # while interrupted: the dot-dir must not pollute partition discovery
+    assert "_kb" in spark.read.parquet(path).columns
+    assert str(spark.read.parquet(path).schema["_kb"].dataType) != "StringType()"
+    # next batch (touching a different key) must first restore the bucket
+    got2 = jobs.upsert_latest_per_key(
+        stream_of({"k": [0], "ts": [2], "v": [99]}, "r2"),
+        spark,
+        path,
+        ["k"],
+        "ts",
+        num_buckets=8,
+    )
+    rows = {r["k"]: r["v"] for r in got2.collect()}
+    assert len(rows) == 40, "interrupted bucket's state was lost"
+    assert rows[0] == 99
+    assert not [e for e in os.listdir(path) if e.startswith(".old-")]
+    shutil.rmtree(path, ignore_errors=True)
