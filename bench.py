@@ -30,7 +30,10 @@ RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "1"))
 
 
 def sf_from_dir(sf_dir: str) -> float:
-    m = re.search(r"sf([0-9.]+)", sf_dir)
+    # tolerant parse: this runs AFTER the full bench loop, so a path like
+    # .../sf0.1.bak (token '0.1.' — float() raises) must degrade to the
+    # -1 sentinel, not crash the run and lose every recorded timing.
+    m = re.search(r"sf([0-9]+(?:\.[0-9]+)?)", sf_dir)
     return float(m.group(1)) if m else -1.0
 
 
