@@ -42,8 +42,8 @@ _DEFS: dict[str, str] = {
             transform(b, x -> CAST(floor(x * {QUANT_SCALE}) AS BIGINT)) AS qb)
           SELECT CAST(aggregate(zip_with(qa, qb, (x, y) -> x * y),
                                 CAST(0 AS BIGINT), (acc, x) -> acc + x) AS DOUBLE)
-               / (sqrt(CAST(aggregate(qa, CAST(0 AS BIGINT), (acc, x) -> acc + x * x) AS DOUBLE))
-                  * sqrt(CAST(aggregate(qb, CAST(0 AS BIGINT), (acc, x) -> acc + x * x) AS DOUBLE)))
+               / nullif(sqrt(CAST(aggregate(qa, CAST(0 AS BIGINT), (acc, x) -> acc + x * x) AS DOUBLE))
+                  * sqrt(CAST(aggregate(qb, CAST(0 AS BIGINT), (acc, x) -> acc + x * x) AS DOUBLE)), 0.0d)
           FROM q)
     """,
 }

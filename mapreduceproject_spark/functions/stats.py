@@ -45,11 +45,15 @@ def ols_outputs() -> tuple[Column, Column, Column]:
     num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
     denx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
     deny = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
-    slope_q = num / denx
+    # nullif denominators: a single-row or constant-x group has zero x
+    # variance and no defined slope — NULL on both engines (the DuckDB
+    # twins NULLIF identically), where Spark ANSI would otherwise raise
+    # DIVIDE_BY_ZERO and kill the whole grouped regression.
+    slope_q = num / F.nullif(denx, F.lit(0.0))
     intercept_q = (
         F.col("sy").cast("double") / F.col("n") - slope_q * F.col("sx") / F.col("n")
     )
-    r2 = num * num / (denx * deny)
+    r2 = num * num / F.nullif(denx * deny, F.lit(0.0))
     return slope_q, intercept_q, r2
 
 
@@ -71,8 +75,13 @@ def duck_ols_sums(from_clause: str, group_by: str | None = None) -> str:
 DUCK_OLS_NUM = "CAST(n * sxy - sx * sy AS DOUBLE)"
 DUCK_OLS_DENX = "CAST(n * sxx - sx * sx AS DOUBLE)"
 DUCK_OLS_DENY = "CAST(n * syy - sy * sy AS DOUBLE)"
-DUCK_OLS_SLOPE_Q = f"{DUCK_OLS_NUM} / {DUCK_OLS_DENX}"
+# NULLIF mirrors ols_outputs' zero-variance guard (degenerate group ->
+# NULL slope/r2 on both engines)
+DUCK_OLS_SLOPE_Q = f"{DUCK_OLS_NUM} / NULLIF({DUCK_OLS_DENX}, 0)"
 DUCK_OLS_INTERCEPT_Q = (
     f"(CAST(sy AS DOUBLE) / n - ({DUCK_OLS_SLOPE_Q}) * sx / n)"
 )
-DUCK_OLS_R2 = f"{DUCK_OLS_NUM} * {DUCK_OLS_NUM} / ({DUCK_OLS_DENX} * {DUCK_OLS_DENY})"
+DUCK_OLS_R2 = (
+    f"{DUCK_OLS_NUM} * {DUCK_OLS_NUM}"
+    f" / NULLIF({DUCK_OLS_DENX} * {DUCK_OLS_DENY}, 0)"
+)

@@ -19,12 +19,23 @@ _WS = r"\s+"
 
 
 def tokens(col: Column) -> Column:
-    """array<string> of whitespace-split tokens, empties removed."""
-    return F.filter(F.split(col, _WS), lambda t: t != "")
+    """array<string> of whitespace-split tokens, empties removed.
+
+    NULL text coalesces to '' (an empty token array) on BOTH engines —
+    without it a NULL-text document tokenizes to NULL here but the
+    DuckDB twins' COALESCE-on-join paths see '', and the document
+    silently diverges between the engines (dropped from Spark joins,
+    bucketed as empty in the oracle)."""
+    return F.filter(
+        F.split(F.coalesce(col, F.lit("")), _WS), lambda t: t != ""
+    )
 
 
 def duck_tokens(expr: str) -> str:
-    return rf"list_filter(string_split_regex({expr}, '\s+'), t -> t <> '')"
+    return (
+        rf"list_filter(string_split_regex(COALESCE({expr}, ''), '\s+'),"
+        rf" t -> t <> '')"
+    )
 
 
 def word_shingles(col: Column, k: int = 3) -> Column:

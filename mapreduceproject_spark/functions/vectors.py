@@ -31,7 +31,10 @@ def l2_norm(a: Column) -> Column:
 
 
 def cosine_similarity(a: Column, b: Column) -> Column:
-    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+    # nullif denominator: a zero vector has no direction — cosine is NULL
+    # on BOTH engines instead of an ANSI DIVIDE_BY_ZERO abort (Spark 4
+    # raises even on double/0; the DuckDB twins NULLIF identically).
+    return dot(a, b) / F.nullif(l2_norm(a) * l2_norm(b), F.lit(0.0))
 
 
 QUANT_SCALE = 1_000_000
@@ -55,7 +58,11 @@ def quantized_cosine(a: Column, b: Column) -> Column:
     d = F.aggregate(F.zip_with(qa, qb, lambda x, y: x * y), F.lit(0).cast("long"), lambda acc, x: acc + x)
     na = F.aggregate(qa, F.lit(0).cast("long"), lambda acc, x: acc + x * x)
     nb = F.aggregate(qb, F.lit(0).cast("long"), lambda acc, x: acc + x * x)
-    return d.cast("double") / (F.sqrt(na.cast("double")) * F.sqrt(nb.cast("double")))
+    # nullif: an all-zero (or all-sub-1e-6) vector quantizes to zero norm;
+    # NULL cosine on both engines, never an ANSI DIVIDE_BY_ZERO abort
+    return d.cast("double") / F.nullif(
+        F.sqrt(na.cast("double")) * F.sqrt(nb.cast("double")), F.lit(0.0)
+    )
 
 
 def quantized_norm2(q: Column) -> Column:
@@ -75,7 +82,9 @@ def prequantized_cosine(qa: Column, qb: Column, na2: Column, nb2: Column) -> Col
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
-    return d.cast("double") / (F.sqrt(na2.cast("double")) * F.sqrt(nb2.cast("double")))
+    return d.cast("double") / F.nullif(
+        F.sqrt(na2.cast("double")) * F.sqrt(nb2.cast("double")), F.lit(0.0)
+    )
 
 
 def duck_quantize(expr: str) -> str:
@@ -84,20 +93,34 @@ def duck_quantize(expr: str) -> str:
 
 def duck_quantized_cosine(qa: str, qb: str) -> str:
     """DuckDB twin of :func:`quantized_cosine`; ``qa``/``qb`` must already
-    be quantized BIGINT[] expressions (quantize once in a CTE, reuse)."""
+    be quantized BIGINT[] expressions (quantize once in a CTE, reuse).
+
+    Two alignment guards mirror the Spark side exactly: NULLIF on the
+    denominator (zero-norm vector → NULL cosine, where Spark ANSI would
+    otherwise raise and bare DuckDB would return NULL unilaterally), and
+    a length-equality CASE — Spark's zip_with NULL-pads the shorter
+    array and the sum NULL-poisons, while DuckDB's 'sum' SKIPS the NULL
+    products from out-of-range indexing and would silently return a
+    partial dot over the common prefix."""
     dot = (
         f"list_aggregate(list_transform(range(1, len({qa})+1), i -> ({qa})[i] * ({qb})[i]), 'sum')"
     )
     na = f"list_aggregate(list_transform({qa}, x -> x * x), 'sum')"
     nb = f"list_aggregate(list_transform({qb}, x -> x * x), 'sum')"
-    return f"(CAST({dot} AS DOUBLE) / (sqrt(CAST({na} AS DOUBLE)) * sqrt(CAST({nb} AS DOUBLE))))"
+    return (
+        f"(CASE WHEN len({qa}) = len({qb}) THEN"
+        f" CAST({dot} AS DOUBLE)"
+        f" / NULLIF(sqrt(CAST({na} AS DOUBLE)) * sqrt(CAST({nb} AS DOUBLE)), 0)"
+        f" END)"
+    )
 
 
 def duck_cosine(a_expr: str, b_expr: str) -> str:
-    """DuckDB twin: same sequential-order double-precision cosine."""
+    """DuckDB twin: same sequential-order double-precision cosine (same
+    zero-norm NULLIF guard as the Spark side)."""
     return (
         f"(list_aggregate(list_transform(range(1, len({a_expr})+1), "
         f"i -> CAST(({a_expr})[i] AS DOUBLE) * CAST(({b_expr})[i] AS DOUBLE)), 'sum')"
-        f" / (sqrt(list_aggregate(list_transform({a_expr}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))"
-        f" * sqrt(list_aggregate(list_transform({b_expr}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))))"
+        f" / NULLIF(sqrt(list_aggregate(list_transform({a_expr}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))"
+        f" * sqrt(list_aggregate(list_transform({b_expr}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')), 0))"
     )

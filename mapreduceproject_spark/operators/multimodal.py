@@ -38,13 +38,19 @@ def attach_binary_payload(df: DataFrame, id_col: str, text_col: str) -> DataFram
     """Synthesize an opaque media column + typed metadata from a text
     column (fixtures carry no real media).  At ingest time this column
     would come straight off parquet/object storage as ``binary``."""
+    # NULL text coalesces to '' so every kernel downstream sees a real
+    # (possibly empty) bytes payload — a None payload would TypeError
+    # inside the Arrow kernels (bytes(None)) and fail the whole query,
+    # where the DuckDB oracles degrade to NULL rows.  An empty payload
+    # flows through every kernel deterministically on both engines.
+    t = F.coalesce(F.col(text_col), F.lit(""))
     return df.select(
         F.col(id_col),
-        F.encode(F.col(text_col), "utf-8").alias("payload"),
+        F.encode(t, "utf-8").alias("payload"),
         F.struct(
             F.lit("fake/raw").alias("format"),
-            F.octet_length(F.col(text_col)).cast("long").alias("n_bytes"),
-            ((F.length(F.col(text_col)) % 10) + 1).cast("long").alias("n_frames"),
+            F.octet_length(t).cast("long").alias("n_bytes"),
+            ((F.length(t) % 10) + 1).cast("long").alias("n_frames"),
         ).alias("media_meta"),
     )
 

@@ -62,12 +62,22 @@ def scan_and_redact(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     total = None
     for c in counts.values():
         total = c if total is None else total + c
-    return df.select(
+    # project the redacted string ONCE, then derive md5 and length from
+    # the materialized column: inlining redact() twice would run the
+    # whole 4-pattern regexp_replace chain twice per row (CollapseProject
+    # keeps multiply-referenced non-cheap aliases materialized, so the
+    # two-step select is a real single evaluation)
+    staged = df.select(
+        F.col(id_col),
+        F.col(text_col),
+        redact(F.col(text_col)).alias("_redacted"),
+    )
+    return staged.select(
         F.col(id_col),
         *[c.alias(f"n_{name}") for name, c in counts.items()],
         total.alias("n_pii"),
-        F.md5(redact(F.col(text_col))).alias("redacted_md5"),
-        F.length(redact(F.col(text_col))).cast("long").alias("redacted_len"),
+        F.md5(F.col("_redacted")).alias("redacted_md5"),
+        F.length(F.col("_redacted")).cast("long").alias("redacted_len"),
     )
 
 

@@ -82,9 +82,14 @@ def gopher_doc_flags(
                 lambda t: F.exists(sym, lambda s: t.contains(s)),
             )
         ).alias("n_symbol"),
-        F.size(F.array_intersect(tokens(F.col(text_col)), stop_arr)).alias(
-            "stop_hits"
-        ),
+        # lowercase before the intersect — the published Gopher rule (and
+        # every other stopword path in this repo) matches case-blind;
+        # sentence-initial 'The'/'It' must count as stopword hits
+        F.size(
+            F.array_intersect(
+                F.transform(tokens(F.col(text_col)), F.lower), stop_arr
+            )
+        ).alias("stop_hits"),
     )
     return base.select(
         *base.columns,

@@ -32,9 +32,17 @@ def _frontier(df: DataFrame, x: str, y: str, tiebreak: list[str], *, part: list[
     """Rows not dominated (strictly better y among ≤ x) within each
     ``part`` group (global when ``part`` is None)."""
     cols = part or []
+    # explicit nulls-LAST: Spark's bare asc() sorts NULLs FIRST, so a
+    # NULL-x row would be "kept" as the leading frontier row and its y
+    # would suppress every genuine frontier point — and DuckDB's default
+    # ORDER BY puts NULLs last, so the engines would also disagree.
     w = (
         Window.partitionBy(*cols)
-        .orderBy(F.asc(x), F.desc(y), *[F.asc(c) for c in tiebreak])
+        .orderBy(
+            F.asc_nulls_last(x),
+            F.desc(y),
+            *[F.asc_nulls_last(c) for c in tiebreak],
+        )
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     best_prev = F.max(y).over(w)

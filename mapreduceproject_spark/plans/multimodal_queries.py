@@ -5,6 +5,12 @@ The payload is the utf-8 encoding of ``documents.text`` (fixtures carry no
 real media; corpus is ASCII so byte offsets == char offsets), which lets
 every md5-derived fake kernel be replicated exactly in DuckDB SQL — the
 Spark side still exercises the full binary/mapInPandas machinery.
+
+NULL text normalizes to '' on BOTH sides (attach_binary_payload
+coalesces before encoding; every oracle reads through a
+COALESCE(text, '') subquery) so a NULL-text document flows through the
+Arrow kernels as an empty payload instead of a TypeError on one engine
+and a NULL row on the other.
 """
 
 from __future__ import annotations
@@ -30,7 +36,7 @@ def _payload(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(list_aggregate(list_transform(range(1,16), i ->
                  (strpos('0123456789abcdef', substr(substr(md5(text),1,15), CAST(i AS INT), 1)) - 1)::BIGINT
                  << ((15-i)*4)::INT), 'sum') % 256 AS BIGINT) AS mean_pixel
-    FROM documents
+    FROM (SELECT doc_id, COALESCE(text, '') AS text FROM documents) d
     """,
 )
 def mm_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -43,7 +49,7 @@ def mm_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "mm_frame_sample",
     oracle=f"""
     WITH v AS (
-      SELECT doc_id, text, (length(text) % 10) + 1 AS nf FROM documents
+      SELECT doc_id, text, (length(text) % 10) + 1 AS nf FROM (SELECT doc_id, COALESCE(text, '') AS text FROM documents) d
     )
     SELECT doc_id,
            CAST(fi AS BIGINT) AS frame_idx,
@@ -63,7 +69,7 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH v AS (
       SELECT doc_id, text,
              CAST(ceil(strlen(text) / {mm.CHUNK_BYTES}.0) AS BIGINT) AS nchunks
-      FROM documents
+      FROM (SELECT doc_id, COALESCE(text, '') AS text FROM documents) d
     )
     SELECT doc_id,
            CAST(ci AS BIGINT) AS chunk_idx,
@@ -86,7 +92,8 @@ def mm_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
                  (strpos('0123456789abcdef',
                          substr(substr(md5(text || '#' || CAST(i AS VARCHAR)),1,15), CAST(j AS INT), 1)) - 1)::BIGINT
                  << ((15-j)*4)::INT), 'sum') % 1000000 AS DOUBLE) / 1000000 AS feature
-    FROM (SELECT doc_id, text, unnest(range(0, {mm.FEATURE_DIM})) AS i FROM documents)
+    FROM (SELECT doc_id, text, unnest(range(0, {mm.FEATURE_DIM})) AS i
+          FROM (SELECT doc_id, COALESCE(text, '') AS text FROM documents) d)
     """,
 )
 def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -105,7 +112,7 @@ RESIZE_W, RESIZE_H = 64, 64
            CAST({RESIZE_W} AS BIGINT) AS width,
            CAST({RESIZE_H} AS BIGINT) AS height,
            md5(text || '@' || '{RESIZE_W}x{RESIZE_H}') AS resized_md5
-    FROM documents
+    FROM (SELECT doc_id, COALESCE(text, '') AS text FROM documents) d
     """,
 )
 def mm_resize_images(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -38,7 +38,8 @@ def _gopher_oracle() -> str:
              len(toks) AS n_words,
              COALESCE(CAST(list_aggregate(list_transform(toks, t -> CAST(length(t) AS BIGINT)), 'sum') AS BIGINT), 0) AS sum_len,
              len(list_filter(toks, t -> contains(t, '#') OR contains(t, '...'))) AS n_symbol,
-             len(list_filter([{stoplist}], s -> list_contains(toks, s))) AS stop_hits
+             len(list_filter([{stoplist}],
+                 s -> list_contains(list_transform(toks, t -> lower(t)), s))) AS stop_hits
       FROM (SELECT source, {toks} AS toks FROM documents)
     ),
     f AS (

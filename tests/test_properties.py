@@ -350,3 +350,122 @@ def test_repeated_ngram_mask_spark_batch(spark):
             for r in repeated_ngram_mask_profile(df, "doc_id", "text", k=k).collect()
         }
         assert got == expect, (toks1, toks2, k)
+
+
+# -- round-4 review: degenerate-input guards in shared function helpers ------
+
+
+def test_ols_degenerate_group_yields_null_not_crash(spark):
+    """A constant-x (or single-row) group has zero x variance: slope/r2
+    must be NULL on both engines — Spark ANSI would otherwise raise
+    DIVIDE_BY_ZERO and kill the whole grouped regression."""
+    import duckdb
+
+    from mapreduceproject_spark.functions import stats as st
+
+    df = spark.createDataFrame(
+        [(5, 1), (5, 2), (5, 3)], "x long, y long"
+    )
+    row = df.agg(*st.ols_sum_aggs()).select(
+        st.ols_outputs()[0].alias("slope_q"),
+        st.ols_outputs()[2].alias("r2"),
+    ).first()
+    assert row["slope_q"] is None and row["r2"] is None
+    d = duckdb.sql(
+        f"SELECT {st.DUCK_OLS_SLOPE_Q} AS s, {st.DUCK_OLS_R2} AS r FROM "
+        + st.duck_ols_sums("(VALUES (5, 1), (5, 2), (5, 3)) t(x, y)")
+    ).fetchone()
+    assert d == (None, None)
+
+
+def test_zero_vector_cosine_is_null_not_crash(spark):
+    """An all-zero vector has no direction: every cosine form must yield
+    NULL on both engines instead of an ANSI DIVIDE_BY_ZERO abort."""
+    import duckdb
+
+    from pyspark.sql import functions as F2
+
+    from mapreduceproject_spark.functions import vectors as vx
+
+    df = spark.createDataFrame(
+        [([0.0, 0.0], [1.0, 2.0])], "a array<double>, b array<double>"
+    )
+    row = df.select(
+        vx.quantized_cosine(F2.col("a"), F2.col("b")).alias("qc"),
+        vx.cosine_similarity(F2.col("a"), F2.col("b")).alias("cs"),
+    ).first()
+    assert row["qc"] is None and row["cs"] is None
+    q = vx.duck_quantize("[0.0, 0.0]")
+    p = vx.duck_quantize("[1.0, 2.0]")
+    assert duckdb.sql(
+        f"SELECT {vx.duck_quantized_cosine(q, p)} AS c"
+    ).fetchone()[0] is None
+    # ragged lengths: Spark NULL-poisons; the duck twin's CASE matches
+    assert duckdb.sql(
+        f"SELECT {vx.duck_quantized_cosine(vx.duck_quantize('[1.0]'), p)} AS c"
+    ).fetchone()[0] is None
+
+
+def test_null_text_tokenizes_to_empty_on_both_engines(spark):
+    """NULL text must tokenize to an EMPTY array on both engines so a
+    NULL-text document shingles/buckets identically instead of dropping
+    from Spark joins while the oracle keeps it."""
+    import duckdb
+
+    from pyspark.sql import functions as F2
+
+    from mapreduceproject_spark.functions import textfn as tf
+
+    df = spark.createDataFrame([(1, None)], "id long, text string")
+    got = df.select(F2.size(tf.tokens(F2.col("text"))).alias("n")).first()["n"]
+    assert got == 0
+    assert duckdb.sql(
+        f"SELECT len({tf.duck_tokens('NULL')}) AS n"
+    ).fetchone()[0] == 0
+    sh = df.select(tf.word_shingles(F2.col("text")).alias("s")).first()["s"]
+    assert sh == [""]
+    assert duckdb.sql(
+        f"SELECT {tf.duck_word_shingles('CAST(NULL AS VARCHAR)')} AS s"
+    ).fetchone()[0] == [""]
+
+
+def test_skyline_null_x_rows_never_suppress_frontier(spark):
+    """A NULL-x row sorts LAST (DuckDB's default, now Spark's too) so its
+    y can never mask genuine frontier rows."""
+    from mapreduceproject_spark.operators.skyline import skyline_2d
+
+    df = spark.createDataFrame(
+        [(1, 1.0, 5.0), (2, 2.0, 8.0), (3, None, 100.0)],
+        "id long, x double, y double",
+    )
+    ids = {r["id"] for r in skyline_2d(df, "x", "y", ["id"]).collect()}
+    assert {1, 2} <= ids, "NULL-x row suppressed the real frontier"
+
+
+def test_gopher_stopwords_match_case_blind(spark):
+    """Sentence-initial capitalized stopwords must count as hits — the
+    published Gopher rule lowercases before matching."""
+    from mapreduceproject_spark.operators.quality import gopher_doc_flags
+    from mapreduceproject_spark.operators.text_analysis import STOPWORDS
+
+    text = "The Report And The Data " + "word " * 60
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    row = gopher_doc_flags(df, "doc_id", "text", STOPWORDS).first()
+    assert row["stop_hits"] >= 2
+    assert row["fail_stopwords"] is False
+
+
+def test_multimodal_null_text_flows_as_empty_payload(spark):
+    """A NULL-text row must flow through the Arrow kernels as an empty
+    payload (deterministic on both engines), not TypeError the query."""
+    import hashlib
+
+    from mapreduceproject_spark.operators import multimodal as mm
+
+    df = spark.createDataFrame(
+        [(1, "abc"), (2, None)], "doc_id long, text string"
+    )
+    p = mm.attach_binary_payload(df, "doc_id", "text")
+    rows = {r["doc_id"]: r for r in mm.decode_stats(p, "doc_id").collect()}
+    assert rows[2]["n_bytes"] == 0
+    assert rows[2]["content_md5"] == hashlib.md5(b"").hexdigest()
