@@ -318,7 +318,7 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         lineitem(spark, sf_dir)
         .rollup("l_returnflag", "l_linestatus")
         .agg(
-            (F.grouping("l_returnflag") * 2 + F.grouping("l_linestatus")).alias("gid"),
+            (F.grouping("l_returnflag") * 2 + F.grouping("l_linestatus")).cast("long").alias("gid"),
             F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
             F.count("*").alias("cnt"),
         )
@@ -342,7 +342,7 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders(spark, sf_dir)
         .cube("o_orderstatus", "o_orderpriority")
         .agg(
-            (F.grouping("o_orderstatus") * 2 + F.grouping("o_orderpriority")).alias("gid"),
+            (F.grouping("o_orderstatus") * 2 + F.grouping("o_orderpriority")).cast("long").alias("gid"),
             F.count("*").alias("cnt"),
         )
         .select("o_orderstatus", "o_orderpriority", "gid", "cnt")
@@ -477,7 +477,7 @@ def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
            substr(p_type, 1, 5) AS type_prefix,
            concat(p_brand, ':', CAST(p_size AS VARCHAR)) AS brand_size,
            p_partkey % 7 AS key_mod,
-           abs(p_size - 25) AS size_dev,
+           CAST(abs(p_size - 25) AS BIGINT) AS size_dev,
            sqrt(CAST(p_size AS DOUBLE)) AS size_sqrt,
            p_retailprice * 1.1 AS price_with_tax,
            CAST(len(string_split(p_type, ' ')) AS BIGINT) AS type_words
@@ -537,19 +537,30 @@ def date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     "json_extract_props",
     oracle="""
     SELECT event_type,
-           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(SUM(CAST(trunc(TRY_CAST(json_extract_string(props, '$.k')
+                                        AS DOUBLE)) AS BIGINT)) AS BIGINT) AS sum_k,
            COUNT(*) AS cnt
     FROM events
     GROUP BY event_type
     """,
 )
 def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """JSON path extraction from the events.props payload column."""
+    """JSON path extraction from the events.props payload column.
+
+    Parse discipline, identical on both engines: try-parse the extracted
+    string as DOUBLE (junk → NULL instead of an ANSI cast error on Spark
+    or a hard Conversion Error in DuckDB), then truncate toward zero
+    (Spark's double→long cast ≡ DuckDB trunc; a bare DuckDB
+    CAST('3.5' AS BIGINT) would round half-even to 4 instead)."""
     ev = events(spark, sf_dir)
     return (
         ev.groupBy("event_type")
         .agg(
-            F.sum(F.get_json_object("props", "$.k").cast("long")).alias("sum_k"),
+            F.sum(
+                F.get_json_object("props", "$.k")
+                .try_cast("double")
+                .cast("long")
+            ).alias("sum_k"),
             F.count("*").alias("cnt"),
         )
     )
@@ -716,10 +727,12 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GK-sketch median per event_type (approx_percentile, accuracy 1e4) —
     the constant-memory quantile that replaces the exact sort at 100 TB.
     Sketch internals are engine/partitioning-specific, so the checkable
-    output is the exact median plus a rank-error flag: the count of values
-    ≤ the sketch's answer must sit within 1% of the target rank — two
-    orders of magnitude looser than the sketch's ε = 1/accuracy guarantee,
-    so the flag is deterministically TRUE for any valid execution.  Same
+    output is the exact median plus a rank-error flag: the sketch answer's
+    rank interval [count_lt+1, count_le] must overlap a ±(1% + 1) band
+    around the target rank — two orders of magnitude looser than the
+    sketch's ε = 1/accuracy guarantee and tie-safe (a heavily duplicated
+    median value legitimately spans ranks far past the target), so the
+    flag is deterministically TRUE for any valid execution.  Same
     exact-value-plus-guarantee-bound contract as agg_approx_distinct."""
     ev = events(spark, sf_dir)
     acc = 10000
@@ -734,15 +747,25 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.sum(
                 F.when(F.col("value") <= F.col("_ap50"), 1).otherwise(0)
-            ).alias("_le")
+            ).alias("_le"),
+            F.sum(
+                F.when(F.col("value") < F.col("_ap50"), 1).otherwise(0)
+            ).alias("_lt"),
         )
     )
+    # tie-safe rank check: the sketch's answer x occupies the whole rank
+    # INTERVAL [count_lt(x)+1, count_le(x)] — with heavy duplicates,
+    # count_le alone can legitimately sit far past the target rank even
+    # when the sketch is exact, so the flag tests interval OVERLAP with
+    # [0.5n - bound, 0.5n + bound] instead of a single-point distance.
+    bound = F.col("n") / 100.0 + 1
     return ranked.select(
         "event_type",
         "n",
         "p50_exact",
         (
-            F.abs(F.col("_le") - 0.5 * F.col("n")) <= F.col("n") / 100.0 + 1
+            (F.col("_lt") + 1 <= 0.5 * F.col("n") + bound)
+            & (F.col("_le") >= 0.5 * F.col("n") - bound)
         ).alias("within_rank_bound"),
     )
 
@@ -850,17 +873,24 @@ def window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "array_functions",
-    oracle="""
+def _array_functions_oracle() -> str:
+    # built from duck_tokens (NOT a hand-inlined tokenizer) so the shared
+    # tokenizer's semantics — including the NULL-text coalesce — can never
+    # drift between this oracle and the Spark side
+    from mapreduceproject_spark.functions.textfn import duck_tokens
+
+    t = duck_tokens("text")
+    return f"""
     SELECT doc_id,
-           CAST(len(list_distinct(list_filter(string_split_regex(text, '\\s+'), t -> t <> ''))) AS BIGINT) AS n_unique,
-           list_sort(list_distinct(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')))[1] AS first_tok,
-           list_sort(list_distinct(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')))[-1] AS last_tok,
-           list_contains(list_filter(string_split_regex(text, '\\s+'), t -> t <> ''), 'the') AS has_the
+           CAST(len(list_distinct({t})) AS BIGINT) AS n_unique,
+           list_sort(list_distinct({t}))[1] AS first_tok,
+           list_sort(list_distinct({t}))[-1] AS last_tok,
+           list_contains({t}, 'the') AS has_the
     FROM documents
-    """,
-)
+    """
+
+
+@query("array_functions", oracle=_array_functions_oracle())
 def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array-function surface: distinct, sort, element access, membership —
     per-row JVM expressions, no shuffle (reference has no array type at
@@ -870,11 +900,14 @@ def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toks = tokens(F.col("text"))
     uniq = F.array_sort(F.array_distinct(toks))
+    # F.get (NULL out-of-bounds) not element_at: a zero-token document has
+    # an empty array and element_at would THROW under ANSI; DuckDB's
+    # list[1] / list[-1] on an empty list is NULL, matching F.get.
     return docs.select(
         "doc_id",
         F.size(uniq).cast("long").alias("n_unique"),
-        F.element_at(uniq, 1).alias("first_tok"),
-        F.element_at(uniq, -1).alias("last_tok"),
+        F.get(uniq, 0).alias("first_tok"),
+        F.get(uniq, F.size(uniq) - 1).alias("last_tok"),
         F.array_contains(toks, "the").alias("has_the"),
     )
 

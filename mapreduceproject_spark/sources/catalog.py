@@ -73,6 +73,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     from mapreduceproject_spark.bootstrap import ensure_worker_imports
 
     ensure_worker_imports(spark)
+    # UTC is load-bearing for parity and set here, not only in our session
+    # factory: the driver harness builds its own bare SparkSession whose
+    # session timezone defaults to the JVM's LOCAL zone — every
+    # unix_micros(cast(... as timestamp)) and ts->timestamp_ntz conversion
+    # then shifts by the zone offset while the DuckDB oracle stays
+    # timezone-naive (measured: data_profile/table_checksums/customer_rfm
+    # all fail parity under a non-UTC session).  Runtime-settable conf;
+    # idempotent for sessions our factory built.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         # Set here, not only in our session factory: the driver harness
         # builds its own bare SparkSession, and without this the scan

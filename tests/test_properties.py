@@ -469,3 +469,95 @@ def test_multimodal_null_text_flows_as_empty_payload(spark):
     rows = {r["doc_id"]: r for r in mm.decode_stats(p, "doc_id").collect()}
     assert rows[2]["n_bytes"] == 0
     assert rows[2]["content_md5"] == hashlib.md5(b"").hexdigest()
+
+
+def test_parity_survives_non_utc_bare_session(spark, sf_dir):
+    """The driver harness builds a bare session whose timezone defaults to
+    the JVM's local zone: load_table must re-pin UTC (runtime conf) or
+    every epoch/timestamp conversion shifts while the DuckDB oracle stays
+    timezone-naive."""
+    from mapreduceproject_spark.oracle import check_query
+
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        assert check_query(spark, "table_checksums", sf_dir).ok
+        assert check_query(spark, "customer_rfm", sf_dir).ok
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
+
+
+def test_array_functions_empty_doc_yields_nulls(spark, tmp_path):
+    """A zero-token document must produce NULL first/last tokens (F.get),
+    not an ANSI INVALID_ARRAY_INDEX crash from element_at."""
+    import duckdb
+
+    from mapreduceproject_spark.plans import QUERIES, ORACLES
+
+    d = str(tmp_path)
+    spark.createDataFrame(
+        [(1, "b a the"), (2, ""), (3, None)],
+        "doc_id long, text string",
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    rows = {r["doc_id"]: r for r in QUERIES["array_functions"](spark, d).collect()}
+    assert rows[1]["first_tok"] == "a" and rows[1]["last_tok"] == "the"
+    assert rows[2]["first_tok"] is None and rows[2]["n_unique"] == 0
+    assert rows[3]["last_tok"] is None and rows[3]["has_the"] is False
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"parquet_scan('{d}/documents.parquet/*.parquet')"
+    )
+    orc = {r[0]: r for r in con.execute(ORACLES["array_functions"]).fetchall()}
+    assert orc[2][1] == 0 and orc[2][2] is None and orc[3][4] is False
+
+
+def test_json_numeric_parse_discipline(spark):
+    """Junk JSON values parse to NULL (not an ANSI cast error / DuckDB
+    Conversion Error) and decimals truncate toward zero on both engines."""
+    import duckdb
+
+    from pyspark.sql import functions as F2
+
+    vals = ["7", "3.5", "-3.5", "junk", None]
+    df = spark.createDataFrame([(v,) for v in vals], ["s"])
+    got = [
+        r["v"]
+        for r in df.select(
+            F2.col("s").try_cast("double").cast("long").alias("v")
+        ).collect()
+    ]
+    assert got == [7, 3, -3, None, None]
+    duck = [
+        duckdb.sql(
+            f"SELECT CAST(trunc(TRY_CAST({'NULL' if v is None else v!r} AS DOUBLE)) AS BIGINT)"
+        ).fetchone()[0]
+        for v in vals
+    ]
+    assert duck == got
+
+
+def test_rollup_gid_is_long(spark, sf_dir):
+    """gid must be bigint on both engines — numpy 2 reprs int32 and int64
+    differently, which would break the driver-style value hash."""
+    from pyspark.sql.types import LongType
+
+    from mapreduceproject_spark.plans import QUERIES
+
+    for name in ("agg_rollup", "agg_cube"):
+        schema = QUERIES[name](spark, sf_dir).schema
+        assert isinstance(schema["gid"].dataType, LongType), name
+
+
+def test_approx_percentile_rank_flag_tie_safe(spark, tmp_path):
+    """All-duplicate values: the sketch's answer occupies a rank interval
+    spanning the whole group — the flag must still be TRUE (the old
+    single-point distance check failed exactly here)."""
+    from mapreduceproject_spark.plans import QUERIES
+
+    d = str(tmp_path)
+    spark.createDataFrame(
+        [("click", 5.0)] * 1000, "event_type string, value double"
+    ).write.mode("overwrite").parquet(f"{d}/events.parquet")
+    row = QUERIES["agg_approx_percentile"](spark, d).first()
+    assert row["within_rank_bound"] is True and row["p50_exact"] == 5.0
