@@ -198,6 +198,9 @@ def test_bm25_broadcasts_query_terms(spark, sf_dir):
     # corpus-sized shuffle is the (doc, term) tf aggregation
     plan = _plan(QUERIES["bm25_search"](spark, sf_dir))
     assert "BroadcastHashJoin" in plan
+    # dl is a size(tokens) projection, NOT a second corpus explode: the
+    # plan must contain exactly ONE token-exploding Generate (the tf side)
+    assert plan.count("Generate explode") == 1
 
 
 # -- round-3 second wave ----------------------------------------------------
