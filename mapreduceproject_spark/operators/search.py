@@ -70,10 +70,15 @@ def bm25_topk(
     rows = docs.select(
         F.col(id_col).alias("doc_id"), F.explode(dtoks).alias("term")
     )
+    # persist: tf feeds BOTH the per-term document frequencies and the
+    # scored join — without the barrier each consumer re-runs the corpus
+    # tokenize+explode, doubling the dominant scan.  The table itself is
+    # tiny ((matching docs × query terms) rows).
     tf = (
         rows.filter(F.col("term").isin(terms))
         .groupBy("doc_id", "term")
         .agg(F.count("*").cast("long").alias("tf"))
+        .persist()
     )
     dft = F.broadcast(tf.groupBy("term").agg(F.count("*").cast("long").alias("df")))
     stats = F.broadcast(

@@ -202,12 +202,20 @@ def stratified_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept = cu.stratified_sample(
         docs, "lang", STRAT_RATES, STRAT_DEFAULT, F.col("text"), STRAT_SALT
     )
-    kept_stats = kept.groupBy("lang").agg(F.count("*").cast("long").alias("n_kept"))
+    kept_stats = kept.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_kept")
+    ).withColumnRenamed("lang", "_klang")
     totals = docs.groupBy("lang").agg(
         F.min(rate).cast("long").alias("target_pct"),
         F.count("*").cast("long").alias("n_total"),
     )
-    return totals.join(kept_stats, "lang", "left").select(
+    # null-safe join key: groupBy keeps a NULL-lang stratum in BOTH
+    # aggregates, but a plain equality join would never match it — the
+    # NULL stratum's kept count would silently read 0 while the
+    # single-scan oracle counts it.
+    return totals.join(
+        kept_stats, F.col("lang").eqNullSafe(F.col("_klang")), "left"
+    ).select(
         "lang",
         "target_pct",
         "n_total",
@@ -226,10 +234,10 @@ def _rollup_oracle() -> str:
     WITH q AS (
       SELECT source, lang,
              CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
-             1.0 - CAST(len(regexp_extract_all(text, '{ta.PUNCT_PATTERN}')) AS DOUBLE) / length(text) * 2.0
-                 - CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) / length(text)
+             1.0 - CAST(len(regexp_extract_all(text, '{ta.PUNCT_PATTERN}')) AS DOUBLE) / NULLIF(length(text), 0) * 2.0
+                 - CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) / NULLIF(length(text), 0)
                  + CAST(len(list_filter({_TOKS}, t -> list_contains([{stoplist}], lower(t)))) AS DOUBLE)
-                   / len({_TOKS}) * 0.5 AS quality
+                   / NULLIF(len({_TOKS}), 0) * 0.5 AS quality
       FROM documents
     ),
     base AS (
@@ -266,11 +274,16 @@ def source_quality_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     digits = F.size(F.regexp_extract_all(t, F.lit(r"[0-9]"), F.lit(0)))
     stop_arr = F.array(*[F.lit(s) for s in ta.STOPWORDS])
     stops = F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, F.lower(x))))
+    # nullif denominators: empty / whitespace-only docs yield NULL quality
+    # on both engines (ANSI would otherwise raise DIVIDE_BY_ZERO here and
+    # DuckDB's NaN would error the micro-quantizing BIGINT cast); NULL
+    # rows drop out of q_micro identically on both sides and fail the
+    # keep predicate deterministically.
     quality = (
         F.lit(1.0)
-        - punct.cast("double") / F.length(t) * 2.0
-        - digits.cast("double") / F.length(t)
-        + stops.cast("double") / F.size(toks) * 0.5
+        - punct.cast("double") / F.nullif(F.length(t), F.lit(0)) * 2.0
+        - digits.cast("double") / F.nullif(F.length(t), F.lit(0))
+        + stops.cast("double") / F.nullif(F.size(toks), F.lit(0)) * 0.5
     )
     per = docs.select(
         "source",

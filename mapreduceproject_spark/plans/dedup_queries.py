@@ -759,21 +759,8 @@ def _leakage_oracle() -> str:
     )
 
     return f"""
-    WITH {_minhash_prefix()},
-    pairs AS (
-      SELECT DISTINCT a.id AS id_a, b.id AS id_b
-      FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.id < b.id
-    ),
-    sizes AS (SELECT id, COUNT(*) AS n FROM sh GROUP BY id),
-    inter AS (
-      SELECT p.id_a, p.id_b, COUNT(*) AS both
-      FROM pairs p JOIN sh x ON x.id = p.id_a JOIN sh y ON y.id = p.id_b AND y.h = x.h
-      GROUP BY 1, 2
-    ),
-    jac AS (
-      SELECT i.id_a, i.id_b, i.both / (na.n + nb.n - i.both) AS jaccard
-      FROM inter i JOIN sizes na ON na.id = i.id_a JOIN sizes nb ON nb.id = i.id_b
-      WHERE i.both / (na.n + nb.n - i.both) >= {JACCARD_THR}
+    WITH jac AS (
+      SELECT * FROM ({_minhash_oracle()})
     ),
     sp AS (
       SELECT doc_id,
@@ -923,14 +910,34 @@ def dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashed = dd.shingle_hashes(
         spread_for_compute(sample), "doc_id", "text", SHINGLE_K
     ).persist()
-    cand = (
+    # the co-shingle self-join counts intersections DIRECTLY (the oracle's
+    # tinter shape): hashed is distinct (id, h), so count(*) per pair IS
+    # |A∩B| — proposing distinct pairs first and re-joining through
+    # verify_jaccard would run the expensive Σ df(h)² join twice for the
+    # same number.
+    inter = (
         hashed.select(F.col("_id").alias("id_a"), "h")
         .join(hashed.select(F.col("_id").alias("id_b"), "h"), "h")
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("both"))
     )
-    truth = dd.verify_jaccard(cand, hashed, JACCARD_THR).select("id_a", "id_b")
+    sizes = hashed.groupBy("_id").agg(F.count("*").alias("n"))
+    truth = (
+        inter.join(
+            sizes.select(F.col("_id").alias("id_a"), F.col("n").alias("na")),
+            "id_a",
+        )
+        .join(
+            sizes.select(F.col("_id").alias("id_b"), F.col("n").alias("nb")),
+            "id_b",
+        )
+        .filter(
+            F.col("both") / (F.col("na") + F.col("nb") - F.col("both"))
+            >= JACCARD_THR
+        )
+        .select("id_a", "id_b")
+    )
     # ONE shingle pipeline feeds both sides (the dedup_incremental_minhash
     # lesson: a second shingle->signature pipeline costs ~1.9x for zero
     # extra information) — compose the LSH stages on the same persisted

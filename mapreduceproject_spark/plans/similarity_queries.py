@@ -700,7 +700,7 @@ def _centroid_sim_oracle() -> str:
     ),
     arr AS (SELECT label, list(mu ORDER BY dim) AS c FROM cent GROUP BY label)
     SELECT a.label AS label_a, b.label AS label_b,
-           {dot} / (sqrt({na}) * sqrt({nb})) AS cosine
+           {dot} / NULLIF(sqrt({na}) * sqrt({nb}), 0) AS cosine
     FROM (SELECT label, c AS ca FROM arr) a
     JOIN (SELECT label, c AS cb FROM arr) b ON a.label < b.label
     """
@@ -737,7 +737,9 @@ def label_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.join(F.broadcast(b), F.col("label_a") < F.col("label_b")).select(
         "label_a",
         "label_b",
-        (dot / (F.sqrt(na) * F.sqrt(nb))).alias("cosine"),
+        # nullif: an all-zero-centroid label (only zero vectors) has no
+        # direction — NULL cosine on both engines, never an ANSI abort
+        (dot / F.nullif(F.sqrt(na) * F.sqrt(nb), F.lit(0.0))).alias("cosine"),
     )
 
 

@@ -45,6 +45,7 @@ def _grouped_regression_oracle() -> str:
              CAST(d.n_chars AS BIGINT) AS x,
              CAST(floor(t.quality * {Y_SCALE}) AS BIGINT) AS y
       FROM documents d JOIN ({_quality_oracle()}) t USING (doc_id)
+      WHERE t.quality IS NOT NULL
     ),
     s AS (SELECT * FROM {duck_ols_sums("q", group_by="source")})
     SELECT source, n,
@@ -67,12 +68,21 @@ def grouped_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     quality = ta.quality_scores(docs, "doc_id", "text").select("doc_id", "quality")
-    q = docs.select("doc_id", "source", F.col("n_chars").cast("long").alias("x")).join(
-        quality, "doc_id"
-    ).select(
-        "source",
-        "x",
-        F.floor(F.col("quality") * Y_SCALE).cast("long").alias("y"),
+    # drop NULL-quality docs (empty text) BEFORE the sums: n/sx would
+    # otherwise count a row whose y-terms the NULL-skipping SUMs drop —
+    # mutually inconsistent sufficient statistics and a silently wrong
+    # slope.  Filtered identically in the oracle's q CTE.
+    q = (
+        docs.select(
+            "doc_id", "source", F.col("n_chars").cast("long").alias("x")
+        )
+        .join(quality, "doc_id")
+        .filter(F.col("quality").isNotNull())
+        .select(
+            "source",
+            "x",
+            F.floor(F.col("quality") * Y_SCALE).cast("long").alias("y"),
+        )
     )
     s = q.groupBy("source").agg(*ols_sum_aggs())
     slope_q, intercept_q, r2 = ols_outputs()
@@ -283,14 +293,14 @@ def _ab_oracle() -> str:
       FROM x GROUP BY event_type
     )
     SELECT event_type, na, nb,
-           sa1 / na AS mean_a_cents,
-           sb1 / nb AS mean_b_cents,
-           (sa1 / na - sb1 / nb)
-             / sqrt(((sa2 - sa1 * sa1 / na) / (na - 1)) / na
-                    + ((sb2 - sb1 * sb1 / nb) / (nb - 1)) / nb) AS t_stat,
-           abs((sa1 / na - sb1 / nb)
-             / sqrt(((sa2 - sa1 * sa1 / na) / (na - 1)) / na
-                    + ((sb2 - sb1 * sb1 / nb) / (nb - 1)) / nb)) > {AB_T_CRIT}
+           sa1 / NULLIF(na, 0) AS mean_a_cents,
+           sb1 / NULLIF(nb, 0) AS mean_b_cents,
+           (sa1 / NULLIF(na, 0) - sb1 / NULLIF(nb, 0))
+             / sqrt(((sa2 - sa1 * sa1 / NULLIF(na, 0)) / NULLIF(na - 1, 0)) / NULLIF(na, 0)
+                    + ((sb2 - sb1 * sb1 / NULLIF(nb, 0)) / NULLIF(nb - 1, 0)) / NULLIF(nb, 0)) AS t_stat,
+           abs((sa1 / NULLIF(na, 0) - sb1 / NULLIF(nb, 0))
+             / sqrt(((sa2 - sa1 * sa1 / NULLIF(na, 0)) / NULLIF(na - 1, 0)) / NULLIF(na, 0)
+                    + ((sb2 - sb1 * sb1 / NULLIF(nb, 0)) / NULLIF(nb - 1, 0)) / NULLIF(nb, 0))) > {AB_T_CRIT}
              AS significant
     FROM s
     """
@@ -349,15 +359,20 @@ def ab_test_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
             b, F.col("cents").cast("decimal(38,0)") * F.col("cents")
         ).alias("sb2"),
     )
-    ma = F.col("sa1") / F.col("na")
-    mb = F.col("sb1") / F.col("nb")
-    va = (F.col("sa2") - F.col("sa1") * F.col("sa1") / F.col("na")) / (
-        F.col("na") - 1
+    # nullif arm sizes: an event type whose users all hash into one
+    # variant (one-user types always do) has na or nb of 0, and a
+    # one-event arm has n-1 = 0 — NULL mean/t/significant on both
+    # engines, where ANSI would otherwise DIVIDE_BY_ZERO the whole query.
+    na_, nb_ = F.nullif(F.col("na"), F.lit(0)), F.nullif(F.col("nb"), F.lit(0))
+    ma = F.col("sa1") / na_
+    mb = F.col("sb1") / nb_
+    va = (F.col("sa2") - F.col("sa1") * F.col("sa1") / na_) / F.nullif(
+        F.col("na") - 1, F.lit(0)
     )
-    vb = (F.col("sb2") - F.col("sb1") * F.col("sb1") / F.col("nb")) / (
-        F.col("nb") - 1
+    vb = (F.col("sb2") - F.col("sb1") * F.col("sb1") / nb_) / F.nullif(
+        F.col("nb") - 1, F.lit(0)
     )
-    t = (ma - mb) / F.sqrt(va / F.col("na") + vb / F.col("nb"))
+    t = (ma - mb) / F.sqrt(va / na_ + vb / nb_)
     return s.select(
         "event_type",
         "na",

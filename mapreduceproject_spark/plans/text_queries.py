@@ -178,10 +178,10 @@ def _pipeline_oracle() -> str:
     WITH q AS (
       SELECT doc_id, text, lang,
              CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
-             1.0 - CAST(len(regexp_extract_all(text, '{ta.PUNCT_PATTERN}')) AS DOUBLE) / length(text) * 2.0
-                 - CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) / length(text)
+             1.0 - CAST(len(regexp_extract_all(text, '{ta.PUNCT_PATTERN}')) AS DOUBLE) / NULLIF(length(text), 0) * 2.0
+                 - CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) / NULLIF(length(text), 0)
                  + CAST(len(list_filter({_TOKS}, t -> list_contains([{stoplist}], lower(t)))) AS DOUBLE)
-                   / len({_TOKS}) * 0.5 AS quality
+                   / NULLIF(len({_TOKS}), 0) * 0.5 AS quality
       FROM documents
     ),
     kept AS (SELECT * FROM q WHERE n_tokens >= 5 AND quality > 0.5),
@@ -219,11 +219,15 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     digits = F.size(F.regexp_extract_all(t, F.lit(r"[0-9]"), F.lit(0)))
     stop_arr = F.array(*[F.lit(s) for s in ta.STOPWORDS])
     stops = F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, F.lower(x))))
+    # nullif denominators (empty / whitespace-only docs): ANSI division
+    # executes during predicate evaluation even for rows the n_tokens
+    # filter will drop, so an unguarded ratio is a crash, not dead code;
+    # NULL quality fails `q > 0.5` on both engines identically.
     quality = (
         F.lit(1.0)
-        - punct.cast("double") / F.length(t) * 2.0
-        - digits.cast("double") / F.length(t)
-        + stops.cast("double") / F.size(toks) * 0.5
+        - punct.cast("double") / F.nullif(F.length(t), F.lit(0)) * 2.0
+        - digits.cast("double") / F.nullif(F.length(t), F.lit(0))
+        + stops.cast("double") / F.nullif(F.size(toks), F.lit(0)) * 0.5
     )
     kept = docs.select(
         "doc_id", "lang", t.alias("text"), n_toks.alias("n_tokens"), quality.alias("q")

@@ -728,3 +728,41 @@ def test_heavy_hitters_rejects_undersized_capacity(spark):
         heavy_hitters_exact(df, "term", phi=0.05, capacity=10)
     # at the bound: capacity 20 -> 21 > 1/0.05, allowed
     heavy_hitters_exact(df, "term", phi=0.05, capacity=20)
+
+
+def test_cleaning_pipelines_survive_empty_documents(spark, tmp_path):
+    """pipeline_clean_corpus and source_quality_rollup inline the quality
+    formula: empty/whitespace-only docs must NULL out (and drop from the
+    keep set) instead of raising ANSI DIVIDE_BY_ZERO."""
+    from mapreduceproject_spark.plans.registry import QUERIES
+
+    d = str(tmp_path)
+    spark.createDataFrame(
+        [
+            (1, "good words here five tokens plenty of signal the and", "en", "web", 50),
+            (2, "", "en", "web", 0),
+            (3, "   ", "fr", "web", 3),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    rows = QUERIES["pipeline_clean_corpus"](spark, d).collect()
+    total = sum(r["n_docs"] for r in rows)
+    assert total == 1  # only the real document survives the filter
+    roll = QUERIES["source_quality_rollup"](spark, d).first()
+    assert roll["n_docs"] == 3 and roll["n_langs"] == 2
+
+
+def test_welch_degenerate_arm_yields_null_not_crash(spark, tmp_path):
+    """An event type whose rows all hash into one variant (single user)
+    must report NULL means/t for the empty arm, not DIVIDE_BY_ZERO."""
+    from mapreduceproject_spark.plans.registry import QUERIES
+
+    d = str(tmp_path)
+    # one user -> one arm; 3 events so the populated arm has n-1 > 0
+    spark.createDataFrame(
+        [(i, "solo", 77, 10.0 + i) for i in range(3)],
+        "event_id long, event_type string, user_id long, value double",
+    ).write.mode("overwrite").parquet(f"{d}/events.parquet")
+    row = QUERIES["ab_test_welch"](spark, d).first()
+    assert row["na"] == 0 or row["nb"] == 0
+    assert row["t_stat"] is None and row["significant"] is None

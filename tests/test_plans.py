@@ -198,9 +198,15 @@ def test_bm25_broadcasts_query_terms(spark, sf_dir):
     # corpus-sized shuffle is the (doc, term) tf aggregation
     plan = _plan(QUERIES["bm25_search"](spark, sf_dir))
     assert "BroadcastHashJoin" in plan
-    # dl is a size(tokens) projection, NOT a second corpus explode: the
-    # plan must contain exactly ONE token-exploding Generate (the tf side)
-    assert plan.count("Generate explode") == 1
+    # dl is a size(tokens) projection, NOT a second corpus explode.  The
+    # ANALYZED plan (pre cache-substitution, so independent of what other
+    # tests have (un)cached) shows the tf explode subtree once per logical
+    # consumer (df + scoring) and nothing for dl: exactly 2 Generates —
+    # the pre-fix shape had 3 (dl's own explode as a third).  At runtime
+    # tf's persist collapses the two copies into one cached fill.
+    df = QUERIES["bm25_search"](spark, sf_dir)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert analyzed.count("Generate explode") == 2
 
 
 # -- round-3 second wave ----------------------------------------------------
