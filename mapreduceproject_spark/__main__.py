@@ -8,7 +8,7 @@ stdin verb REPL (/root/reference/src/node.go:59-233).
     python -m mapreduceproject_spark juice --prefix INT --dest OUT --delete-input 1
     python -m mapreduceproject_spark list-nodes
     python -m mapreduceproject_spark ping
-    python -m mapreduceproject_spark store put|get|delete|ls|store ...
+    python -m mapreduceproject_spark store ROOT put|get|delete|ls|store [a] [b]
 
 Where the reference's verbs talked to a hand-rolled master, these drive
 Spark plans; the store verbs operate the SdfsStore catalog directly.
@@ -91,7 +91,7 @@ def cmd_maple_juice(args) -> int:
     if args.maple_exe:
         kv = mr.maple_exe(lines, args.maple_exe, num_tasks=args.num_tasks)
     else:  # builtin word-count mapper
-        kv = mr.maple(lines, lambda ln: ((w, "1") for w in ln.split()), num_tasks=args.num_tasks)
+        kv = mr.maple(lines, mr.wordcount_mapper, num_tasks=args.num_tasks)
     if args.juice_exe:
         out = mr.juice_exe(kv, args.juice_exe, num_tasks=args.num_tasks)
     else:  # builtin line-count reducer (the reference's word-count exe)
@@ -113,7 +113,7 @@ def cmd_maple(args) -> int:
         kv = mr.maple_exe(lines, args.exe, num_tasks=args.num_tasks)
     else:  # builtin word-count mapper
         kv = mr.maple(
-            lines, lambda ln: ((w, "1") for w in ln.split()), num_tasks=args.num_tasks
+            lines, mr.wordcount_mapper, num_tasks=args.num_tasks
         )
     mr.write_kv_text(kv, args.prefix)
     print(f"wrote intermediate prefix {args.prefix}")
@@ -185,6 +185,18 @@ def cmd_store(args) -> int:
 
     store = SdfsStore(args.root)
     verb = args.verb
+    # per-verb operand validation: a missing positional otherwise reaches
+    # shutil/Path with None and dies in a raw traceback instead of the
+    # argparse-style usage error every other subcommand gives
+    needed = {"put": 2, "get": 2, "delete": 1, "ls": 1, "store": 0}[verb]
+    got = sum(x is not None for x in (args.a, args.b))
+    if got < needed:
+        print(
+            f"store {verb}: expected {needed} operand(s) "
+            f"(put/get take <sdfsname> <localname>; delete/ls take <name>)",
+            file=sys.stderr,
+        )
+        return 2
     if verb == "put":  # reference arg order: PUT <sdfsname> <localname>
         try:
             store.put(args.b, args.a)

@@ -15,7 +15,15 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-_WS = r"\s+"
+# One whitespace class BOTH regex dialects read identically: Java's \s is
+# [ \t\n\x0B\f\r] but RE2's \s omits \x0B (vertical tab), so a literal
+# \s in twinned patterns silently diverges on VT-containing text
+# (verified live: Spark splits 'foo\x0bbar', DuckDB does not).  Python's
+# str.split() is Unicode-whitespace (NBSP, NEL, ...) and must not be used
+# as a twin either — WORDCOUNT semantics route through this class too.
+WS_CHARS = r" \t\n\x0B\f\r"
+WS_CLASS = f"[{WS_CHARS}]"
+_WS = WS_CLASS + "+"
 
 
 def tokens(col: Column) -> Column:
@@ -33,7 +41,7 @@ def tokens(col: Column) -> Column:
 
 def duck_tokens(expr: str) -> str:
     return (
-        rf"list_filter(string_split_regex(COALESCE({expr}, ''), '\s+'),"
+        rf"list_filter(string_split_regex(COALESCE({expr}, ''), '{_WS}'),"
         rf" t -> t <> '')"
     )
 

@@ -273,6 +273,23 @@ def run_juice_job(
         delete_intermediate_files(src)
 
 
+def wordcount_mapper(line: str):
+    """The reference's flagship mapper — emit ``(word, "1")`` per token
+    (src/reduce_exe_word_count.go:10-18) — tokenizing on the
+    engine-shared whitespace class (functions/textfn.WS_CHARS).  ONE
+    exported definition: Python's bare ``str.split()`` splits on Unicode
+    whitespace (NBSP, NEL, ...) and would silently diverge from the
+    JVM/DuckDB tokenizer twins on such text; every word-count entry
+    point (this module, the CLI verbs, the registered query) must route
+    through this function so the tokenization can never fork."""
+    import re
+
+    from mapreduceproject_spark.functions.textfn import WS_CHARS
+
+    ws = re.compile(f"[{WS_CHARS}]+")
+    return ((w, "1") for w in ws.split(line) if w)
+
+
 def run_wordcount_job(
     spark: SparkSession,
     src_paths: list[str] | str,
@@ -280,7 +297,7 @@ def run_wordcount_job(
 ) -> DataFrame:
     """Reference flagship job: maple(tokenize) + juice(count lines per key)
     (src/reduce_exe_word_count.go:10-37), algebraic form."""
-    fn = map_fn or (lambda line: ((w, "1") for w in line.split()))
+    fn = map_fn or wordcount_mapper
     kv = maple(read_lines(spark, src_paths), fn)
     return juice_algebraic(kv, F.count("*"))
 

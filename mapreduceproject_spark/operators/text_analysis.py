@@ -314,7 +314,11 @@ def tfidf_top_terms(
         F.explode(tokens(F.lower(F.col(text_col)))).alias("term"),
     )
     tf = terms.groupBy("_id", "term").agg(F.count("*").alias("tf"))
-    dfreq = terms.distinct().groupBy("term").agg(F.count("*").alias("df"))
+    # df from the ALREADY-AGGREGATED tf table: it has exactly one row per
+    # (doc, term), so a term-count over it is the document frequency —
+    # terms.distinct() would re-run the corpus explode AND shuffle the
+    # full (doc, term) pair set a second time for the identical number.
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
     n_docs = df.agg(F.countDistinct(id_col).alias("n_docs"))
     scored = (
         tf.join(dfreq, "term")

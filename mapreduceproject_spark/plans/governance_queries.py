@@ -88,7 +88,7 @@ def _pii_oracle() -> str:
            CAST(length({duck["redacted"]}) AS BIGINT) AS redacted_len
       FROM a
     )
-    SELECT doc_id, n_card, n_phone, n_ipv4, n_email,
+    SELECT doc_id, {", ".join(f"n_{name}" for name, _, _ in pii.PII_PATTERNS)},
            {total} AS n_pii, redacted_md5, redacted_len
     FROM c
     """

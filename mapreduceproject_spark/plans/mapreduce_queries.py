@@ -19,7 +19,12 @@ from mapreduceproject_spark.functions.textfn import duck_tokens, tokens
 from mapreduceproject_spark.plans.registry import query
 from mapreduceproject_spark.sources.catalog import load_table
 
-GREP_PATTERN = r"scan.*join"  # flagship grep over documents.text
+# flagship grep over documents.text.  [^\n] rather than '.': the two
+# regex dialects disagree on what '.' excludes (Java excludes \r and the
+# U+0085/U+2028/U+2029 line separators; RE2 excludes only \n -- verified
+# live: 'scan\rxx join' matches in RE2 but not Java), while [^\n] reads
+# identically in both.
+GREP_PATTERN = r"scan[^\n]*join"
 
 
 @query(
@@ -132,7 +137,7 @@ def maple_juice_word_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     lines = docs.select(F.col("text").alias("value"))
-    kv = mr.maple(lines, lambda l: ((w, "1") for w in l.split()))
+    kv = mr.maple(lines, mr.wordcount_mapper)
     out = mr.juice_algebraic(kv, F.count("*"))
     return out.select("key", F.col("value").cast("string").alias("value"))
 

@@ -10,7 +10,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from mapreduceproject_spark.functions.hashing import duck_hash60
-from mapreduceproject_spark.functions.textfn import duck_char_ngrams, duck_tokens
+from mapreduceproject_spark.functions.textfn import (
+    WS_CHARS,
+    duck_char_ngrams,
+    duck_tokens,
+)
 from mapreduceproject_spark.operators import text_analysis as ta
 from mapreduceproject_spark.plans.registry import query
 from mapreduceproject_spark.sources.catalog import load_table
@@ -283,10 +287,13 @@ def sample_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "text_normalize",
-    oracle=r"""
+    # explicit whitespace class (textfn.WS_CHARS), not \s: Java's \s
+    # includes \x0B where RE2's does not, so \s-twinned patterns diverge
+    # on vertical-tab text
+    oracle=rf"""
     SELECT doc_id,
-           trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g')) AS norm,
-           CAST(length(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g'))) AS BIGINT) AS n_norm_chars
+           trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9{WS_CHARS}]', '', 'g'), '[{WS_CHARS}]+', ' ', 'g')) AS norm,
+           CAST(length(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9{WS_CHARS}]', '', 'g'), '[{WS_CHARS}]+', ' ', 'g'))) AS BIGINT) AS n_norm_chars
     FROM documents
     """,
 )
@@ -297,8 +304,10 @@ def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     norm = F.trim(
         F.regexp_replace(
-            F.regexp_replace(F.lower(F.col("text")), r"[^a-z0-9\s]", ""),
-            r"\s+",
+            F.regexp_replace(
+                F.lower(F.col("text")), rf"[^a-z0-9{WS_CHARS}]", ""
+            ),
+            rf"[{WS_CHARS}]+",
             " ",
         )
     )

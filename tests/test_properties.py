@@ -561,3 +561,76 @@ def test_approx_percentile_rank_flag_tie_safe(spark, tmp_path):
     ).write.mode("overwrite").parquet(f"{d}/events.parquet")
     row = QUERIES["agg_approx_percentile"](spark, d).first()
     assert row["within_rank_bound"] is True and row["p50_exact"] == 5.0
+
+
+def test_whitespace_class_agrees_across_all_three_dialects(spark):
+    """Java \\s includes \\x0B; RE2's does not; Python str.split() is
+    Unicode-whitespace — the explicit WS_CHARS class must make the Spark
+    tokenizer, the DuckDB twin, and the wordcount mapper agree on VT and
+    NBSP text."""
+    import duckdb
+
+    from mapreduceproject_spark.functions.textfn import duck_tokens, tokens
+    from mapreduceproject_spark.operators.mapreduce import wordcount_mapper
+
+    cases = {
+        "foo\x0bbar": ["foo", "bar"],      # VT: Java-only under \s
+        "foo\xa0bar": ["foo\xa0bar"],      # NBSP: Python-only whitespace
+        "a\tb\nc d": ["a", "b", "c", "d"],
+    }
+    df = spark.createDataFrame([(s,) for s in cases], ["s"])
+    got = {
+        r["s"]: list(r["t"])
+        for r in df.select("s", tokens(F.col("s")).alias("t")).collect()
+    }
+    con = duckdb.connect()
+    for s, expect in cases.items():
+        assert got[s] == expect, repr(s)
+        # control chars via chr() concatenation: DuckDB standard strings
+        # do not process backslash escapes
+        lit = "'" + s.replace("\x0b", "' || chr(11) || '").replace(
+            "\xa0", "' || chr(160) || '"
+        ).replace("\t", "' || chr(9) || '").replace(
+            "\n", "' || chr(10) || '"
+        ) + "'"
+        d = con.execute(f"SELECT {duck_tokens(f'({lit})')}").fetchone()[0]
+        assert list(d) == expect, repr(s)
+        assert [w for w, _ in wordcount_mapper(s)] == expect, repr(s)
+
+
+def test_grep_pattern_dialect_agreement(spark):
+    """[^\\n] reads identically in Java and RE2 where '.' does not: a
+    carriage return between the anchors must match on BOTH engines."""
+    import duckdb
+
+    from mapreduceproject_spark.plans.mapreduce_queries import GREP_PATTERN
+
+    texts = ["scan\rxx join", "scan then join", "scan\nthen join", "nope"]
+    df = spark.createDataFrame([(t,) for t in texts], ["t"])
+    got = {
+        r["t"]: r["m"]
+        for r in df.select(
+            "t", F.col("t").rlike(GREP_PATTERN).alias("m")
+        ).collect()
+    }
+    con = duckdb.connect()
+    for t in texts:
+        lit = t.replace("\r", "' || chr(13) || '").replace(
+            "\n", "' || chr(10) || '"
+        )
+        d = con.execute(
+            f"SELECT regexp_matches('{lit}', '{GREP_PATTERN}')"
+        ).fetchone()[0]
+        assert d == got[t], repr(t)
+    assert got["scan\rxx join"] is True and got["scan\nthen join"] is False
+
+
+def test_store_cli_rejects_missing_operands(tmp_path):
+    """store verbs with missing positionals must exit with a usage error,
+    not a raw traceback."""
+    from mapreduceproject_spark.__main__ import main
+
+    root = str(tmp_path / "root")
+    assert main(["store", root, "get", "onlyone"]) == 2
+    assert main(["store", root, "ls"]) == 2
+    assert main(["store", root, "store"]) == 0
