@@ -29,6 +29,11 @@ TABLES = (
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# applicationIds already warned about a non-UTC session timezone being
+# overridden by load_table's UTC pin (see load_table) — warn once, not
+# per-table.
+_TZ_WARNED: set[str] = set()
+
 def spread_for_compute(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     """Repartition a narrow scan up to default parallelism — only when the
     scan has fewer splits than cores (small/local files); no-op otherwise.
@@ -80,7 +85,25 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # then shifts by the zone offset while the DuckDB oracle stays
     # timezone-naive (measured: data_profile/table_checksums/customer_rfm
     # all fail parity under a non-UTC session).  Runtime-settable conf;
-    # idempotent for sessions our factory built.
+    # idempotent for sessions our factory built.  DOCUMENTED SIDE EFFECT:
+    # the pin is unconditional (parity is the contract of every query in
+    # this package), but overriding an explicitly non-UTC session value
+    # warns once per application so the caller learns their timestamp
+    # semantics changed instead of discovering it in shifted results.
+    current = spark.conf.get("spark.sql.session.timeZone", None)
+    if current is not None and current != "UTC":
+        key = spark.sparkContext.applicationId
+        if key not in _TZ_WARNED:
+            import warnings
+
+            warnings.warn(
+                f"load_table: overriding spark.sql.session.timeZone "
+                f"{current!r} -> 'UTC' — fixture queries and their DuckDB "
+                f"oracles assume UTC wall-clock timestamps (warned once "
+                f"per application)",
+                stacklevel=2,
+            )
+            _TZ_WARNED.add(key)
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         # Set here, not only in our session factory: the driver harness

@@ -117,12 +117,27 @@ def compact_parquet(
     import os
 
     total = 0
+    # Walk DOWN the directory chain collecting key=value levels until the
+    # first non-partition entry: a nested layout a=1/b=2/part.parquet has
+    # TWO partition columns, and detecting only the top level would
+    # silently rewrite 'b' as a data column — losing its directory
+    # structure and every reader's pruning on it.  One chain suffices:
+    # Hive layouts are uniform-depth with one column name per level.
     part_cols: list[str] = []
-    for entry in sorted(os.listdir(src)):
-        if "=" in entry and os.path.isdir(os.path.join(src, entry)):
-            col = entry.split("=", 1)[0]
-            if col and col not in part_cols:
-                part_cols.append(col)
+    level = src
+    while True:
+        entries = sorted(
+            e
+            for e in os.listdir(level)
+            if "=" in e and os.path.isdir(os.path.join(level, e))
+        )
+        if not entries:
+            break
+        col = entries[0].split("=", 1)[0]
+        if not col or col in part_cols:
+            break
+        part_cols.append(col)
+        level = os.path.join(level, entries[0])
     for root, _dirs, files in os.walk(src):
         for f in files:
             if not f.startswith(("_", ".")):

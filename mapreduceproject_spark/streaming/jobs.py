@@ -220,6 +220,7 @@ def upsert_latest_per_key(
     ts_col: str,
     num_buckets: int = 16,
     tiebreak_cols: list[str] | None = None,
+    commit: str = "rename",
 ) -> DataFrame:
     """foreachBatch keyed upsert: maintain the latest row per key in a
     parquet table across micro-batches.
@@ -239,20 +240,119 @@ def upsert_latest_per_key(
     from just-deleted files), and a crash mid-swap leaves every bucket
     either old or new, never a hole (per-bucket atomicity; buckets are
     independent key sets, so a partial swap is still a consistent table).
-    Rename is atomic on local FS and HDFS; on object stores use
-    Delta/Iceberg MERGE INTO instead, which is what this whole body
-    collapses to there.  Ties on ``ts_col`` within a key are broken by
+    Two commit protocols (``commit``):
+
+    * ``"rename"`` (default) — per-bucket directory swap by rename.
+      Correct where rename is atomic: local FS, HDFS.
+    * ``"manifest"`` — object-store-safe: directories are IMMUTABLE.
+      Each batch writes its merged buckets into a fresh
+      ``gen-<swap>/`` directory, then commits by writing ONE new
+      manifest object ``_manifest-<n>-<swap>.json`` mapping every
+      bucket to the generation dir that currently owns it.  Readers
+      resolve through the highest-numbered manifest, so a crash at ANY
+      point before the manifest write leaves the table exactly at the
+      previous manifest (orphan generation dirs are swept on the next
+      batch).  Nothing is ever renamed or overwritten — the manifest
+      write is a single-object PUT, which S3-class stores make atomic
+      (readers see the old object or the new one, never a torn one).
+      This is the same last-writer-manifest idea Delta/Iceberg
+      industrialize; use those when available — this seam is the
+      minimal self-contained version.
+
+    Ties on ``ts_col`` within a key are broken by
     ``tiebreak_cols`` (ascending); pass a column that is unique per
     event (an id) whenever same-timestamp rows are possible — without
     it the winner among tied rows is whichever the shuffle delivers
     first.
     """
+    import json
     import os
     import shutil
 
     from pyspark.sql import Window
 
+    if commit not in ("rename", "manifest"):
+        raise ValueError(f"commit must be 'rename' or 'manifest', got {commit!r}")
+
     kb = F.pmod(F.xxhash64(*[F.col(c) for c in key_cols]), F.lit(num_buckets))
+
+    def merge_latest(unioned: DataFrame) -> DataFrame:
+        w = Window.partitionBy(*key_cols).orderBy(
+            F.desc(ts_col), *[F.asc(c) for c in (tiebreak_cols or [])]
+        )
+        return (
+            unioned.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+
+    # ---- manifest protocol: immutable generation dirs + last-writer
+    # manifest object (see docstring) -------------------------------------
+    def latest_manifest() -> tuple[int, dict[str, str]]:
+        best: tuple[int, str] | None = None
+        if os.path.isdir(path):
+            for entry in os.listdir(path):
+                if entry.startswith("_manifest-") and entry.endswith(".json"):
+                    mn = int(entry.split("-")[1])
+                    if best is None or (mn, entry) > best:
+                        best = (mn, entry)
+        if best is None:
+            return 0, {}
+        with open(os.path.join(path, best[1])) as f:
+            return best[0], json.load(f)
+
+    def apply_batch_manifest(batch: DataFrame, _bid: int) -> None:
+        s = batch.sparkSession
+        b = batch.withColumn("_kb", kb)
+        buckets = sorted(r["_kb"] for r in b.select("_kb").distinct().collect())
+        if not buckets:
+            return
+        os.makedirs(path, exist_ok=True)
+        mn, mapping = latest_manifest()
+        # orphan sweep: a generation dir not referenced by the latest
+        # manifest is a crashed batch's leftover (the manifest write IS
+        # the commit point) — reclaim it before writing our own
+        referenced = set(mapping.values())
+        for entry in os.listdir(path):
+            if entry.startswith("gen-") and entry not in referenced:
+                shutil.rmtree(os.path.join(path, entry), ignore_errors=True)
+        cur_dirs = [
+            os.path.join(path, mapping[str(bk)], f"_kb={bk}")
+            for bk in buckets
+            if str(bk) in mapping
+        ]
+        if cur_dirs:
+            # leaf-dir reads carry no partition column; _kb is a pure
+            # function of the keys, so recompute instead of re-reading it
+            current = s.read.parquet(*cur_dirs).withColumn("_kb", kb)
+            unioned = current.unionByName(b)
+        else:
+            unioned = b
+        merged = merge_latest(unioned)
+        swap = uuid.uuid4().hex[:8]
+        gen = f"gen-{swap}"
+        merged.write.mode("overwrite").partitionBy("_kb").parquet(
+            os.path.join(path, gen)
+        )
+        new_map = dict(mapping)
+        for bk in buckets:
+            if os.path.exists(os.path.join(path, gen, f"_kb={bk}")):
+                new_map[str(bk)] = gen
+        # THE commit: one new object, never an overwrite ('x' = exclusive
+        # create locally; a single PUT on an object store).  Crash before
+        # this line → table still reads as manifest mn; gen dir is swept
+        # as an orphan next batch.
+        name = f"_manifest-{mn + 1:09d}-{swap}.json"
+        with open(os.path.join(path, name), "x") as f:
+            json.dump(new_map, f)
+        # GC behind the commit: superseded manifests and generation dirs
+        # no longer owning any bucket
+        alive = set(new_map.values())
+        for entry in os.listdir(path):
+            if entry.startswith("_manifest-") and entry != name:
+                os.remove(os.path.join(path, entry))
+            elif entry.startswith("gen-") and entry not in alive:
+                shutil.rmtree(os.path.join(path, entry), ignore_errors=True)
 
     def recover_interrupted_swap() -> None:
         # crash-recovery sweep: a swap interrupted between the two renames
@@ -261,6 +361,16 @@ def upsert_latest_per_key(
         # bucket.  Restore the old bucket in that case; clear the leftover
         # when the swap had already completed.  This closes the window
         # where a killed process would silently drop a bucket's state.
+        # a crash before/during the swap loop also leaves a full merged
+        # copy of the touched buckets at '{path}.tmp-<swap>' (a SIBLING of
+        # path) — it is only ever live within a single apply_batch call,
+        # so any tmp dir seen here is an orphan; reclaim the disk.
+        parent = os.path.dirname(os.path.abspath(path)) or "."
+        base = os.path.basename(os.path.abspath(path))
+        if os.path.isdir(parent):
+            for entry in os.listdir(parent):
+                if entry.startswith(f"{base}.tmp-"):
+                    shutil.rmtree(os.path.join(parent, entry), ignore_errors=True)
         if not os.path.isdir(path):
             return
         for entry in os.listdir(path):
@@ -293,14 +403,7 @@ def upsert_latest_per_key(
             unioned = current.unionByName(b)
         else:  # first batch: no table yet
             unioned = b
-        w = Window.partitionBy(*key_cols).orderBy(
-            F.desc(ts_col), *[F.asc(c) for c in (tiebreak_cols or [])]
-        )
-        merged = (
-            unioned.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .drop("_rn")
-        )
+        merged = merge_latest(unioned)
         swap = uuid.uuid4().hex[:8]
         tmp = f"{path}.tmp-{swap}"
         merged.write.mode("overwrite").partitionBy("_kb").parquet(tmp)
@@ -323,12 +426,21 @@ def upsert_latest_per_key(
             shutil.rmtree(old, ignore_errors=True)
         shutil.rmtree(tmp, ignore_errors=True)
 
+    sink = apply_batch_manifest if commit == "manifest" else apply_batch
     q = (
-        stream.writeStream.foreachBatch(apply_batch)
+        stream.writeStream.foreachBatch(sink)
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination()
+    if commit == "manifest":
+        _mn, mapping = latest_manifest()
+        if not mapping:
+            return spark.createDataFrame([], schema=stream.schema)
+        dirs = [
+            os.path.join(path, g, f"_kb={bk}") for bk, g in sorted(mapping.items())
+        ]
+        return spark.read.parquet(*dirs)
     if not os.path.exists(path):
         # zero data rows: no batch ever wrote the table — the converged
         # state is the empty table with the stream's schema

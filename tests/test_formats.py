@@ -137,3 +137,26 @@ def test_compact_parquet_preserves_partition_layout(spark, sf_dir, tmp_path):
     # partition column reads back last — align column order before comparing
     back = spark.read.parquet(dest).select(*docs.columns)
     assert _sorted_rows(back) == _sorted_rows(docs)
+
+
+def test_compact_parquet_preserves_nested_partition_layout(spark, tmp_path):
+    """A NESTED hive layout (a=…/b=…/) must survive compaction with BOTH
+    partition columns: detecting only the top level would silently rewrite
+    'b' as a data column, losing its directory structure and pruning."""
+    import glob
+
+    from mapreduceproject_spark.sources.formats import compact_parquet
+
+    df = spark.createDataFrame(
+        [(i, i % 2, i % 3, f"v{i}") for i in range(60)],
+        "id long, a long, b long, payload string",
+    )
+    src = str(tmp_path / "nested_src")
+    df.repartition(7).write.partitionBy("a", "b").parquet(src)
+    dest = str(tmp_path / "nested_dest")
+    compact_parquet(spark, src, dest, target_mb=128)
+    src_dirs = {p.split(src + "/", 1)[1] for p in glob.glob(f"{src}/a=*/b=*")}
+    dest_dirs = {p.split(dest + "/", 1)[1] for p in glob.glob(f"{dest}/a=*/b=*")}
+    assert dest_dirs == src_dirs and len(dest_dirs) == 6
+    back = spark.read.parquet(dest).select(*df.columns)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))

@@ -728,6 +728,15 @@ def test_heavy_hitters_rejects_undersized_capacity(spark):
         heavy_hitters_exact(df, "term", phi=0.05, capacity=10)
     # at the bound: capacity 20 -> 21 > 1/0.05, allowed
     heavy_hitters_exact(df, "term", phi=0.05, capacity=20)
+    # the error's suggested minimum must itself be accepted by the guard —
+    # for non-integer 1/phi (phi=0.3 -> 1/phi≈3.33) a truncated int(1/phi)
+    # suggestion of 3 used to be re-rejected
+    import re
+
+    with pytest.raises(ValueError) as ei:
+        heavy_hitters_exact(df, "term", phi=0.3, capacity=2)
+    suggested = int(re.search(r"capacity >= (\d+)", str(ei.value)).group(1))
+    heavy_hitters_exact(df, "term", phi=0.3, capacity=suggested)
 
 
 def test_cleaning_pipelines_survive_empty_documents(spark, tmp_path):

@@ -446,3 +446,153 @@ def test_upsert_recovers_interrupted_bucket_swap(spark, tmp_path):
     assert rows[0] == 99
     assert not [e for e in os.listdir(path) if e.startswith(".old-")]
     shutil.rmtree(path, ignore_errors=True)
+
+
+def _lts_stream(spark, tmp_path, rows, subdir):
+    src = tmp_path / subdir
+    src.mkdir()
+    _write_parquet(src / "x.parquet", rows)
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    schema = StructType(
+        [
+            StructField("k", LongType()),
+            StructField("ts", LongType()),
+            StructField("v", LongType()),
+        ]
+    )
+    return spark.readStream.schema(schema).parquet(str(src))
+
+
+def test_upsert_manifest_commit_matches_rename(spark, tmp_path, monkeypatch):
+    """commit='manifest' (the object-store seam): immutable generation
+    dirs + a last-writer manifest object.  Result-identical to the rename
+    protocol across an initial load + incremental batch, and — the whole
+    point — the protocol must never call os.rename/os.replace, since on
+    an S3-class store rename is a non-atomic copy+delete."""
+    import os as _os
+
+    path = str(tmp_path / "state_manifest")
+
+    real_rename = _os.rename
+
+    def no_rename(*a, **k):  # prove the protocol is rename-free
+        raise AssertionError(f"manifest commit must not rename: {a}")
+
+    monkeypatch.setattr(_os, "rename", no_rename)
+    monkeypatch.setattr(_os, "replace", no_rename)
+    try:
+        got1 = jobs.upsert_latest_per_key(
+            _lts_stream(
+                spark,
+                tmp_path,
+                {"k": list(range(30)), "ts": [1] * 30, "v": [10] * 30},
+                "m1",
+            ),
+            spark,
+            path,
+            ["k"],
+            "ts",
+            num_buckets=8,
+            commit="manifest",
+        )
+        assert got1.count() == 30
+        got2 = jobs.upsert_latest_per_key(
+            _lts_stream(spark, tmp_path, {"k": [7], "ts": [2], "v": [99]}, "m2"),
+            spark,
+            path,
+            ["k"],
+            "ts",
+            num_buckets=8,
+            commit="manifest",
+        )
+    finally:
+        monkeypatch.setattr(_os, "rename", real_rename)
+    rows = {r["k"]: r["v"] for r in got2.collect()}
+    assert rows[7] == 99 and len(rows) == 30
+    # exactly one live manifest, and every gen dir it references exists
+    manifests = [e for e in os.listdir(path) if e.startswith("_manifest-")]
+    assert len(manifests) == 1
+    import json
+
+    mapping = json.load(open(os.path.join(path, manifests[0])))
+    assert mapping and all(
+        os.path.isdir(os.path.join(path, g)) for g in set(mapping.values())
+    )
+
+
+def test_upsert_manifest_crash_before_commit_preserves_state(spark, tmp_path):
+    """A batch that dies AFTER writing its generation dir but BEFORE the
+    manifest object (the only commit point) must leave the table exactly
+    at the previous manifest; the orphan gen dir is swept by the next
+    successful batch."""
+    path = str(tmp_path / "state_crash")
+    got1 = jobs.upsert_latest_per_key(
+        _lts_stream(
+            spark, tmp_path, {"k": [0, 1, 2], "ts": [1, 1, 1], "v": [5, 6, 7]}, "c1"
+        ),
+        spark,
+        path,
+        ["k"],
+        "ts",
+        num_buckets=4,
+        commit="manifest",
+    )
+    assert got1.count() == 3
+    # simulate the crashed batch: an orphan generation dir, no manifest
+    orphan = os.path.join(path, "gen-deadbeef")
+    os.makedirs(os.path.join(orphan, "_kb=0"))
+    with open(os.path.join(orphan, "_kb=0", "junk.parquet"), "wb") as f:
+        f.write(b"not parquet")
+    # reader resolves through the manifest: orphan is invisible
+    rows = {r["k"]: r["v"] for r in _read_manifest_table(spark, path).collect()}
+    assert rows == {0: 5, 1: 6, 2: 7}
+    # next batch sweeps the orphan and commits normally
+    got2 = jobs.upsert_latest_per_key(
+        _lts_stream(spark, tmp_path, {"k": [1], "ts": [2], "v": [60]}, "c2"),
+        spark,
+        path,
+        ["k"],
+        "ts",
+        num_buckets=4,
+        commit="manifest",
+    )
+    rows = {r["k"]: r["v"] for r in got2.collect()}
+    assert rows == {0: 5, 1: 60, 2: 7}
+    assert not os.path.exists(orphan)
+
+
+def _read_manifest_table(spark, path):
+    import json
+
+    manifests = sorted(e for e in os.listdir(path) if e.startswith("_manifest-"))
+    mapping = json.load(open(os.path.join(path, manifests[-1])))
+    dirs = [os.path.join(path, g, f"_kb={bk}") for bk, g in sorted(mapping.items())]
+    return spark.read.parquet(*dirs)
+
+
+def test_upsert_rename_recovery_sweeps_orphan_tmp(spark, tmp_path):
+    """A killed rename-mode job can leave a full merged copy of the
+    touched buckets at '{path}.tmp-<swap>' (a sibling of the table).  The
+    next batch's recovery sweep must reclaim it."""
+    path = str(tmp_path / "state_tmpsweep")
+    jobs.upsert_latest_per_key(
+        _lts_stream(spark, tmp_path, {"k": [0, 1], "ts": [1, 1], "v": [5, 6]}, "t1"),
+        spark,
+        path,
+        ["k"],
+        "ts",
+        num_buckets=4,
+    )
+    orphan = f"{path}.tmp-cafebabe"
+    os.makedirs(os.path.join(orphan, "_kb=0"))
+    got = jobs.upsert_latest_per_key(
+        _lts_stream(spark, tmp_path, {"k": [0], "ts": [2], "v": [50]}, "t2"),
+        spark,
+        path,
+        ["k"],
+        "ts",
+        num_buckets=4,
+    )
+    assert {r["k"]: r["v"] for r in got.collect()} == {0: 50, 1: 6}
+    assert not os.path.exists(orphan)
