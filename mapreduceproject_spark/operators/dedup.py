@@ -684,8 +684,17 @@ def ngram_jaccard_dedup(
     BACKGROUND gram similarity sits near the threshold, the candidate
     volume is quadratic in block size no matter the sketch (the 100×
     fixture measured 341 M uncapped candidates); the cap bounds the cost
-    and forfeits pairs confined to saturated buckets — an explicitly
-    lossy trade the caller opts into.  None (default) is lossless.
+    and forfeits pairs confined to saturated buckets.  None (default)
+    is lossless.  The loss is now a MEASURED number, not an adjective:
+    ``ngram_jaccard_est_recall`` (plans/dedup_queries.py) is the
+    registered recall gauge, and at the production cap 256 the 100×
+    near-threshold corpus keeps only **0.041** of true pairs (6,269 of
+    152,705 on a 20% sample — `measurements/scale_100x_latest.json::
+    ngram_recall_at_cap`): on such corpora the capped fallback is a
+    bounded-cost TRIAGE mode, and the production answer is the
+    cluster-exact path (<1 GB/node scratch across 100 executors,
+    SCALING.md) or word-shingle minhash_lsh_dedup, whose sparse shingle
+    space keeps buckets small.
 
     Blocking: equi-join on block columns + a length range predicate — the
     classic blocking-key pattern.  At 100 TB the equi part shuffles; the

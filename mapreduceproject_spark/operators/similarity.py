@@ -37,19 +37,57 @@ from mapreduceproject_spark.sources.catalog import spread_for_compute
 # The 10x-fixture measurement (SCALING.md): fixed centroid count turns
 # every IVF-cell family member quadratic — (n/C)² per-cell pairs.  The
 # documented knob is C ∝ corpus; "auto" turns that knob in-plan (a
-# broadcast 1-row count, no driver collect): C = max(16, n // 125).
+# broadcast 1-row count, no driver collect).  Growth is PIECEWISE, not
+# linear (round-4 verdict: linear C = n/125 collected ~8M centroids to
+# the driver at n=1e9 and re-planned them as literals):
+#
+#   C(n) = max(16, min(n // 125,  16 * floor(sqrt(n)),  65536))
+#
+# - linear region (n <= 4e6): C = n/125, the measured vecs-per-cell
+#   sweet spot — unchanged at every fixture/driver scale;
+# - sqrt region (n > 4e6, the knee where n/125 = 16*sqrt(n)): C grows
+#   with sqrt(n), the cost-balanced point for two-level assignment
+#   (n·sqrt(C) routing vs n·(n/C) in-cell work both grow ~n^1.25);
+# - hard cap 65536 (reached at n ≈ 16.8M): bounds EVERY downstream
+#   C-proportional structure — the broadcast centroid table is at most
+#   65536·dim·8 bytes (33.5 MB at dim=64) and the k-means literal/
+#   driver path is additionally gated by max_literal_centroids
+#   (operators/clustering.py), giving a documented max driver payload
+#   INDEPENDENT of corpus size.
 AUTO_VECS_PER_CELL = 125
+AUTO_SQRT_MULT = 16
+AUTO_MAX_CENTROIDS = 65536
 MIN_CENTROIDS = 16
+
+
+def auto_centroid_count(n: int) -> int:
+    """Driver-side mirror of the in-plan "auto" cutoff (same arithmetic:
+    float double division + truncation, IEEE double sqrt + floor — both
+    engines and this function agree bit-for-bit on integer inputs)."""
+    import math
+
+    return max(
+        MIN_CENTROIDS,
+        min(
+            int(n / AUTO_VECS_PER_CELL),
+            AUTO_SQRT_MULT * math.floor(math.sqrt(n)),
+            AUTO_MAX_CENTROIDS,
+        ),
+    )
 
 
 def duck_auto_centroid_cut(from_clause: str) -> str:
     """DuckDB scalar subquery computing the SAME cutoff as
-    ``resolve_centroid_filter(..., "auto")``: max(MIN_CENTROIDS,
-    n // AUTO_VECS_PER_CELL).  ``from_clause`` names the CTE/table whose
-    row count is the corpus size (integer ``//`` is floor for positive
-    counts, matching Spark's double-division + cast-to-long truncation)."""
+    ``resolve_centroid_filter(..., "auto")`` / ``auto_centroid_count``.
+    ``from_clause`` names the CTE/table whose row count is the corpus
+    size (integer ``//`` is floor for positive counts, matching Spark's
+    double-division + cast-to-long truncation; floor(sqrt(n)) is IEEE
+    double sqrt in both engines)."""
     return (
-        f"(SELECT greatest({MIN_CENTROIDS}, count(*) // {AUTO_VECS_PER_CELL})"
+        f"(SELECT greatest({MIN_CENTROIDS}, least("
+        f"count(*) // {AUTO_VECS_PER_CELL}, "
+        f"{AUTO_SQRT_MULT} * CAST(floor(sqrt(count(*))) AS BIGINT), "
+        f"{AUTO_MAX_CENTROIDS}))"
         f" FROM {from_clause})"
     )
 
@@ -66,7 +104,11 @@ def resolve_centroid_filter(base: DataFrame, id_expr, num_centroids):
             base.agg(
                 F.greatest(
                     F.lit(MIN_CENTROIDS),
-                    (F.count("*") / AUTO_VECS_PER_CELL).cast("long"),
+                    F.least(
+                        (F.count("*") / AUTO_VECS_PER_CELL).cast("long"),
+                        AUTO_SQRT_MULT * F.floor(F.sqrt(F.count("*"))),
+                        F.lit(AUTO_MAX_CENTROIDS).cast("long"),
+                    ),
                 ).alias("_ccut")
             )
         )
@@ -222,6 +264,18 @@ def _signature(q_col_name: str, planes: list[list[int]]):
     return F.expr(" + ".join(terms))
 
 
+def probe_masks(num_bits: int, probe_bits: int) -> list[int]:
+    """All XOR masks with popcount ≤ ``probe_bits`` over ``num_bits`` —
+    the multi-probe bucket neighborhood, in deterministic
+    (popcount, value) order (identity mask first).  Shared by the Spark
+    operator and the oracle SQL so both probe the same bucket set."""
+    masks = [
+        m for m in range(1 << num_bits) if bin(m).count("1") <= probe_bits
+    ]
+    masks.sort(key=lambda m: (bin(m).count("1"), m))
+    return masks
+
+
 def hyperplane_lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -233,10 +287,11 @@ def hyperplane_lsh_topk(
     dim: int = 64,
     k: int = 5,
     num_tables: int = 1,
+    probe_bits: int = 1,
 ) -> DataFrame:
     """Random-hyperplane LSH top-k: candidates share the query's signature
-    bucket or any 1-bit-flip neighbor (multi-probe), then exact quantized
-    cosine reranks.
+    bucket or any ≤``probe_bits``-bit-flip neighbor (multi-probe), then
+    exact quantized cosine reranks.
 
     The IVF alternative when no centroid set exists: signatures are one
     embarrassingly-parallel pass, the candidate join shuffles on the
@@ -252,15 +307,24 @@ def hyperplane_lsh_topk(
     inflates per-bucket pair work; measured on the fixture: bits 8→4
     recall 0.15→0.60 while bucket occupancy grows 16×, versus L 1→4 at
     8 bits reaching comparable recall with bucket sizes unchanged).
-    Default 1 table reproduces the original single-table operator
-    bit-for-bit (the registered query's oracle pins that stream).
+    ``probe_bits`` is the second recall lever (multi-probe depth): probe
+    every bucket within hamming ``probe_bits`` of the query signature —
+    Σ_{{j<=probe_bits}} C(num_bits, j) probes per (query, table).  Depth 2
+    at 8 bits is 37 probes (vs 9 at depth 1): candidate volume grows
+    ~4x per table while bucket SIZES stay fixed (the lever IVF lacks),
+    so it composes with ``num_tables`` without re-bucketing anything.
+    Default 1 table / depth 1 reproduces the original single-table
+    operator bit-for-bit (the registered query's oracle pins that
+    stream).
     """
     cq0 = _quantized_side(corpus, id_col, vec_col, "neighbor_id")
     qq0 = queries.select(
         F.col(query_id_col).alias("query_id"),
         quantize(F.col(query_vec_col)).alias("_qq"),
     ).withColumn("_qn2", quantized_norm2(F.col("_qq")))
-    probes = F.array(*[F.lit(m) for m in [0] + [1 << j for j in range(num_bits)]])
+    probes = F.array(
+        *[F.lit(m) for m in probe_masks(num_bits, probe_bits)]
+    )
     cands = []
     for t in range(num_tables):
         planes = hyperplane_coeffs(num_bits, dim, table=t)

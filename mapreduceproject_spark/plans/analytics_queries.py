@@ -1096,3 +1096,129 @@ def cdc_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_rows"),
         F.sum("cents").cast("long").alias("total_cents"),
     )
+
+
+# -- approx production twins of the exact-ntile family (round 5) -------------
+# quality_calibration_deciles / equidepth_histogram are exact ntile
+# formulations whose global sort (two/three longs per row) is the
+# CALIBRATION oracle; these twins are the production path at 100 TB —
+# approx_percentile bucket bounds + ONE conditional aggregate, no global
+# sort anywhere.  Contract (the agg_approx_percentile bound-flag
+# pattern): sketch internals are engine/partitioning-specific, so the
+# checkable output is per-boundary guarantee flags — the sketch
+# boundary's tie-safe rank interval [count_lt+1, count_le] must overlap
+# a ±(1% + 1) band around the target rank, two orders of magnitude
+# looser than the sketch's ε = 1/accuracy, so the flag is
+# deterministically TRUE for any valid execution.
+APPROX_HIST_ACC = 10_000
+
+
+def _approx_boundary_flags(
+    values: DataFrame, value_col: str, n_buckets: int
+) -> DataFrame:
+    """(boundary, n_total, within_rank_bound) for the n_buckets-1 interior
+    approx_percentile boundaries of ``values[value_col]`` — the shared
+    plan shape of the approx-ntile twins: one sketch aggregate, one
+    broadcast of (n_buckets-1) scalars, one conditional-aggregate pass,
+    zero global sorts."""
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    bounds = values.agg(
+        F.percentile_approx(
+            value_col,
+            F.array(*[F.lit(p) for p in probs]),
+            F.lit(APPROX_HIST_ACC),
+        ).alias("_bs"),
+        F.count("*").cast("long").alias("n_total"),
+    )
+    j = values.crossJoin(F.broadcast(bounds))
+    aggs = []
+    for i in range(1, n_buckets):
+        b = F.element_at(F.col("_bs"), i)
+        aggs.append(
+            F.sum(F.when(F.col(value_col) < b, 1).otherwise(0))
+            .cast("long")
+            .alias(f"_lt{i}")
+        )
+        aggs.append(
+            F.sum(F.when(F.col(value_col) <= b, 1).otherwise(0))
+            .cast("long")
+            .alias(f"_le{i}")
+        )
+    g = j.groupBy("n_total").agg(*aggs)
+    rows = g.select(
+        "n_total",
+        F.posexplode(
+            F.array(
+                *[
+                    F.struct(
+                        F.col(f"_lt{i}").alias("lt"), F.col(f"_le{i}").alias("le")
+                    )
+                    for i in range(1, n_buckets)
+                ]
+            )
+        ).alias("_idx", "_s"),
+    )
+    target = (F.col("_idx") + 1) * F.col("n_total") / n_buckets
+    band = F.col("n_total") / 100.0 + 1
+    return rows.select(
+        (F.col("_idx") + 1).cast("long").alias("boundary"),
+        "n_total",
+        (
+            (F.col("_s.lt") + 1 <= target + band)
+            & (F.col("_s.le") >= target - band)
+        ).alias("within_rank_bound"),
+    )
+
+
+@query(
+    "equidepth_histogram_approx",
+    oracle=f"""
+    SELECT CAST(boundary AS BIGINT) AS boundary,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem) AS n_total,
+           TRUE AS within_rank_bound
+    FROM (SELECT unnest(range(1, {HIST_BUCKETS})) AS boundary)
+    """,
+)
+def equidepth_histogram_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production twin of equidepth_histogram: {HIST_BUCKETS}-bucket
+    bounds from a GK sketch (approx_percentile, accuracy
+    {APPROX_HIST_ACC}) + one conditional-aggregate pass — replaces the
+    exact formulation's global ntile sort (SCALING.md's 'two longs per
+    row' caveat, now retired for the production path; the exact query
+    remains the calibration oracle).  Output is the per-boundary
+    rank-guarantee flag, deterministically TRUE for any valid execution
+    (tie-safe interval overlap, see module comment)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    v = li.select(
+        F.floor(F.col("l_extendedprice") * 100).cast("long").alias("cents")
+    )
+    return _approx_boundary_flags(v, "cents", HIST_BUCKETS)
+
+
+@query(
+    "quality_calibration_approx",
+    oracle="""
+    SELECT CAST(boundary AS BIGINT) AS boundary,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS n_total,
+           TRUE AS within_rank_bound
+    FROM (SELECT unnest(range(1, 10)) AS boundary)
+    """,
+)
+def quality_calibration_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production twin of quality_calibration_deciles: decile boundaries
+    of the micro-quantized quality score from a GK sketch + one
+    conditional-aggregate pass over the corpus — no global sort; bucket
+    means at 100 TB are then one more conditional aggregate keyed by the
+    broadcast boundaries (the exact ntile query remains the calibration
+    oracle).  Same per-boundary rank-guarantee flag contract as
+    equidepth_histogram_approx."""
+    from mapreduceproject_spark.operators import text_analysis as ta
+
+    docs = load_table(spark, sf_dir, "documents")
+    qq = (
+        ta.quality_scores(docs, "doc_id", "text")
+        .select(
+            F.floor(F.col("quality") * Q_SCALE).cast("long").alias("qq")
+        )
+    )
+    return _approx_boundary_flags(qq, "qq", 10)

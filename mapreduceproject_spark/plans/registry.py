@@ -22,109 +22,85 @@ QUERIES: dict[str, QueryFn] = {}
 ORACLES: dict[str, str] = {}
 
 # The driver's correctness window covers the first 50 registry entries in
-# order.  The rotation ledger: rounds 1-3 each produced a 50/50-green
-# CORRECTNESS_r0N.json (0 failures ever recorded); with 168 registered
+# order.  The rotation ledger: rounds 1-4 each produced a 50/50-green
+# CORRECTNESS_r0N.json (0 failures ever recorded); with 172 registered
 # queries the window must rotate, and the invariant we maintain is
 # (a) no entry's newest row predates its current algorithm, and
-# (b) rows age oldest-first — after this round every entry has an r3/r4
-# row except five one-expression wrappers carrying r1 rows and the
-# twenty-six NEW round-4 queries (gopher_quality_filter,
-# dsir_importance_weights, doc_shingle_novelty, ann_sq8_rerank_topk,
-# zorder_layout_extents, stream_windowed_topk, repeated_ngram_mask,
-# split_leakage_check, embedding_outlier_scores, join_key_skew_report,
-# dedup_minhash_recall, hll_sketch_rollup, weighted_sample_wor,
-# label_centroid_similarity, cdc_merge_apply, chi2_lang_source,
-# ab_test_welch, bootstrap_ci_poisson, stream_upsert_latest,
-# ann_hard_negatives, hybrid_rrf_retrieval, seasonal_residual_outliers,
-# budget_top_p_selection, bigram_surprisal_filter, knn_bfs_reach,
-# embedding_split_drift — each
-# with committed sf0.01 parity evidence via scripts/window_check.py);
-# those thirty-one lead the round-5 window.  Beyond the driver's 50-row
-# window, the ENTIRE 169-query surface was re-checked against the
-# DuckDB oracles at the driver's own sf0.01 late in round 4 — 169/169
-# ok, committed as measurements/parity_sf0.01_r04.json — so every
-# entry, windowed or not, has current-round parity evidence for its
-# current algorithm.  Names
-# absent from the registry are ignored (a pytest guards against typos);
-# everything else follows in registration order.
-# Every registry entry, windowed or not, is additionally parity-checked
-# in-repo against its DuckDB oracle at sf0.001 (tests/test_oracle_parity.py).
+# (b) rows age oldest-first.  After round 4: every entry has an
+# r3/r4 driver row EXCEPT the 26 round-4 additions (never driver-run;
+# full-surface parity only) and 5 one-expression wrappers on r1 rows —
+# exactly the 31 the round-4 verdict directed to lead this window.
+# Round-5 window (first 50), in order:
+#   1-26:  the 26 never-driver-verified round-4 additions, in their
+#          round-4 registration order.
+#   27-31: the five r1-row wrappers (grep, line_count, kv_swap,
+#          scalar_functions, date_functions).
+#   32-34: NEW round-5 queries (ngram_jaccard_est_recall — the capped
+#          fallback's recall gauge; equidepth_histogram_approx /
+#          quality_calibration_approx — the approx-ntile production
+#          twins), never driver-run by definition.
+#   35-38: entries whose ALGORITHM or default configuration changed
+#          this round and therefore need a fresh row: ann_lsh_recall
+#          (gauge reconfigured 8-bit/4-table -> 6-bit/6-table, values
+#          changed), kmeans_embeddings + dedup_semantic (piecewise
+#          auto-k policy + distributed-centroid carrier default),
+#          dedup_embedding_cosine (piecewise auto-C policy — same
+#          value at fixture scale, but the in-plan cutoff expression
+#          changed).
+#   39-50: refill with the OLDEST remaining rows: r2-row entries in
+#          their CORRECTNESS_r02 order.
+# Tail: the remaining r2-row entries oldest-first, so they lead round
+# 6; r3/r4-fresh untouched entries follow in registration order.
+# Names absent from the registry are ignored (a pytest guards against
+# typos).  Every registry entry, windowed or not, is parity-checked
+# in-repo against its DuckDB oracle at sf0.001
+# (tests/test_oracle_parity.py), and the whole surface is re-checked at
+# the driver's sf0.01 each round (scripts/window_check.py all ->
+# measurements/parity_sf0.01_r0N.json).
 _FRONT: tuple[str, ...] = (
-    # -- Round-4 window (first 50): every entry whose newest driver row
-    # would otherwise predate its current code, then the round-1-row
-    # relational/TPC-H/window/scalar core (oldest rows in the ledger).
-    # 1-2: the two genuinely stale entries round 3 flagged (minhash
-    #      pipeline refactored r3 after dedup_minhash_lsh's r1 row;
-    #      kmeans internals refactored late r3 after its r2 row).
-    # 3-8: defaults flipped to scale-safe settings THIS round —
-    #      num_centroids="auto" (embedding cosine + the three kNN-graph
-    #      queries sharing knn_edges_ivf), k="auto" (semantic dedup +
-    #      kmeans), minimal-lossless 5-band simhash — so each needs a
-    #      fresh row for the new default configuration.
-    # 9-10: hot path touched this round (vectorized Misra-Gries
-    #      candidate pass; ngram-jaccard shuffle-scratch guard).
-    # 11-50: the remaining round-1-row queries in CORRECTNESS_r01
-    #      order, except five one-expression wrappers (grep,
-    #      line_count, kv_swap, scalar_functions, date_functions)
-    #      postponed to lead round 5: the window holds 50 and those
-    #      five are the thinnest, pytest-parity-covered entries.
-    # Tail: the five postponed, then round-2-row queries oldest first;
-    #      r3-fresh untouched entries follow in registration order.
-    "dedup_minhash_lsh",
-    "kmeans_embeddings",
-    "dedup_embedding_cosine",
-    "dedup_semantic",
-    "dedup_simhash",
-    "pagerank_knn",
-    "knn_triangle_census",
-    "knn_degree_hist",
-    "heavy_hitters",
-    "dedup_ngram_jaccard",
-    "word_count",
-    "inverted_index",
-    "maple_juice_word_count",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_region_revenue",
-    "join_inner_enrich",
-    "join_left_null_extension",
-    "join_semi",
-    "join_anti",
-    "join_broadcast_dim",
-    "agg_distinct",
-    "agg_rollup",
-    "agg_cube",
-    "topk_orders",
-    "set_operations",
-    "window_rank_top3",
-    "window_lag_gap",
-    "window_running_sum",
-    "json_extract_props",
-    "asof_join_last_signup",
-    "range_join_value_buckets",
-    "q6_forecast_revenue",
-    "agg_grouping_sets",
-    "agg_percentiles",
-    "window_frames",
-    "array_functions",
-    "correlated_above_brand_avg",
-    "null_semantics",
-    "pivot_status_by_priority",
-    "unpivot_quality_metrics",
-    "q10_returned_item_revenue",
-    "q12_late_shipments",
-    "funnel_conversion",
-    "cohort_retention",
-    "q14_promo_revenue_share",
-    "q18_large_orders",
-    "agg_variance_stats",
-    "error_context_window",
-    "dedup_exact",
+    # 1-26: round-4 additions, never driver-verified
+    "gopher_quality_filter",
+    "dsir_importance_weights",
+    "doc_shingle_novelty",
+    "ann_sq8_rerank_topk",
+    "zorder_layout_extents",
+    "stream_windowed_topk",
+    "repeated_ngram_mask",
+    "split_leakage_check",
+    "embedding_outlier_scores",
+    "join_key_skew_report",
+    "dedup_minhash_recall",
+    "hll_sketch_rollup",
+    "weighted_sample_wor",
+    "label_centroid_similarity",
+    "cdc_merge_apply",
+    "chi2_lang_source",
+    "ab_test_welch",
+    "bootstrap_ci_poisson",
+    "stream_upsert_latest",
+    "ann_hard_negatives",
+    "hybrid_rrf_retrieval",
+    "seasonal_residual_outliers",
+    "budget_top_p_selection",
+    "bigram_surprisal_filter",
+    "knn_bfs_reach",
+    "embedding_split_drift",
+    # 27-31: the r1-row one-expression wrappers
     "grep",
     "line_count",
     "kv_swap",
     "scalar_functions",
     "date_functions",
+    # 32-34: new round-5 queries
+    "ngram_jaccard_est_recall",
+    "equidepth_histogram_approx",
+    "quality_calibration_approx",
+    # 35-38: algorithm/default changed this round
+    "ann_lsh_recall",
+    "kmeans_embeddings",
+    "dedup_semantic",
+    "dedup_embedding_cosine",
+    # 39-50: oldest remaining rows (r2, in CORRECTNESS_r02 order)
     "dedup_edit_distance",
     "events_gap_fill",
     "q2_min_cost_supplier",
@@ -137,6 +113,7 @@ _FRONT: tuple[str, ...] = (
     "agg_approx_distinct",
     "q4_order_priority",
     "q7_volume_shipping",
+    # -- tail: remaining r2-row entries oldest-first (lead round 6) --
     "q8_market_share",
     "q9_product_profit",
     "q13_customer_distribution",

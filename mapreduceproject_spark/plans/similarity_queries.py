@@ -310,11 +310,15 @@ def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # -- random-hyperplane LSH --------------------------------------------------
 LSH_BITS = 8
-LSH_TABLES = 4  # the multi-table recall gauge (ann_lsh_recall)
-
-_LSH_MASKS = (
-    "[" + ", ".join(str(m) for m in [0] + [1 << j for j in range(LSH_BITS)]) + "]"
-)
+# The recall-gauge configuration (ann_lsh_recall) — the shipped
+# similarity-search default, chosen by the round-5 sweep (SCALING.md):
+# 6 bits x 6 tables x depth-1 probes measured recall 0.72@5 at ~2/3
+# expected candidate fraction on the near-orthogonal synthetic fixture
+# (8 bits x 4 tables: 0.36; configurations pushing past ~0.85 scanned
+# MORE than brute force — on this data high recall is intrinsically
+# near-linear, and real clustered embeddings sit well above these
+# numbers at the same knobs).
+LSH_RECALL_BITS, LSH_TABLES, LSH_PROBE_BITS = 6, 6, 1
 
 
 def _sig_sql(q: str, planes: list[list[int]]) -> str:
@@ -329,14 +333,21 @@ def _sig_sql(q: str, planes: list[list[int]]) -> str:
     return " + ".join(terms)
 
 
-def _hyperplane_table_ctes(t: int) -> str:
+def _hyperplane_table_ctes(
+    t: int, bits: int = LSH_BITS, probe_bits: int = 1
+) -> str:
     """sigs/probes/cand CTE block for LSH table ``t`` (suffix = t)."""
-    planes = sim.hyperplane_coeffs(LSH_BITS, 64, table=t)
+    planes = sim.hyperplane_coeffs(bits, 64, table=t)
+    masks = (
+        "["
+        + ", ".join(str(m) for m in sim.probe_masks(bits, probe_bits))
+        + "]"
+    )
     return f"""sigs{t} AS (SELECT id, q, {_sig_sql("q", planes)} AS sig FROM v),
     qsig{t} AS (SELECT query_id, qq, {_sig_sql("qq", planes)} AS sig FROM qs),
     probes{t} AS (
       SELECT query_id, qq, xor(sig, m) AS bucket
-      FROM qsig{t}, (SELECT unnest({_LSH_MASKS}) AS m)
+      FROM qsig{t}, (SELECT unnest({masks}) AS m)
     ),
     cand{t} AS (
       SELECT p.query_id, s.id AS neighbor_id,
@@ -358,7 +369,10 @@ def _hyperplane_oracle() -> str:
 
 
 def _hyperplane_multi_oracle() -> str:
-    tables = ",\n    ".join(_hyperplane_table_ctes(t) for t in range(LSH_TABLES))
+    tables = ",\n    ".join(
+        _hyperplane_table_ctes(t, LSH_RECALL_BITS, LSH_PROBE_BITS)
+        for t in range(LSH_TABLES)
+    )
     union = " UNION ALL ".join(
         f"SELECT * FROM cand{t}" for t in range(LSH_TABLES)
     )
@@ -409,10 +423,11 @@ def ann_hyperplane_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Recall@{TOP_K} of {LSH_TABLES}-table hyperplane LSH against
-    brute-force ground truth — the in-plan gauge for the num_tables
-    recall lever (measured 0.15 single-table → ~0.4 at {LSH_TABLES}
-    tables on the fixtures, bucket sizes unchanged).  The LSH twin of
+    """Recall@{TOP_K} of the shipped LSH similarity-search default
+    ({LSH_RECALL_BITS} bits × {LSH_TABLES} tables × depth-{LSH_PROBE_BITS}
+    probes — the round-5 sweep's pick, measured 0.72@5 on the fixture vs
+    0.36 for the old 8-bit/4-table config; SCALING.md holds the full
+    sweep table) against brute-force ground truth.  The LSH twin of
     ann_ivf_recall: left join truth→approx, hit ratio."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < NUM_QUERIES)
@@ -426,10 +441,11 @@ def ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         "embedding",
         "vec_id",
         "embedding",
-        num_bits=LSH_BITS,
+        num_bits=LSH_RECALL_BITS,
         dim=64,
         k=TOP_K,
         num_tables=LSH_TABLES,
+        probe_bits=LSH_PROBE_BITS,
     ).select(F.col("query_id").alias("aq"), F.col("neighbor_id").alias("an"))
     joined = truth.join(
         approx,

@@ -384,6 +384,127 @@ def ngram_scratch_check(spark) -> dict:
     }
 
 
+def kmeans_autok_check(spark) -> dict:
+    """Round-5 driver-payload contract (operators/clustering.py): auto-k
+    k-means at the scaled fixture under BOTH centroid carriers — driver
+    literals (default, k <= max_literal_centroids) and the distributed
+    localCheckpoint path (max_literal_centroids=0, the corpus-scaled-k
+    carrier where the driver never holds centroids).  Both run the
+    two-level assignment; equal results are pytest-pinned, this measures
+    that the distributed carrier costs ~nothing at fixture scale.
+    An untimed warmup pass runs first: the session's first kmeans pays
+    scan/JIT costs that dwarf the carrier difference (a first cut
+    mis-attributed that ~60 s warmup to the literal carrier)."""
+    import time
+
+    from mapreduceproject_spark.operators.clustering import kmeans_quantized
+    from mapreduceproject_spark.operators.similarity import auto_centroid_count
+
+    emb = spark.read.parquet(f"{OUT_DIR}/embeddings.parquet")
+    n = emb.count()
+
+    def run(cap):
+        kmeans_quantized(
+            spark, emb, "vec_id", "embedding", k="auto", assign="twolevel",
+            max_literal_centroids=cap,
+        ).write.format("noop").mode("overwrite").save()
+        spark.catalog.clearCache()
+
+    run(0)  # warmup (distributed carrier), untimed
+    t0 = time.perf_counter()
+    run(10**9)  # force the literal/driver-collect carrier
+    lit_sec = round(time.perf_counter() - t0, 2)
+    t0 = time.perf_counter()
+    run(0)  # distributed carrier
+    dist_sec = round(time.perf_counter() - t0, 2)
+    return {
+        "n": n,
+        "auto_k": auto_centroid_count(n),
+        "literal_sec": lit_sec,
+        "distributed_sec": dist_sec,
+    }
+
+
+def semantic_autok_check(spark) -> dict:
+    """dedup_semantic with k='auto' (the piecewise policy) + two-level
+    assignment at the scaled fixture — the round-5 re-measure of the
+    operator under its shipped defaults rather than a hand-scaled k."""
+    import time
+
+    from mapreduceproject_spark.operators.dedup import semantic_dedup
+    from mapreduceproject_spark.operators.similarity import auto_centroid_count
+
+    emb = spark.read.parquet(f"{OUT_DIR}/embeddings.parquet")
+    n = emb.count()
+    t0 = time.perf_counter()
+    semantic_dedup(
+        spark, emb, "vec_id", "embedding", k="auto", iterations=2,
+        threshold=0.4, assign="twolevel",
+    ).write.format("noop").mode("overwrite").save()
+    return {
+        "n": n,
+        "auto_k": auto_centroid_count(n),
+        "sec": round(time.perf_counter() - t0, 2),
+    }
+
+
+def ngram_recall_check(spark) -> dict:
+    """Recall of the capped MinHash-estimate fallback at the PRODUCTION
+    cap (est_bucket_cap=256) on the scaled corpus: exact truth over a
+    deterministic hash sample vs the capped path on the same sample —
+    the measured forfeited-pairs rate the round-4 verdict asked to
+    replace 'explicitly lossy' with.  The sample percentage bounds the
+    exact side's shuffle scratch (the full 100x exact pass is the
+    documented DNF); 20%% keeps it ~1/25th of the full pair work."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from mapreduceproject_spark.functions.hashing import hash60
+    from mapreduceproject_spark.operators.dedup import ngram_jaccard_dedup
+
+    pct, salt, cap = 20, "|ng-recall", 256
+    docs = spark.read.parquet(f"{OUT_DIR}/documents.parquet")
+    sample = docs.filter(
+        hash60(F.concat(F.col("text"), F.lit(salt))) % 100 < pct
+    )
+
+    def run(policy, bucket_cap):
+        return ngram_jaccard_dedup(
+            sample, "doc_id", "text", block_cols=["lang"],
+            length_col="n_chars", n=3, length_band=8, threshold=0.55,
+            scratch_policy=policy, est_bucket_cap=bucket_cap,
+        )
+
+    t0 = time.perf_counter()
+    truth = run("exact", None).select("id_a", "id_b")
+    det = run("estimate", cap).select(
+        F.col("id_a").alias("da"), F.col("id_b").alias("db")
+    )
+    row = (
+        truth.join(
+            det,
+            (F.col("id_a") == F.col("da")) & (F.col("id_b") == F.col("db")),
+            "left",
+        )
+        .agg(
+            F.count("*").alias("n_truth"),
+            F.count("da").alias("n_detected"),
+        )
+        .collect()[0]
+    )
+    return {
+        "sample_pct": pct,
+        "est_bucket_cap": cap,
+        "n_truth_pairs": row["n_truth"],
+        "n_detected": row["n_detected"],
+        "recall": round(row["n_detected"] / row["n_truth"], 4)
+        if row["n_truth"]
+        else None,
+        "sec": round(time.perf_counter() - t0, 2),
+    }
+
+
 def simhash_band_scaling_check(spark) -> dict:
     """simhash's default 8x8-bit banding has 256 buckets per band
     regardless of corpus size — the measured 7.4x/decade creep.  The
@@ -483,6 +604,9 @@ def main() -> None:
             "simhash": ("simhash_band_scaled", simhash_band_scaling_check),
             "mg": ("mg_throughput", mg_throughput_check),
             "ngram": ("ngram_scratch", ngram_scratch_check),
+            "kmeans_autok": ("kmeans_autok", kmeans_autok_check),
+            "semantic_autok": ("semantic_autok", semantic_autok_check),
+            "ngram_recall": ("ngram_recall_at_cap", ngram_recall_check),
         }
         if chosen is not None and (unknown := chosen - checks.keys()):
             # a typo here would silently run ZERO checks after an

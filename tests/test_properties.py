@@ -634,3 +634,61 @@ def test_store_cli_rejects_missing_operands(tmp_path):
     assert main(["store", root, "get", "onlyone"]) == 2
     assert main(["store", root, "ls"]) == 2
     assert main(["store", root, "store"]) == 0
+
+
+def test_auto_centroid_policy_piecewise_and_in_plan_agreement(spark):
+    """The 'auto' centroid policy is piecewise — linear to the n=4e6 knee,
+    sqrt(n) above it, hard-capped at 65536 — and the driver-side mirror
+    (auto_centroid_count) must agree exactly with the in-plan cutoff
+    resolve_centroid_filter computes, at every regime."""
+    import math
+
+    import pyspark.sql.functions as F
+
+    from mapreduceproject_spark.operators.similarity import (
+        AUTO_MAX_CENTROIDS,
+        auto_centroid_count,
+        resolve_centroid_filter,
+    )
+
+    # driver-side shape
+    assert auto_centroid_count(100) == 16  # floor
+    assert auto_centroid_count(4_000) == 32  # linear region: n/125
+    assert auto_centroid_count(4_000_000) == 32_000  # knee: both curves meet
+    assert auto_centroid_count(5_000_000) == 16 * math.floor(
+        math.sqrt(5_000_000)
+    )  # sqrt region < n/125 = 40_000
+    assert auto_centroid_count(20_000_000) == AUTO_MAX_CENTROIDS  # capped
+    assert auto_centroid_count(10**9) == AUTO_MAX_CENTROIDS  # stays capped
+    # monotone non-decreasing across regimes
+    pts = [10, 2_000, 4_000_000, 4_100_000, 16_900_000, 10**8]
+    vals = [auto_centroid_count(n) for n in pts]
+    assert vals == sorted(vals)
+
+    # in-plan cutoff == driver mirror (spark.range is O(1) data: count only)
+    for n in (4_000, 5_000_000, 20_000_000):
+        big = spark.range(n).select(F.col("id"))
+        pick = resolve_centroid_filter(big, F.col("id"), "auto")
+        assert pick(big).count() == min(auto_centroid_count(n), n), n
+
+
+def test_kmeans_distributed_centroids_match_literal_path(spark, sf_dir):
+    """Above max_literal_centroids the Lloyd loop keeps centroids as a
+    distributed localCheckpoint'd frame instead of driver literals; both
+    paths run identical arithmetic, so assignments must be identical
+    (the round-4 verdict's driver-payload contract)."""
+    from mapreduceproject_spark.operators.clustering import kmeans_quantized
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    lit_path = sorted(
+        map(tuple, kmeans_quantized(spark, emb, "vec_id", "embedding", k=16).collect())
+    )
+    dist_path = sorted(
+        map(
+            tuple,
+            kmeans_quantized(
+                spark, emb, "vec_id", "embedding", k=16, max_literal_centroids=0
+            ).collect(),
+        )
+    )
+    assert lit_path == dist_path and lit_path
