@@ -177,7 +177,13 @@ def kmeans_assignments(
         else:
             # corpus-scaled k: centroids NEVER visit the driver — stay a
             # distributed frame; localCheckpoint materializes it and
-            # truncates lineage so the per-iteration plan doesn't nest
+            # truncates lineage so the per-iteration plan doesn't nest.
+            # localCheckpoint trades fault-tolerance for speed (executor
+            # loss loses the truncated lineage): right for local/single-
+            # box; on a long-lived cluster job point
+            # spark.sparkContext.setCheckpointDir at an HDFS/object path
+            # and swap this for .checkpoint(eager=True) — same semantics,
+            # replicated storage.
             centroids = (
                 new_cents.select(
                     F.col("cluster_id").alias("cid"), "cvec"

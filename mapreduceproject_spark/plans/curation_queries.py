@@ -821,3 +821,211 @@ def budget_top_p_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("cum_tokens") - F.col("n_tokens")) * 10000
         < F.lit(TOPP_BUDGET_BP) * F.col("total_tokens")
     ).select("source", "doc_id", "quality", "n_tokens", "cum_tokens", "total_tokens")
+
+
+# -- PSI distribution drift between split halves (round 5) -------------------
+# Population Stability Index — the production data-quality gate for "did
+# this feature's distribution move between two populations" (snapshots,
+# splits, pipeline versions).  Binning is pure integer arithmetic
+# (n_chars >> 7, capped at 15) so bucket assignment is engine-identical;
+# proportions use Laplace +1 smoothing per bin (denominator + PSI_BINS)
+# so empty bins never divide by zero.  Exactness discipline (the
+# source_token_entropy / mahalanobis pattern): each bin's term is an
+# integer product (A - C) * (ln_micro(A) - ln_micro(B)) where
+# A = (ca+1)(nb+16) and C = (cb+1)(na+16) are exact integer cross
+# products — accumulated in decimal(38,0)/HUGEINT, divided ONCE by
+# D = (na+16)(nb+16) * 1e6 as a final double expression, so both engines
+# emit identical bits.  Scale: one corpus groupBy; everything after is a
+# (sources x 16)-row grid of broadcast-joined bounded tables.
+PSI_BINS, PSI_BIN_SHIFT, PSI_SALT, PSI_LN_SCALE = 16, 7, "|psi", 1_000_000
+
+
+def _psi_oracle() -> str:
+    return f"""
+    WITH d AS (
+      SELECT source,
+             least(n_chars // {1 << PSI_BIN_SHIFT}, {PSI_BINS - 1}) AS bin,
+             {duck_hash60(f"text || '{PSI_SALT}'")} % 2 AS half
+      FROM documents
+    ),
+    cnt AS (
+      SELECT source, bin, half, CAST(COUNT(*) AS BIGINT) AS c
+      FROM d GROUP BY 1, 2, 3
+    ),
+    tot AS (
+      SELECT source, half, CAST(SUM(c) AS BIGINT) AS n FROM cnt GROUP BY 1, 2
+    ),
+    grid AS (
+      SELECT s.source, b.bin,
+             COALESCE(a.c, 0) AS ca, COALESCE(bb.c, 0) AS cb,
+             ta.n AS na, tb.n AS nb
+      FROM (SELECT DISTINCT source FROM d) s
+      CROSS JOIN (SELECT unnest(range({PSI_BINS})) AS bin) b
+      LEFT JOIN cnt a  ON a.source = s.source AND a.bin = b.bin AND a.half = 0
+      LEFT JOIN cnt bb ON bb.source = s.source AND bb.bin = b.bin AND bb.half = 1
+      JOIN tot ta ON ta.source = s.source AND ta.half = 0
+      JOIN tot tb ON tb.source = s.source AND tb.half = 1
+    ),
+    terms AS (
+      SELECT source, na, nb,
+             CAST((ca + 1) * (nb + {PSI_BINS}) - (cb + 1) * (na + {PSI_BINS})
+                  AS HUGEINT)
+             * CAST(CAST(floor(ln((ca + 1) * (nb + {PSI_BINS})) * {PSI_LN_SCALE})
+                         AS BIGINT)
+                    - CAST(floor(ln((cb + 1) * (na + {PSI_BINS})) * {PSI_LN_SCALE})
+                           AS BIGINT) AS HUGEINT) AS t
+      FROM grid
+    )
+    SELECT source,
+           MAX(na) AS n_half_a,
+           MAX(nb) AS n_half_b,
+           CAST(SUM(t) AS DOUBLE)
+             / (CAST(MAX(na) + {PSI_BINS} AS DOUBLE)
+                * CAST(MAX(nb) + {PSI_BINS} AS DOUBLE))
+             / {PSI_LN_SCALE} AS psi,
+           CAST(SUM(t) AS DOUBLE)
+             / (CAST(MAX(na) + {PSI_BINS} AS DOUBLE)
+                * CAST(MAX(nb) + {PSI_BINS} AS DOUBLE))
+             / {PSI_LN_SCALE} >= 0.2 AS drift_flag
+    FROM terms GROUP BY source
+    """
+
+
+@query("psi_distribution_drift", oracle=_psi_oracle())
+def psi_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index of the document-length distribution
+    between the two deterministic hash halves of each source — the
+    monitoring gate for "did this population's distribution move"
+    between snapshots/splits/pipeline versions (psi < 0.1 stable,
+    >= 0.2 actionable drift; the flag uses the classic 0.2 cut).
+    Between random halves of one corpus PSI ≈ 0 — the query IS the
+    null-calibration run; pointing the two halves at different
+    snapshots is the production deployment.
+
+    Exactness and scale shape per the module comment: integer bin
+    assignment, Laplace-smoothed exact cross products, decimal-
+    accumulated micro-quantized ln terms, one corpus groupBy then
+    bounded-table joins only."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "source",
+        F.least(
+            (F.col("n_chars").cast("long") / (1 << PSI_BIN_SHIFT)).cast("long"),
+            F.lit(PSI_BINS - 1).cast("long"),
+        ).alias("bin"),
+        (hash60(F.concat(F.col("text"), F.lit(PSI_SALT))) % 2).alias("half"),
+    )
+    cnt = d.groupBy("source", "bin", "half").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    tot = cnt.groupBy("source", "half").agg(F.sum("c").cast("long").alias("n"))
+    sources = d.select("source").distinct()
+    bins = spark.range(PSI_BINS).select(F.col("id").alias("bin"))
+    grid = (
+        sources.crossJoin(F.broadcast(bins))
+        .join(
+            F.broadcast(
+                cnt.filter(F.col("half") == 0).select(
+                    "source", "bin", F.col("c").alias("ca")
+                )
+            ),
+            ["source", "bin"],
+            "left",
+        )
+        .join(
+            F.broadcast(
+                cnt.filter(F.col("half") == 1).select(
+                    "source", "bin", F.col("c").alias("cb")
+                )
+            ),
+            ["source", "bin"],
+            "left",
+        )
+        .join(
+            F.broadcast(
+                tot.filter(F.col("half") == 0).select(
+                    "source", F.col("n").alias("na")
+                )
+            ),
+            "source",
+        )
+        .join(
+            F.broadcast(
+                tot.filter(F.col("half") == 1).select(
+                    "source", F.col("n").alias("nb")
+                )
+            ),
+            "source",
+        )
+        .fillna(0, subset=["ca", "cb"])
+    )
+    a = (F.col("ca") + 1) * (F.col("nb") + PSI_BINS)
+    b = (F.col("cb") + 1) * (F.col("na") + PSI_BINS)
+    term = (
+        (a - b).cast("decimal(19,0)")
+        * (
+            F.floor(F.log(a.cast("double")) * PSI_LN_SCALE)
+            - F.floor(F.log(b.cast("double")) * PSI_LN_SCALE)
+        ).cast("decimal(19,0)")
+    ).cast("decimal(38,0)")
+    agg = grid.groupBy("source").agg(
+        F.max("na").alias("n_half_a"),
+        F.max("nb").alias("n_half_b"),
+        F.sum(term).alias("_t"),
+    )
+    psi = (
+        F.col("_t").cast("double")
+        / (
+            (F.col("n_half_a") + PSI_BINS).cast("double")
+            * (F.col("n_half_b") + PSI_BINS).cast("double")
+        )
+        / PSI_LN_SCALE
+    )
+    return agg.select(
+        "source",
+        "n_half_a",
+        "n_half_b",
+        psi.alias("psi"),
+        (psi >= 0.2).alias("drift_flag"),
+    )
+
+
+# -- fixed-size per-stratum sample (round 5) ---------------------------------
+# stratified_sample_stats draws at a RATE per stratum; eval-set builds
+# want a fixed COUNT per stratum regardless of stratum size.  The draw
+# is the k lowest content-hash ranks per source — deterministic,
+# engine-portable, one partitioned window (never a global sort), and at
+# 100 TB the per-source top-k runs as a partial TakeOrdered per
+# partition before the single per-source merge.
+STRAT_K, STRAT_K_SALT = 50, "|fixk"
+
+
+@query(
+    "stratified_fixed_k_sample",
+    oracle=f"""
+    SELECT doc_id, source, CAST(rk AS BIGINT) AS rk
+    FROM (
+      SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY {duck_hash60(f"text || '{STRAT_K_SALT}'")}, doc_id
+             ) AS rk
+      FROM documents
+    )
+    WHERE rk <= {STRAT_K}
+    """,
+)
+def stratified_fixed_k_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly {STRAT_K} documents per source, drawn by lowest salted
+    content-hash rank (doc_id tie-break) — the fixed-size per-stratum
+    eval/inspection sample, reproducible across runs and engines
+    (stratified_sample_stats' rate-based twin)."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        hash60(F.concat(F.col("text"), F.lit(STRAT_K_SALT))), F.col("doc_id")
+    )
+    return (
+        docs.select("doc_id", "source", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= STRAT_K)
+        .select("doc_id", "source", F.col("rk").cast("long").alias("rk"))
+    )

@@ -35,11 +35,12 @@ ORACLES: dict[str, str] = {}
 #          round-4 registration order.
 #   27-31: the five r1-row wrappers (grep, line_count, kv_swap,
 #          scalar_functions, date_functions).
-#   32-34: NEW round-5 queries (ngram_jaccard_est_recall — the capped
+#   32-36: NEW round-5 queries (ngram_jaccard_est_recall — the capped
 #          fallback's recall gauge; equidepth_histogram_approx /
 #          quality_calibration_approx — the approx-ntile production
-#          twins), never driver-run by definition.
-#   35-38: entries whose ALGORITHM or default configuration changed
+#          twins; psi_distribution_drift — the PSI data-quality gate;
+#          stratified_fixed_k_sample), never driver-run by definition.
+#   37-40: entries whose ALGORITHM or default configuration changed
 #          this round and therefore need a fresh row: ann_lsh_recall
 #          (gauge reconfigured 8-bit/4-table -> 6-bit/6-table, values
 #          changed), kmeans_embeddings + dedup_semantic (piecewise
@@ -47,7 +48,7 @@ ORACLES: dict[str, str] = {}
 #          dedup_embedding_cosine (piecewise auto-C policy — same
 #          value at fixture scale, but the in-plan cutoff expression
 #          changed).
-#   39-50: refill with the OLDEST remaining rows: r2-row entries in
+#   41-50: refill with the OLDEST remaining rows: r2-row entries in
 #          their CORRECTNESS_r02 order.
 # Tail: the remaining r2-row entries oldest-first, so they lead round
 # 6; r3/r4-fresh untouched entries follow in registration order.
@@ -91,16 +92,18 @@ _FRONT: tuple[str, ...] = (
     "kv_swap",
     "scalar_functions",
     "date_functions",
-    # 32-34: new round-5 queries
+    # 32-36: new round-5 queries
     "ngram_jaccard_est_recall",
     "equidepth_histogram_approx",
     "quality_calibration_approx",
-    # 35-38: algorithm/default changed this round
+    "psi_distribution_drift",
+    "stratified_fixed_k_sample",
+    # 37-40: algorithm/default changed this round
     "ann_lsh_recall",
     "kmeans_embeddings",
     "dedup_semantic",
     "dedup_embedding_cosine",
-    # 39-50: oldest remaining rows (r2, in CORRECTNESS_r02 order)
+    # 41-50: oldest remaining rows (r2, in CORRECTNESS_r02 order)
     "dedup_edit_distance",
     "events_gap_fill",
     "q2_min_cost_supplier",
@@ -111,9 +114,9 @@ _FRONT: tuple[str, ...] = (
     "text_unigram_logprob",
     "curation_funnel_report",
     "agg_approx_distinct",
+    # -- tail: remaining r2-row entries oldest-first (lead round 6) --
     "q4_order_priority",
     "q7_volume_shipping",
-    # -- tail: remaining r2-row entries oldest-first (lead round 6) --
     "q8_market_share",
     "q9_product_profit",
     "q13_customer_distribution",

@@ -775,3 +775,48 @@ def test_welch_degenerate_arm_yields_null_not_crash(spark, tmp_path):
     row = QUERIES["ab_test_welch"](spark, d).first()
     assert row["na"] == 0 or row["nb"] == 0
     assert row["t_stat"] is None and row["significant"] is None
+
+
+def test_probe_masks_neighborhood_properties():
+    """probe_masks must enumerate exactly the <=d-bit-flip neighborhood,
+    identity first, deterministically ordered — the Spark operator and
+    the oracle SQL both inline this list, so its contract is load-bearing."""
+    import math
+
+    from mapreduceproject_spark.operators.similarity import probe_masks
+
+    m1 = probe_masks(8, 1)
+    assert m1[0] == 0 and len(m1) == 9
+    assert set(m1) == {0} | {1 << j for j in range(8)}
+    m2 = probe_masks(8, 2)
+    assert len(m2) == 1 + 8 + math.comb(8, 2)
+    assert all(bin(m).count("1") <= 2 for m in m2)
+    assert m2 == probe_masks(8, 2)  # deterministic
+    # popcount-major order: identity, then singles, then doubles
+    pops = [bin(m).count("1") for m in m2]
+    assert pops == sorted(pops)
+    # depth 0 = exact-bucket only
+    assert probe_masks(6, 0) == [0]
+
+
+def test_lsh_probe_depth_supersets_candidates(spark, sf_dir):
+    """Deeper multi-probe can only ADD candidate buckets, so the depth-2
+    top-k per query scores at least as high as depth-1 (same table)."""
+    import pyspark.sql.functions as F
+
+    from mapreduceproject_spark.operators import similarity as sim
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 10)
+
+    def best(depth):
+        out = sim.hyperplane_lsh_topk(
+            emb, q, "vec_id", "embedding", "vec_id", "embedding",
+            num_bits=6, dim=64, k=1, num_tables=1, probe_bits=depth,
+        )
+        return {r["query_id"]: r["cosine"] for r in out.collect()}
+
+    b1, b2 = best(1), best(2)
+    assert set(b1) <= set(b2)
+    for qid, c in b1.items():
+        assert b2[qid] >= c - 1e-12, qid
