@@ -303,8 +303,12 @@ def hyperplane_lsh_topk(
     ``num_tables`` is the standard LSH recall lever: L independent
     hyperplane tables union their candidates, so the miss probability
     decays like (1 − p^b)^L at L× candidate cost — WITHOUT growing any
-    single bucket (fewer bits also raises recall but quadratically
-    inflates per-bucket pair work; measured on the fixture: bits 8→4
+    single bucket.  All L signatures are computed in ONE corpus pass
+    (posexplode to (table, sig) rows → one composite-key broadcast join),
+    so raising L never adds corpus scans — only per-row signature work
+    and candidate volume.  (Fewer bits also raises recall but
+    quadratically inflates per-bucket pair work; measured on the
+    fixture: bits 8→4
     recall 0.15→0.60 while bucket occupancy grows 16×, versus L 1→4 at
     8 bits reaching comparable recall with bucket sizes unchanged).
     ``probe_bits`` is the second recall lever (multi-probe depth): probe
@@ -325,30 +329,52 @@ def hyperplane_lsh_topk(
     probes = F.array(
         *[F.lit(m) for m in probe_masks(num_bits, probe_bits)]
     )
-    cands = []
-    for t in range(num_tables):
-        planes = hyperplane_coeffs(num_bits, dim, table=t)
-        cq = cq0.withColumn("_sig", _signature("_q", planes))
-        qq = F.broadcast(
-            qq0.withColumn("_qsig", _signature("_qq", planes))
-            .withColumn("_probe", F.explode(probes))
-            .withColumn("_bucket", F.col("_qsig").bitwiseXOR(F.col("_probe")))
-            .drop("_qsig", "_probe")
+    all_planes = [
+        hyperplane_coeffs(num_bits, dim, table=t) for t in range(num_tables)
+    ]
+    if num_tables == 1:
+        # original single-table stream (plan pinned by the registered
+        # query's oracle): one signature column, no table dimension
+        cq = cq0.withColumn("_sig", _signature("_q", all_planes[0]))
+        qside = qq0.withColumn("_qsig", _signature("_qq", all_planes[0]))
+    else:
+        # ONE corpus pass computes every table's signature, then
+        # posexplode fans out to (table, sig) rows feeding ONE candidate
+        # join — L scans become 1.  The persist() hides the difference at
+        # fixture scale, but on a cluster-resident corpus each extra pass
+        # is a full re-read; the generate+broadcast-hash-join pipeline
+        # stays inside one codegen stage either way.
+        cq = cq0.select(
+            "*",
+            F.posexplode(
+                F.array(*[_signature("_q", p) for p in all_planes])
+            ).alias("_t", "_sig"),
         )
-        cands.append(
-            cq.join(qq, cq["_sig"] == qq["_bucket"])
-            .filter(F.col("neighbor_id") != F.col("query_id"))
-            .select(
-                "query_id",
-                "neighbor_id",
-                prequantized_cosine(
-                    F.col("_qq"), F.col("_q"), F.col("_qn2"), F.col("_n2")
-                ).alias("cosine"),
-            )
+        qside = qq0.select(
+            "*",
+            F.posexplode(
+                F.array(*[_signature("_qq", p) for p in all_planes])
+            ).alias("_qt", "_qsig"),
         )
-    cand = cands[0]
-    for extra in cands[1:]:
-        cand = cand.unionByName(extra)
+    qq = F.broadcast(
+        qside.withColumn("_probe", F.explode(probes))
+        .withColumn("_bucket", F.col("_qsig").bitwiseXOR(F.col("_probe")))
+        .drop("_qsig", "_probe")
+    )
+    join_cond = cq["_sig"] == qq["_bucket"]
+    if num_tables > 1:
+        join_cond = join_cond & (cq["_t"] == qq["_qt"])
+    cand = (
+        cq.join(qq, join_cond)
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            prequantized_cosine(
+                F.col("_qq"), F.col("_q"), F.col("_qn2"), F.col("_n2")
+            ).alias("cosine"),
+        )
+    )
     if num_tables > 1:
         # a pair found by several tables scores identically — collapse
         cand = cand.groupBy("query_id", "neighbor_id").agg(
