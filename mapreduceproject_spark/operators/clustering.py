@@ -14,9 +14,10 @@ each iteration is one broadcast of k·dim scalars out, one partial+final
 aggregate back.  For bounded k the centroid table round-trips the driver
 as O(k·dim) literals (a few KB); for corpus-scaled k (``k="auto"`` past
 its cap-adjacent sizes) the table stays a DISTRIBUTED DataFrame
-materialized by localCheckpoint — the driver never holds centroids, so
-max driver bytes is independent of corpus size (see
-kmeans_assignments' driver-payload contract).
+materialized by localCheckpoint — no collect-as-rows, no literal
+re-plan; the assignment broadcast still transits the driver, bounded by
+the auto-k cap, so max driver bytes is bounded independent of corpus
+size (see kmeans_assignments' driver-payload contract).
 """
 
 from __future__ import annotations
@@ -106,10 +107,17 @@ def kmeans_assignments(
     k <= ``max_literal_centroids`` (a flat, cheap plan: <= 512·dim·8
     bytes ≈ 262 KB at dim=64 — MLlib's own pattern at bounded k).
     Above that, centroids stay a DISTRIBUTED DataFrame, materialized
-    per iteration with localCheckpoint to truncate lineage — zero
-    driver collect, so max driver bytes is independent of corpus size
-    (the round-4 verdict's third-decade hazard: auto-k at n=1e9 used
-    to collect ~8M centroids per iteration).  The distributed carrier
+    per iteration with localCheckpoint to truncate lineage — no
+    collect-as-rows and no literal re-plan.  (The assignment join still
+    BROADCASTS the centroid table, and Spark builds broadcast relations
+    through the driver — so centroid bytes transit the driver once per
+    assignment either way; what bounds them is the auto-k cap, ≈33.5 MB
+    at AUTO_MAX_CENTROIDS=65536 × dim=64 doubles, independent of corpus
+    size.  A custom uncapped k sizes that broadcast at k·dim·8 bytes —
+    size driver/executor memory accordingly.)  The round-4 verdict's
+    third-decade hazard — auto-k at n=1e9 used to collect ~8M centroids
+    per iteration AND re-parse them as plan literals — is closed by the
+    cap plus this carrier.  The distributed carrier
     is measured FREE at the crossover scale — warmup-controlled at the
     100x fixture (n=200k, auto k=1600, dim=64): literal 59.9 s vs
     distributed 56.6 s (`measurements/scale_100x_latest.json::
@@ -175,9 +183,12 @@ def kmeans_assignments(
                 "cid long, cvec array<double>",
             )
         else:
-            # corpus-scaled k: centroids NEVER visit the driver — stay a
-            # distributed frame; localCheckpoint materializes it and
-            # truncates lineage so the per-iteration plan doesn't nest.
+            # corpus-scaled k: centroids stay a distributed frame — no
+            # collect-as-rows, no literal re-plan (they still transit
+            # the driver inside the assignment join's BroadcastExchange,
+            # bounded by the auto-k cap; see docstring).  localCheckpoint
+            # materializes and truncates lineage so the per-iteration
+            # plan doesn't nest.
             # localCheckpoint trades fault-tolerance for speed (executor
             # loss loses the truncated lineage): right for local/single-
             # box; on a long-lived cluster job point

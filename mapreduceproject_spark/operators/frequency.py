@@ -86,13 +86,11 @@ def heavy_hitters_exact(
         # counters only guarantees survival of items above N/(M+1), so a
         # capacity at or below 1/phi - 1 can silently drop a TRUE heavy
         # hitter from the candidate set — breaking the EXACT contract.
-        # suggest the minimal capacity THIS guard accepts (int(1/phi)
-        # truncates: for phi=0.3 it suggested 3, which the guard itself
-        # still rejects) — computed against the same float expression the
-        # guard evaluates, so the suggestion is accepted by construction
+        # suggest the minimal capacity this guard accepts:
+        # floor(1/phi) + 1 > 1/phi holds for every real 1/phi (the
+        # fractional part is < 1), so the suggestion is accepted by
+        # construction
         min_cap = math.floor(1.0 / phi)
-        if min_cap + 1 <= 1.0 / phi:
-            min_cap += 1
         raise ValueError(
             f"capacity={capacity} cannot guarantee phi={phi} candidates: "
             f"need capacity + 1 > 1/phi (capacity >= {min_cap})"

@@ -269,10 +269,21 @@ def probe_masks(num_bits: int, probe_bits: int) -> list[int]:
     the multi-probe bucket neighborhood, in deterministic
     (popcount, value) order (identity mask first).  Shared by the Spark
     operator and the oracle SQL so both probe the same bucket set."""
-    masks = [
-        m for m in range(1 << num_bits) if bin(m).count("1") <= probe_bits
-    ]
-    masks.sort(key=lambda m: (bin(m).count("1"), m))
+    # enumerate combinations directly — output-sized, Σ_j C(num_bits, j)
+    # masks — instead of scanning all 2^num_bits integers, which hangs
+    # the driver for legitimate wide signatures (2^32 iterations at the
+    # 32-bit widths large corpora want)
+    from itertools import combinations
+
+    masks: list[int] = []
+    for j in range(probe_bits + 1):
+        layer = []
+        for bits in combinations(range(num_bits), j):
+            m = 0
+            for b in bits:
+                m |= 1 << b
+            layer.append(m)
+        masks.extend(sorted(layer))
     return masks
 
 

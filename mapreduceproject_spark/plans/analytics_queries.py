@@ -1128,7 +1128,11 @@ def _approx_boundary_flags(
             F.array(*[F.lit(p) for p in probs]),
             F.lit(APPROX_HIST_ACC),
         ).alias("_bs"),
-        F.count("*").cast("long").alias("n_total"),
+        # count(value) not count(*): the sketch and the lt/le conditional
+        # counts below all ignore NULLs, so n_total must rank over the
+        # same population or the flag drifts FALSE on null-heavy inputs
+        # (e.g. quality NULL for whitespace-only docs)
+        F.count(F.col(value_col)).cast("long").alias("n_total"),
     )
     j = values.crossJoin(F.broadcast(bounds))
     aggs = []
@@ -1195,15 +1199,22 @@ def equidepth_histogram_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _approx_boundary_flags(v, "cents", HIST_BUCKETS)
 
 
-@query(
-    "quality_calibration_approx",
-    oracle="""
+def _quality_approx_oracle() -> str:
+    from mapreduceproject_spark.plans.text_queries import _quality_oracle
+
+    # COUNT(t.quality), not COUNT(*) over documents: n_total is the
+    # non-null-quality population the Spark side's sketch and conditional
+    # counts rank over (quality is NULL for whitespace-only docs)
+    return f"""
     SELECT CAST(boundary AS BIGINT) AS boundary,
-           (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS n_total,
+           (SELECT CAST(COUNT(t.quality) AS BIGINT)
+            FROM ({_quality_oracle()}) t) AS n_total,
            TRUE AS within_rank_bound
     FROM (SELECT unnest(range(1, 10)) AS boundary)
-    """,
-)
+    """
+
+
+@query("quality_calibration_approx", oracle=_quality_approx_oracle())
 def quality_calibration_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Production twin of quality_calibration_deciles: decile boundaries
     of the micro-quantized quality score from a GK sketch + one

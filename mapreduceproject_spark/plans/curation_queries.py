@@ -866,15 +866,23 @@ def _psi_oracle() -> str:
       JOIN tot ta ON ta.source = s.source AND ta.half = 0
       JOIN tot tb ON tb.source = s.source AND tb.half = 1
     ),
+    prods AS (
+      -- factors widened BEFORE the multiply (mirrors the Spark side's
+      -- decimal(19,0) factor casts): a BIGINT product would overflow at
+      -- ~3.1e9 docs per half
+      SELECT source, na, nb,
+             CAST(ca + 1 AS HUGEINT) * CAST(nb + {PSI_BINS} AS HUGEINT) AS pa,
+             CAST(cb + 1 AS HUGEINT) * CAST(na + {PSI_BINS} AS HUGEINT) AS pb
+      FROM grid
+    ),
     terms AS (
       SELECT source, na, nb,
-             CAST((ca + 1) * (nb + {PSI_BINS}) - (cb + 1) * (na + {PSI_BINS})
-                  AS HUGEINT)
-             * CAST(CAST(floor(ln((ca + 1) * (nb + {PSI_BINS})) * {PSI_LN_SCALE})
+             (pa - pb)
+             * CAST(CAST(floor(ln(CAST(pa AS DOUBLE)) * {PSI_LN_SCALE})
                          AS BIGINT)
-                    - CAST(floor(ln((cb + 1) * (na + {PSI_BINS})) * {PSI_LN_SCALE})
+                    - CAST(floor(ln(CAST(pb AS DOUBLE)) * {PSI_LN_SCALE})
                            AS BIGINT) AS HUGEINT) AS t
-      FROM grid
+      FROM prods
     )
     SELECT source,
            MAX(na) AS n_half_a,
@@ -959,10 +967,18 @@ def psi_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .fillna(0, subset=["ca", "cb"])
     )
-    a = (F.col("ca") + 1) * (F.col("nb") + PSI_BINS)
-    b = (F.col("cb") + 1) * (F.col("na") + PSI_BINS)
+    # factors cast to decimal BEFORE the multiply: ca,nb are per-half doc
+    # counts, so the int64 product (ca+1)*(nb+16) would wrap silently at
+    # ~3.1e9 docs per half — inside the design scale.  decimal(19,0) ×
+    # decimal(19,0) → decimal(38,0): exact up to 38 digits.
+    a = (F.col("ca") + 1).cast("decimal(19,0)") * (
+        F.col("nb") + PSI_BINS
+    ).cast("decimal(19,0)")
+    b = (F.col("cb") + 1).cast("decimal(19,0)") * (
+        F.col("na") + PSI_BINS
+    ).cast("decimal(19,0)")
     term = (
-        (a - b).cast("decimal(19,0)")
+        (a - b)
         * (
             F.floor(F.log(a.cast("double")) * PSI_LN_SCALE)
             - F.floor(F.log(b.cast("double")) * PSI_LN_SCALE)

@@ -23,7 +23,7 @@ ORACLES: dict[str, str] = {}
 
 # The driver's correctness window covers the first 50 registry entries in
 # order.  The rotation ledger: rounds 1-4 each produced a 50/50-green
-# CORRECTNESS_r0N.json (0 failures ever recorded); with 172 registered
+# CORRECTNESS_r0N.json (0 failures ever recorded); with 174 registered
 # queries the window must rotate, and the invariant we maintain is
 # (a) no entry's newest row predates its current algorithm, and
 # (b) rows age oldest-first.  After round 4: every entry has an

@@ -289,17 +289,28 @@ def upsert_latest_per_key(
     # ---- manifest protocol: immutable generation dirs + last-writer
     # manifest object (see docstring) -------------------------------------
     def latest_manifest() -> tuple[int, dict[str, str]]:
-        best: tuple[int, str] | None = None
+        """(highest manifest NUMBER seen, mapping of the newest PARSABLE
+        manifest).  The local commit below is fsync+hard-link so a torn
+        final manifest cannot happen here, but a less careful writer (or
+        a store without atomic publish) could still leave one: fall back
+        to the next-lower manifest for the mapping rather than bricking
+        the table on JSONDecodeError.  The torn file's number still
+        counts toward the return value so the next commit numbers ABOVE
+        it (its exclusive create would otherwise collide) and the
+        post-commit GC then sweeps it."""
+        entries: list[tuple[int, str]] = []
         if os.path.isdir(path):
             for entry in os.listdir(path):
                 if entry.startswith("_manifest-") and entry.endswith(".json"):
-                    mn = int(entry.split("-")[1])
-                    if best is None or (mn, entry) > best:
-                        best = (mn, entry)
-        if best is None:
-            return 0, {}
-        with open(os.path.join(path, best[1])) as f:
-            return best[0], json.load(f)
+                    entries.append((int(entry.split("-")[1]), entry))
+        entries.sort(reverse=True)
+        for _mn, name in entries:
+            try:
+                with open(os.path.join(path, name)) as f:
+                    return entries[0][0], json.load(f)
+            except (json.JSONDecodeError, OSError):
+                continue
+        return entries[0][0] if entries else 0, {}
 
     def apply_batch_manifest(batch: DataFrame, _bid: int) -> None:
         s = batch.sparkSession
@@ -338,18 +349,31 @@ def upsert_latest_per_key(
         for bk in buckets:
             if os.path.exists(os.path.join(path, gen, f"_kb={bk}")):
                 new_map[str(bk)] = gen
-        # THE commit: one new object, never an overwrite ('x' = exclusive
-        # create locally; a single PUT on an object store).  Crash before
-        # this line → table still reads as manifest mn; gen dir is swept
-        # as an orphan next batch.
+        # THE commit: one new object, never an overwrite.  Locally that
+        # is fsync'd-temp + hard-link — the link is atomic AND exclusive
+        # (fails if the name exists), so readers can never observe a
+        # torn manifest, only the whole object or nothing.  On an object
+        # store the equivalent is a single PUT (atomic by store
+        # contract).  Crash before the link → table still reads as
+        # manifest mn; the gen dir and the dot-prefixed tmp are swept as
+        # orphans by the next batch's GC.
         name = f"_manifest-{mn + 1:09d}-{swap}.json"
-        with open(os.path.join(path, name), "x") as f:
+        tmp = os.path.join(path, f"._manifest-tmp-{swap}.json")
+        with open(tmp, "w") as f:
             json.dump(new_map, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.link(tmp, os.path.join(path, name))
+        os.remove(tmp)
         # GC behind the commit: superseded manifests and generation dirs
         # no longer owning any bucket
         alive = set(new_map.values())
         for entry in os.listdir(path):
             if entry.startswith("_manifest-") and entry != name:
+                os.remove(os.path.join(path, entry))
+            elif entry.startswith("._manifest-tmp-"):
+                # a crashed writer's pre-link temp (ours was removed
+                # right after the link above)
                 os.remove(os.path.join(path, entry))
             elif entry.startswith("gen-") and entry not in alive:
                 shutil.rmtree(os.path.join(path, entry), ignore_errors=True)

@@ -562,6 +562,55 @@ def test_upsert_manifest_crash_before_commit_preserves_state(spark, tmp_path):
     assert not os.path.exists(orphan)
 
 
+def test_upsert_manifest_torn_highest_manifest_recovers(spark, tmp_path):
+    """A torn (half-written) HIGHEST-numbered manifest — a crashed writer
+    without the fsync+link discipline, or a store that tears writes —
+    must not brick the table: the reader falls back to the newest
+    parsable manifest, the next commit numbers ABOVE the torn file
+    (whose name would otherwise collide with an exclusive create), and
+    the post-commit GC sweeps it."""
+    import json as _json
+
+    path = str(tmp_path / "state_torn")
+    got1 = jobs.upsert_latest_per_key(
+        _lts_stream(
+            spark, tmp_path, {"k": [0, 1, 2], "ts": [1, 1, 1], "v": [5, 6, 7]}, "m1"
+        ),
+        spark,
+        path,
+        ["k"],
+        "ts",
+        num_buckets=4,
+        commit="manifest",
+    )
+    assert got1.count() == 3
+    live = [e for e in os.listdir(path) if e.startswith("_manifest-")]
+    assert len(live) == 1
+    mn = int(live[0].split("-")[1])
+    torn = os.path.join(path, f"_manifest-{mn + 1:09d}-deadbeef.json")
+    with open(torn, "w") as f:
+        f.write('{"0": "gen-dead')  # truncated mid-dump
+    # also an orphan pre-link temp from the same imagined crash
+    with open(os.path.join(path, "._manifest-tmp-deadbeef.json"), "w") as f:
+        f.write("{}")
+    # next batch reads through the PARSABLE manifest (state intact)...
+    got2 = jobs.upsert_latest_per_key(
+        _lts_stream(spark, tmp_path, {"k": [1], "ts": [2], "v": [60]}, "m2"),
+        spark,
+        path,
+        ["k"],
+        "ts",
+        num_buckets=4,
+        commit="manifest",
+    )
+    rows = {r["k"]: r["v"] for r in got2.collect()}
+    assert rows == {0: 5, 1: 60, 2: 7}
+    # ...commits above the torn number and sweeps it + the orphan temp
+    left = [e for e in os.listdir(path) if e.startswith(("_manifest-", "._manifest-tmp-"))]
+    assert len(left) == 1 and int(left[0].split("-")[1]) == mn + 2
+    _json.load(open(os.path.join(path, left[0])))  # parsable
+
+
 def _read_manifest_table(spark, path):
     import json
 
