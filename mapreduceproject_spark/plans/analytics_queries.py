@@ -1233,3 +1233,82 @@ def quality_calibration_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _approx_boundary_flags(qq, "qq", 10)
+
+
+# -- batch gap sessionization (round 5) ---------------------------------------
+# The batch twin of streaming's session_window_stats: split each user's
+# event stream into sessions at >SESSION_GAP_MIN-minute silences and
+# aggregate per session.  Plan shape: ONE user_id shuffle carries both
+# window passes (lag -> new-session flag, running sum -> session index)
+# and the per-(user, session) aggregate — never a global sort, and the
+# per-user partitions are exactly the natural key distribution, so at
+# 100 TB this is a single exchange + linear window scans (the classic
+# gaps-and-islands formulation).  Timestamps compare as exact epoch-µs
+# integers; revenue sums integer cents (the attribution_last_touch
+# discipline).
+SESSION_GAP_MIN = 30
+
+
+def _sessionize_oracle() -> str:
+    gap_us = SESSION_GAP_MIN * 60_000_000
+    return f"""
+    WITH ev AS (
+      SELECT user_id, event_id, epoch_us(ts) AS us,
+             CAST(floor(value * 100) AS BIGINT) AS cents
+      FROM events
+    ),
+    flagged AS (
+      SELECT *,
+             CASE WHEN lag(us) OVER w IS NULL
+                    OR us - lag(us) OVER w > {gap_us}
+                  THEN 1 ELSE 0 END AS is_new
+      FROM ev
+      WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+    ),
+    s AS (
+      SELECT *,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND CURRENT ROW) AS session_idx
+      FROM flagged
+    )
+    SELECT user_id,
+           CAST(session_idx AS BIGINT) AS session_idx,
+           CAST(MIN(us) AS BIGINT) AS start_us,
+           CAST(MAX(us) - MIN(us) AS BIGINT) AS duration_us,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(cents) AS DOUBLE) / 100.0 AS value_sum
+    FROM s GROUP BY 1, 2
+    """
+
+
+@query("batch_sessionize", oracle=_sessionize_oracle())
+def batch_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization over the events table: a session is a
+    maximal run of a user's events with no >{SESSION_GAP_MIN}-minute
+    silence; output one row per session (start, duration, event count,
+    value sum).  See the module comment for the one-shuffle
+    gaps-and-islands plan shape."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gap_us = SESSION_GAP_MIN * 60_000_000
+    lag_us = F.lag("us").over(w)
+    flagged = ev.withColumn(
+        "is_new",
+        F.when(
+            lag_us.isNull() | ((F.col("us") - lag_us) > gap_us), 1
+        ).otherwise(0),
+    )
+    s = flagged.withColumn("session_idx", F.sum("is_new").over(cum))
+    return s.groupBy("user_id", F.col("session_idx").cast("long").alias("session_idx")).agg(
+        F.min("us").cast("long").alias("start_us"),
+        (F.max("us") - F.min("us")).cast("long").alias("duration_us"),
+        F.count("*").cast("long").alias("n_events"),
+        (F.sum("cents").cast("double") / 100.0).alias("value_sum"),
+    )

@@ -1110,3 +1110,70 @@ def ngram_jaccard_est_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0.0))
         .alias("recall"),
     )
+
+
+# -- per-source duplication report (round 5) ---------------------------------
+# The dedup observability rollup every curation run publishes next to the
+# dedup itself: per source, how many docs participate in an exact-dup
+# group and how many keep-first would remove.  Two window functions over
+# ONE content-hash shuffle (count + first-keeper rank share the
+# partition), then a source-keyed partial+final aggregate — output is
+# O(sources), never O(corpus), and nothing about the shape changes at
+# 100 TB (the hash shuffle is the same one dedup_exact already pays).
+
+
+@query(
+    "dedup_source_report",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id, source, md5(substr(text, 1, {EXACT_PREFIX})) AS hk
+      FROM documents
+    ),
+    f AS (
+      SELECT source,
+             COUNT(*) OVER (PARTITION BY hk) AS n_copies,
+             row_number() OVER (PARTITION BY hk ORDER BY doc_id) AS rn
+      FROM h
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_docs,
+           CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_removed,
+           CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+             AS removal_rate
+    FROM f GROUP BY source
+    """,
+)
+def dedup_source_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source exact-dup rollup: n_docs, docs in a >1 group
+    (n_dup_docs), docs keep-first dedup would drop (n_removed, lowest
+    doc_id kept — dedup_exact's keeper rule), and the removal rate.
+    Same {EXACT_PREFIX}-char-prefix md5 key as dedup_exact, so the
+    report numbers the exact pipeline users already run."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    h = docs.select(
+        "doc_id",
+        "source",
+        F.md5(F.substring("text", 1, EXACT_PREFIX)).alias("hk"),
+    )
+    pw = Window.partitionBy("hk")
+    flagged = h.select(
+        "source",
+        F.count("*").over(pw).alias("n_copies"),
+        F.row_number()
+        .over(pw.orderBy("doc_id"))
+        .alias("rn"),
+    )
+    removed = F.sum(F.when(F.col("rn") > 1, 1).otherwise(0)).cast("long")
+    return flagged.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("n_copies") > 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_dup_docs"),
+        removed.alias("n_removed"),
+        (removed.cast("double") / F.count("*")).alias("removal_rate"),
+    )

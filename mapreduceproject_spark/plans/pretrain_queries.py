@@ -270,3 +270,78 @@ def embedding_split_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return split_centroid_drift(
         emb, "vec_id", "embedding", "label", DRIFT_SALT, DRIFT_MIN_COS
     )
+
+
+# -- per-dimension embedding health stats (round 5) ---------------------------
+# The embedding-table health gate run before any similarity/clustering
+# consumer: per dimension, n / mean / population variance / min / max.
+# Catches dead dims (var 0), scale blowouts, and band drift in one pass.
+# Plan shape: posexplode -> ONE 64-group aggregate (partial+final, map-
+# side combined); zero joins, output O(dim).  Determinism: components
+# micro-quantized (floor x*1e6, the functions/vectors contract), sums
+# carried in decimal so Σq and Σq² are exact at any corpus size (Σq² of
+# 1e12-scale terms wraps int64 at ~9M rows — SCALING known-cliff #5);
+# the final mean/var doubles divide once, identically on both engines.
+EMB_STATS_DIM = 64
+
+
+def _dim_stats_oracle() -> str:
+    from mapreduceproject_spark.functions.vectors import QUANT_SCALE, duck_quantize
+
+    return f"""
+    WITH q AS (
+      SELECT {duck_quantize("embedding")} AS qv FROM embeddings
+    ),
+    g AS (
+      SELECT d, qv[d] AS qd
+      FROM q, range(1, {EMB_STATS_DIM + 1}) t(d)
+    ),
+    a AS (
+      SELECT CAST(d AS BIGINT) AS d,
+             CAST(COUNT(qd) AS BIGINT) AS n,
+             SUM(CAST(qd AS HUGEINT)) AS s,
+             SUM(CAST(qd * qd AS HUGEINT)) AS s2,
+             MIN(qd) AS mn, MAX(qd) AS mx
+      FROM g GROUP BY 1
+    )
+    SELECT d, n,
+           CAST(s AS DOUBLE) / n / {QUANT_SCALE}.0 AS mean,
+           (CAST(s2 AS DOUBLE) / n
+              - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n))
+             / {QUANT_SCALE * QUANT_SCALE}.0 AS variance,
+           CAST(mn AS DOUBLE) / {QUANT_SCALE}.0 AS min_v,
+           CAST(mx AS DOUBLE) / {QUANT_SCALE}.0 AS max_v
+    FROM a
+    """
+
+
+@query("embedding_dim_stats", oracle=_dim_stats_oracle())
+def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding health: n, mean, population variance,
+    min, max over the micro-quantized components (see module comment for
+    the determinism + overflow discipline)."""
+    from mapreduceproject_spark.functions.vectors import QUANT_SCALE, quantize
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    g = emb.select(
+        F.posexplode(quantize(F.col("embedding"))).alias("d0", "qd")
+    ).select((F.col("d0") + 1).cast("long").alias("d"), "qd")
+    a = g.groupBy("d").agg(
+        F.count("qd").cast("long").alias("n"),
+        F.sum(F.col("qd").cast("decimal(19,0)")).alias("s"),
+        F.sum((F.col("qd") * F.col("qd")).cast("decimal(19,0)")).alias("s2"),
+        F.min("qd").alias("mn"),
+        F.max("qd").alias("mx"),
+    )
+    mean_q = F.col("s").cast("double") / F.col("n")
+    return a.select(
+        "d",
+        "n",
+        (mean_q / QUANT_SCALE).alias("mean"),
+        (
+            (F.col("s2").cast("double") / F.col("n") - mean_q * mean_q)
+            / (QUANT_SCALE * QUANT_SCALE)
+        ).alias("variance"),
+        (F.col("mn").cast("double") / QUANT_SCALE).alias("min_v"),
+        (F.col("mx").cast("double") / QUANT_SCALE).alias("max_v"),
+    )

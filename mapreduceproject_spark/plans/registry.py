@@ -23,7 +23,7 @@ ORACLES: dict[str, str] = {}
 
 # The driver's correctness window covers the first 50 registry entries in
 # order.  The rotation ledger: rounds 1-4 each produced a 50/50-green
-# CORRECTNESS_r0N.json (0 failures ever recorded); with 174 registered
+# CORRECTNESS_r0N.json (0 failures ever recorded); with 177 registered
 # queries the window must rotate, and the invariant we maintain is
 # (a) no entry's newest row predates its current algorithm, and
 # (b) rows age oldest-first.  After round 4: every entry has an
@@ -52,6 +52,10 @@ ORACLES: dict[str, str] = {}
 #          their CORRECTNESS_r02 order.
 # Tail: the remaining r2-row entries oldest-first, so they lead round
 # 6; r3/r4-fresh untouched entries follow in registration order.
+# ROUND-6 WINDOW LEADERS (never driver-run): the three round-5 late
+# additions — batch_sessionize, embedding_dim_stats,
+# dedup_source_report (registered after the r5 window froze; builder
+# parity only) — then the r2-row tail below, oldest-first.
 # Names absent from the registry are ignored (a pytest guards against
 # typos).  Every registry entry, windowed or not, is parity-checked
 # in-repo against its DuckDB oracle at sf0.001

@@ -423,3 +423,34 @@ def test_split_drift_partial_agg_no_cartesian(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "partial_sum" in plan
     assert plan.count("Scan parquet") <= 2
+
+
+def test_batch_sessionize_single_user_exchange(spark, sf_dir):
+    # gaps-and-islands: lag flag, running session index, and the
+    # per-(user, session) aggregate must all ride ONE user_id exchange —
+    # the groupBy reuses the window's hashpartitioning(user_id)
+    plan = _plan(QUERIES["batch_sessionize"](spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "CartesianProduct" not in plan
+    # no global sort: every Sort node must be in-partition (global=false)
+    import re
+
+    for m in re.finditer(r"Sort \[[^\]]*\], (\w+),", plan):
+        assert m.group(1) == "false", f"global sort in plan: {m.group(0)}"
+
+
+def test_embedding_dim_stats_partial_agg_one_exchange(spark, sf_dir):
+    # posexplode then ONE 64-group aggregate: map-side partial combine,
+    # single exchange on the dimension key, no joins at all
+    plan = _plan(QUERIES["embedding_dim_stats"](spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1
+    for op in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin"):
+        assert op not in plan
+
+
+def test_dedup_source_report_shares_hash_exchange(spark, sf_dir):
+    # both window passes (copies count, keeper rank) share the content-
+    # hash exchange; the only other exchange is the O(sources) rollup
+    plan = _plan(QUERIES["dedup_source_report"](spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "CartesianProduct" not in plan
