@@ -282,11 +282,14 @@ def embedding_split_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 # carried in decimal so Σq and Σq² are exact at any corpus size (Σq² of
 # 1e12-scale terms wraps int64 at ~9M rows — SCALING known-cliff #5);
 # the final mean/var doubles divide once, identically on both engines.
-EMB_STATS_DIM = 64
 
 
 def _dim_stats_oracle() -> str:
+    # EMB_DIM is similarity_queries' single source of truth for the
+    # fixture dimensionality; reusing it keeps this oracle's range() in
+    # lockstep with every other embedding consumer
     from mapreduceproject_spark.functions.vectors import QUANT_SCALE, duck_quantize
+    from mapreduceproject_spark.plans.similarity_queries import EMB_DIM
 
     return f"""
     WITH q AS (
@@ -294,7 +297,7 @@ def _dim_stats_oracle() -> str:
     ),
     g AS (
       SELECT d, qv[d] AS qd
-      FROM q, range(1, {EMB_STATS_DIM + 1}) t(d)
+      FROM q, range(1, {EMB_DIM + 1}) t(d)
     ),
     a AS (
       SELECT CAST(d AS BIGINT) AS d,
@@ -305,9 +308,9 @@ def _dim_stats_oracle() -> str:
       FROM g GROUP BY 1
     )
     SELECT d, n,
-           CAST(s AS DOUBLE) / n / {QUANT_SCALE}.0 AS mean,
-           (CAST(s2 AS DOUBLE) / n
-              - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n))
+           CAST(s AS DOUBLE) / NULLIF(n, 0) / {QUANT_SCALE}.0 AS mean,
+           (CAST(s2 AS DOUBLE) / NULLIF(n, 0)
+              - (CAST(s AS DOUBLE) / NULLIF(n, 0)) * (CAST(s AS DOUBLE) / NULLIF(n, 0)))
              / {QUANT_SCALE * QUANT_SCALE}.0 AS variance,
            CAST(mn AS DOUBLE) / {QUANT_SCALE}.0 AS min_v,
            CAST(mx AS DOUBLE) / {QUANT_SCALE}.0 AS max_v
@@ -333,13 +336,17 @@ def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("qd").alias("mn"),
         F.max("qd").alias("mx"),
     )
-    mean_q = F.col("s").cast("double") / F.col("n")
+    # nullif: a dimension whose every component is NULL groups with
+    # count(qd) = 0 — NULL stats on both engines, never an ANSI
+    # DIVIDE_BY_ZERO abort (the functions/vectors discipline)
+    n_safe = F.nullif(F.col("n"), F.lit(0))
+    mean_q = F.col("s").cast("double") / n_safe
     return a.select(
         "d",
         "n",
         (mean_q / QUANT_SCALE).alias("mean"),
         (
-            (F.col("s2").cast("double") / F.col("n") - mean_q * mean_q)
+            (F.col("s2").cast("double") / n_safe - mean_q * mean_q)
             / (QUANT_SCALE * QUANT_SCALE)
         ).alias("variance"),
         (F.col("mn").cast("double") / QUANT_SCALE).alias("min_v"),

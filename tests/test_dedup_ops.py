@@ -463,3 +463,39 @@ def test_connected_components_empty_pairs_terminates_clean(spark):
     empty = spark.createDataFrame([], "id_a bigint, id_b bigint")
     out = dd.duplicate_clusters(empty)
     assert out.count() == 0
+
+
+def test_source_report_matches_exact_dedup_keeper_rule(spark, sf_dir):
+    """dedup_source_report promises to number the SAME pipeline
+    dedup_exact runs: per source, n_removed must equal the docs that
+    exact_dedup_groups' keeper rule (keep MIN(doc_id) per md5-prefix
+    group) would discard.  Recomputed here from the operator's own
+    output so a keeper-rule change in either place breaks this test."""
+    from pyspark.sql import functions as F
+
+    from mapreduceproject_spark.operators.dedup import exact_dedup_groups
+    from mapreduceproject_spark.plans import QUERIES
+    from mapreduceproject_spark.plans.dedup_queries import EXACT_PREFIX
+    from mapreduceproject_spark.sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    key = F.substring("text", 1, EXACT_PREFIX)
+    groups = exact_dedup_groups(docs, "doc_id", key)
+    # removed = group members minus the keeper, attributed to THEIR source
+    removed_per_source = {
+        r["source"]: r["n"]
+        for r in (
+            docs.select("doc_id", "source", F.md5(key).alias("key_md5"))
+            .join(groups.select("key_md5", "keeper"), "key_md5")
+            .filter(F.col("doc_id") != F.col("keeper"))
+            .groupBy("source")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        )
+    }
+    report = {
+        r["source"]: r["n_removed"]
+        for r in QUERIES["dedup_source_report"](spark, sf_dir).collect()
+    }
+    assert {s: n for s, n in report.items() if n > 0} == removed_per_source
+    assert sum(removed_per_source.values()) > 0  # fixture has dup groups
