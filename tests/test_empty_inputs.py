@@ -79,6 +79,15 @@ REPRESENTATIVE = [
     "budget_top_p_selection",
     "bigram_surprisal_filter",
     "knn_bfs_reach",
+    # round-5 waves
+    "ngram_jaccard_est_recall",
+    "equidepth_histogram_approx",
+    "quality_calibration_approx",
+    "psi_distribution_drift",
+    "stratified_fixed_k_sample",
+    "batch_sessionize",
+    "embedding_dim_stats",
+    "dedup_source_report",
 ]
 
 
