@@ -372,3 +372,41 @@ def test_equidepth_approx_ignores_nulls(spark):
     )
     rows = equidepth_approx(df, "v", buckets=4).collect()
     assert sum(r.n for r in rows) == 100  # NULLs excluded, not bucket-1 noise
+
+
+def test_sessionize_hand_timeline(spark, tmp_path):
+    """Gap-boundary behavior: exactly 30 minutes of silence continues the
+    session, 30 minutes + 1 µs starts a new one; a lone event is a
+    1-event zero-duration session; session_idx restarts per user."""
+    import datetime as dt
+
+    from mapreduceproject_spark.plans.analytics_queries import batch_sessionize
+
+    t0 = dt.datetime(2024, 3, 1, 9, 0, 0)
+    m = dt.timedelta(minutes=1)
+    us = dt.timedelta(microseconds=1)
+    rows = [
+        # user 1: [e1, e2 (gap exactly 30m -> SAME session)],
+        #         [e3 (gap 30m + 1us -> NEW session), e4]
+        Row(event_id=1, ts=t0, user_id=1, event_type="view", value=1.0, props="{}"),
+        Row(event_id=2, ts=t0 + 30 * m, user_id=1, event_type="view", value=2.0, props="{}"),
+        Row(event_id=3, ts=t0 + 60 * m + us, user_id=1, event_type="view", value=4.0, props="{}"),
+        Row(event_id=4, ts=t0 + 70 * m + us, user_id=1, event_type="view", value=8.0, props="{}"),
+        # user 2: a single event -> one zero-duration session
+        Row(event_id=5, ts=t0, user_id=2, event_type="view", value=16.0, props="{}"),
+    ]
+    path = str(tmp_path / "events.parquet")
+    spark.createDataFrame(rows).withColumn(
+        "ts", F.col("ts").cast("timestamp_ntz")
+    ).write.parquet(path)
+    out = {
+        (r.user_id, r.session_idx): (r.start_us, r.duration_us, r.n_events, r.value_sum)
+        for r in batch_sessionize(spark, str(tmp_path)).collect()
+    }
+    t0_us = int(t0.replace(tzinfo=dt.timezone.utc).timestamp()) * 1_000_000
+    thirty = 30 * 60 * 1_000_000
+    assert out == {
+        (1, 1): (t0_us, thirty, 2, 3.0),
+        (1, 2): (t0_us + 2 * thirty + 1, 10 * 60 * 1_000_000, 2, 12.0),
+        (2, 1): (t0_us, 0, 1, 16.0),
+    }
