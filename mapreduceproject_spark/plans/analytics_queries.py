@@ -1114,13 +1114,24 @@ APPROX_HIST_ACC = 10_000
 
 
 def _approx_boundary_flags(
-    values: DataFrame, value_col: str, n_buckets: int
+    values: DataFrame, value_col: str, n_buckets: int, cache_values: bool = False
 ) -> DataFrame:
     """(boundary, n_total, within_rank_bound) for the n_buckets-1 interior
     approx_percentile boundaries of ``values[value_col]`` — the shared
     plan shape of the approx-ntile twins: one sketch aggregate, one
     broadcast of (n_buckets-1) scalars, one conditional-aggregate pass,
-    zero global sorts."""
+    zero global sorts.
+
+    ``cache_values`` persists the narrow one-column projection between
+    the two passes.  Decision rule: set it when the values pipeline is
+    EXPENSIVE to recompute (quality scoring re-tokenizes the corpus —
+    measured 19.7 s/pass at the 100× fixture, so the uncached twin cost
+    2× that and lost to the exact query it replaces); leave it off when
+    values come straight off a pruned column scan (equidepth's cents —
+    re-scanning one parquet column is cheaper than store+read of a
+    corpus-sized cache)."""
+    if cache_values:
+        values = values.persist()
     probs = [i / n_buckets for i in range(1, n_buckets)]
     bounds = values.agg(
         F.percentile_approx(
@@ -1232,7 +1243,7 @@ def quality_calibration_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.col("quality") * Q_SCALE).cast("long").alias("qq")
         )
     )
-    return _approx_boundary_flags(qq, "qq", 10)
+    return _approx_boundary_flags(qq, "qq", 10, cache_values=True)
 
 
 # -- batch gap sessionization (round 5) ---------------------------------------
