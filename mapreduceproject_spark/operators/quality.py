@@ -235,12 +235,19 @@ def shingle_novelty(
 ) -> DataFrame:
     """Per-document novelty: distinct k-shingles, corpus-unique shingles,
     and novelty in basis points (⌊1e4·unique/distinct⌋, exact integer)."""
+    from pyspark.sql import Window
+
     sh = word_shingle_rows(df, F.col(text_col), k, [id_col]).select(
         id_col, "sh"
     ).distinct()
-    docfreq = sh.groupBy("sh").agg(F.count("*").alias("df_sh"))
+    # df(sh) as a count-over-window instead of a groupBy+join back: the
+    # join formulation consumed the distinct (doc, shingle) stream twice
+    # (re-running tokenize+shingle+distinct per consumer — measured
+    # 26.9 → 16.6 s at the 100× fixture), and at corpus scale caching
+    # that stream is exactly the thing you can't afford; the window
+    # reads it once, shuffled on the shingle
     return (
-        sh.join(docfreq, "sh")
+        sh.withColumn("df_sh", F.count("*").over(Window.partitionBy("sh")))
         .groupBy(id_col)
         .agg(
             F.count("*").alias("n_shingles"),
