@@ -1192,6 +1192,7 @@ def _approx_boundary_flags(
            (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem) AS n_total,
            TRUE AS within_rank_bound
     FROM (SELECT unnest(range(1, {HIST_BUCKETS})) AS boundary)
+    WHERE EXISTS (SELECT 1 FROM lineitem)
     """,
 )
 def equidepth_histogram_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1222,6 +1223,11 @@ def _quality_approx_oracle() -> str:
             FROM ({_quality_oracle()}) t) AS n_total,
            TRUE AS within_rank_bound
     FROM (SELECT unnest(range(1, 10)) AS boundary)
+    -- emit boundaries only when the value source has rows: the Spark
+    -- builder's conditional-aggregate pass groups over the value rows,
+    -- so an empty source yields 0 rows (all-NULL values still yield
+    -- n_buckets-1 rows with n_total=0 on BOTH sides)
+    WHERE EXISTS (SELECT 1 FROM ({_quality_oracle()}) t2)
     """
 
 

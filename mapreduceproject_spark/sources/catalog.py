@@ -87,9 +87,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # all fail parity under a non-UTC session).  Runtime-settable conf;
     # idempotent for sessions our factory built.  DOCUMENTED SIDE EFFECT:
     # the pin is unconditional (parity is the contract of every query in
-    # this package), but overriding an explicitly non-UTC session value
+    # this package), and overriding any non-UTC EFFECTIVE session value
     # warns once per application so the caller learns their timestamp
     # semantics changed instead of discovering it in shifted results.
+    # conf.get returns the JVM default zone when the user never set
+    # spark.sql.session.timeZone, so on a non-UTC host the warning fires
+    # for implicit defaults too — deliberately: the semantics change
+    # either way, and the runtime conf API cannot distinguish the two.
     current = spark.conf.get("spark.sql.session.timeZone", None)
     if current is not None and current != "UTC":
         key = spark.sparkContext.applicationId
@@ -97,10 +101,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             import warnings
 
             warnings.warn(
-                f"load_table: overriding spark.sql.session.timeZone "
-                f"{current!r} -> 'UTC' — fixture queries and their DuckDB "
-                f"oracles assume UTC wall-clock timestamps (warned once "
-                f"per application)",
+                f"load_table: overriding effective "
+                f"spark.sql.session.timeZone {current!r} (explicitly set "
+                f"or the JVM default) -> 'UTC' — fixture queries and "
+                f"their DuckDB oracles assume UTC wall-clock timestamps "
+                f"(warned once per application)",
                 stacklevel=2,
             )
             _TZ_WARNED.add(key)

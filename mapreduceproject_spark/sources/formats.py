@@ -117,27 +117,52 @@ def compact_parquet(
     import os
 
     total = 0
-    # Walk DOWN the directory chain collecting key=value levels until the
-    # first non-partition entry: a nested layout a=1/b=2/part.parquet has
-    # TWO partition columns, and detecting only the top level would
-    # silently rewrite 'b' as a data column — losing its directory
-    # structure and every reader's pruning on it.  One chain suffices:
-    # Hive layouts are uniform-depth with one column name per level.
+    # Walk DOWN the directory tree level by level collecting key=value
+    # partition columns: a nested layout a=1/b=2/part.parquet has TWO
+    # partition columns, and detecting only the top level would silently
+    # rewrite 'b' as a data column — losing its directory structure and
+    # every reader's pruning on it.  The whole FRONTIER is examined per
+    # level, not just the first sorted chain: after a partial partition
+    # delete the first value dir can be shallower (empty) than its
+    # siblings, and a single-chain walk would under-detect the deeper
+    # columns and hit the same silent rewrite one level down.  Sibling
+    # dirs must agree on the level's column name, and a level mixing
+    # partition dirs with data files is not a Hive layout — both raise
+    # instead of guessing.
     part_cols: list[str] = []
-    level = src
-    while True:
-        entries = sorted(
-            e
-            for e in os.listdir(level)
-            if "=" in e and os.path.isdir(os.path.join(level, e))
-        )
-        if not entries:
+    frontier = [src]
+    while frontier:
+        next_frontier: list[str] = []
+        cols_here: set[str] = set()
+        has_data = False
+        for d in frontier:
+            for e in sorted(os.listdir(d)):
+                p = os.path.join(d, e)
+                if "=" in e and os.path.isdir(p):
+                    cols_here.add(e.split("=", 1)[0])
+                    next_frontier.append(p)
+                elif os.path.isfile(p) and not e.startswith(("_", ".")):
+                    has_data = True
+        if not cols_here:
             break
-        col = entries[0].split("=", 1)[0]
+        if len(cols_here) > 1:
+            raise ValueError(
+                f"compact_parquet: inconsistent partition layout under "
+                f"{src!r} — level {len(part_cols)} mixes column names "
+                f"{sorted(cols_here)}"
+            )
+        if has_data:
+            raise ValueError(
+                f"compact_parquet: inconsistent partition depth under "
+                f"{src!r} — data files sit beside "
+                f"{cols_here.pop()}=... partition dirs at level "
+                f"{len(part_cols)}"
+            )
+        col = cols_here.pop()
         if not col or col in part_cols:
             break
         part_cols.append(col)
-        level = os.path.join(level, entries[0])
+        frontier = next_frontier
     for root, _dirs, files in os.walk(src):
         for f in files:
             if not f.startswith(("_", ".")):

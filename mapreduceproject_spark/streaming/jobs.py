@@ -267,6 +267,7 @@ def upsert_latest_per_key(
     """
     import json
     import os
+    import re
     import shutil
 
     from pyspark.sql import Window
@@ -288,29 +289,53 @@ def upsert_latest_per_key(
 
     # ---- manifest protocol: immutable generation dirs + last-writer
     # manifest object (see docstring) -------------------------------------
-    def latest_manifest() -> tuple[int, dict[str, str]]:
-        """(highest manifest NUMBER seen, mapping of the newest PARSABLE
-        manifest).  The local commit below is fsync+hard-link so a torn
-        final manifest cannot happen here, but a less careful writer (or
-        a store without atomic publish) could still leave one: fall back
-        to the next-lower manifest for the mapping rather than bricking
-        the table on JSONDecodeError.  The torn file's number still
-        counts toward the return value so the next commit numbers ABOVE
-        it (its exclusive create would otherwise collide) and the
-        post-commit GC then sweeps it."""
+    manifest_re = re.compile(r"^_manifest-(\d{9})-[0-9a-f]{8}\.json$")
+
+    def scan_manifests() -> tuple[int, str | None, dict[str, str], set[str], int]:
+        """(highest manifest NUMBER seen, name of the newest PARSABLE
+        manifest or None, its mapping, generation dirs referenced by ANY
+        parsable manifest, count of manifest files).  The local commit
+        below is fsync+hard-link so a torn final manifest cannot happen
+        here, but a less careful writer (or a store without atomic
+        publish) could still leave one: fall back to the next-lower
+        manifest for the mapping rather than bricking the table on
+        JSONDecodeError.  The torn file's number still counts toward the
+        return value so the next commit numbers ABOVE it (its exclusive
+        create would otherwise collide) and the post-commit GC then
+        sweeps it.  Names must match the strict pattern the writer
+        produces — a stray `_manifest-backup.json` is neither a commit
+        point nor ours to delete, so it is skipped entirely instead of
+        crashing the int parse and bricking every subsequent batch."""
         entries: list[tuple[int, str]] = []
         if os.path.isdir(path):
             for entry in os.listdir(path):
-                if entry.startswith("_manifest-") and entry.endswith(".json"):
-                    entries.append((int(entry.split("-")[1]), entry))
+                m = manifest_re.match(entry)
+                if m:
+                    entries.append((int(m.group(1)), entry))
         entries.sort(reverse=True)
-        for _mn, name in entries:
+        newest_name: str | None = None
+        newest_map: dict[str, str] = {}
+        referenced: set[str] = set()
+        for _n, name in entries:
             try:
                 with open(os.path.join(path, name)) as f:
-                    return entries[0][0], json.load(f)
+                    mp = json.load(f)
             except (json.JSONDecodeError, OSError):
                 continue
-        return entries[0][0] if entries else 0, {}
+            if newest_name is None:
+                newest_name, newest_map = name, mp
+            referenced.update(mp.values())
+        highest = entries[0][0] if entries else 0
+        return highest, newest_name, newest_map, referenced, len(entries)
+
+    def _refuse_unparsable(n_files: int) -> None:
+        raise RuntimeError(
+            f"upsert_latest_per_key: {n_files} manifest file(s) at "
+            f"{path!r} but none parsable — refusing to treat the table "
+            f"as empty (the orphan sweep would delete every generation "
+            f"dir and silently destroy state); restore a manifest or "
+            f"clear the directory to reset the table"
+        )
 
     def apply_batch_manifest(batch: DataFrame, _bid: int) -> None:
         s = batch.sparkSession
@@ -319,11 +344,19 @@ def upsert_latest_per_key(
         if not buckets:
             return
         os.makedirs(path, exist_ok=True)
-        mn, mapping = latest_manifest()
-        # orphan sweep: a generation dir not referenced by the latest
+        mn, cur_name, mapping, referenced, n_files = scan_manifests()
+        if n_files and cur_name is None:
+            # manifests exist but NONE parse: "empty mapping" here is not
+            # "empty table" — sweeping would delete every generation dir.
+            # Fail loudly instead (keep-last-2 GC below makes this state
+            # require two independent torn writes, but a single-manifest
+            # table or an external mangler can still reach it).
+            _refuse_unparsable(n_files)
+        # orphan sweep: a generation dir not referenced by ANY parsable
         # manifest is a crashed batch's leftover (the manifest write IS
-        # the commit point) — reclaim it before writing our own
-        referenced = set(mapping.values())
+        # the commit point) — reclaim it before writing our own.  The
+        # union (not just the newest mapping) keeps the retained previous
+        # manifest readable as a fallback: its exclusive gens survive.
         for entry in os.listdir(path):
             if entry.startswith("gen-") and entry not in referenced:
                 shutil.rmtree(os.path.join(path, entry), ignore_errors=True)
@@ -365,11 +398,17 @@ def upsert_latest_per_key(
             os.fsync(f.fileno())
         os.link(tmp, os.path.join(path, name))
         os.remove(tmp)
-        # GC behind the commit: superseded manifests and generation dirs
-        # no longer owning any bucket
-        alive = set(new_map.values())
+        # GC behind the commit: keep-last-2 — the new manifest plus the
+        # parsable predecessor we merged from (and both generation sets),
+        # so one torn/lost newest manifest still falls back to a fully
+        # readable previous state instead of an empty mapping whose next
+        # orphan sweep would destroy every bucket.  Everything older, and
+        # any well-formed-but-torn stray, is swept; non-conforming names
+        # are not ours and are left alone.
+        keep = {name} | ({cur_name} if cur_name else set())
+        alive = set(new_map.values()) | set(mapping.values())
         for entry in os.listdir(path):
-            if entry.startswith("_manifest-") and entry != name:
+            if manifest_re.match(entry) and entry not in keep:
                 os.remove(os.path.join(path, entry))
             elif entry.startswith("._manifest-tmp-"):
                 # a crashed writer's pre-link temp (ours was removed
@@ -458,7 +497,9 @@ def upsert_latest_per_key(
     )
     q.awaitTermination()
     if commit == "manifest":
-        _mn, mapping = latest_manifest()
+        _mn, cur_name, mapping, _ref, n_files = scan_manifests()
+        if n_files and cur_name is None:
+            _refuse_unparsable(n_files)
         if not mapping:
             return spark.createDataFrame([], schema=stream.schema)
         dirs = [

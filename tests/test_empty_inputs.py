@@ -7,7 +7,7 @@ from __future__ import annotations
 import pytest
 
 from mapreduceproject_spark.plans import QUERIES
-from mapreduceproject_spark.sources.catalog import TABLES, load_table
+from mapreduceproject_spark.sources.catalog import TABLES
 
 REPRESENTATIVE = [
     "word_count",
@@ -94,13 +94,15 @@ REPRESENTATIVE = [
 @pytest.fixture(scope="module")
 def empty_sf_dir(spark, sf_dir, tmp_path_factory):
     """A fixture dir with every table present but 0 rows (schemas intact)."""
+    import pyarrow.parquet as pq
+
     root = tmp_path_factory.mktemp("empty_sf")
     for name in TABLES:
-        df = load_table(spark, sf_dir, name)
-        if name == "events":
-            # recreate the raw nanos-long layout the catalog expects
-            df = spark.read.parquet(f"{sf_dir}/events.parquet")
-        df.limit(0).write.parquet(str(root / f"{name}.parquet"))
+        # zero-row slice of the REAL file: preserves the raw on-disk
+        # schema exactly (incl. events' nanos-long layout) and stays a
+        # single parquet file, readable by Spark AND the DuckDB oracle
+        t = pq.read_table(f"{sf_dir}/{name}.parquet")
+        pq.write_table(t.slice(0, 0), str(root / f"{name}.parquet"))
     return str(root)
 
 
@@ -108,3 +110,17 @@ def empty_sf_dir(spark, sf_dir, tmp_path_factory):
 def test_runs_on_empty_tables(spark, empty_sf_dir, name):
     rows = QUERIES[name](spark, empty_sf_dir).collect()
     assert isinstance(rows, list)  # no exception; row count is free to be 0
+
+
+@pytest.mark.parametrize(
+    "name", ["equidepth_histogram_approx", "quality_calibration_approx"]
+)
+def test_approx_twins_oracle_parity_on_empty(spark, empty_sf_dir, name):
+    """Full oracle PARITY (not just no-crash) on 0-row tables: the Spark
+    builders emit no boundary rows when the value source is empty, and the
+    oracles' EXISTS gate must agree — the latent mismatch was an oracle
+    that unconditionally unnested its boundary range."""
+    from mapreduceproject_spark.oracle import check_query
+
+    rep = check_query(spark, name, empty_sf_dir)
+    assert rep.ok, f"{name}: {rep.mismatches}"

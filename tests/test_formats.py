@@ -160,3 +160,56 @@ def test_compact_parquet_preserves_nested_partition_layout(spark, tmp_path):
     assert dest_dirs == src_dirs and len(dest_dirs) == 6
     back = spark.read.parquet(dest).select(*df.columns)
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+
+
+def test_compact_parquet_detects_nested_cols_past_emptied_first_chain(
+    spark, tmp_path
+):
+    """After a partial partition delete the FIRST sorted value dir can be
+    shallower (emptied) than its siblings; a single-chain walk would then
+    under-detect the deeper partition columns and silently rewrite them
+    as data columns.  The frontier walk must still find 'b' through the
+    surviving sibling."""
+    import glob
+    import shutil
+
+    from mapreduceproject_spark.sources.formats import compact_parquet
+
+    df = spark.createDataFrame(
+        [(i, i % 2, i % 3, f"v{i}") for i in range(60)],
+        "id long, a long, b long, payload string",
+    )
+    src = str(tmp_path / "holey_src")
+    df.write.partitionBy("a", "b").parquet(src)
+    # partial delete: a=0 loses all its b=... children but the dir remains
+    for sub in glob.glob(f"{src}/a=0/b=*"):
+        shutil.rmtree(sub)
+    dest = str(tmp_path / "holey_dest")
+    compact_parquet(spark, src, dest, target_mb=128)
+    dest_dirs = {p.split(dest + "/", 1)[1] for p in glob.glob(f"{dest}/a=*/b=*")}
+    assert dest_dirs == {f"a=1/b={b}" for b in range(3)}
+    back = spark.read.parquet(dest).select(*df.columns)
+    expect = df.filter("a = 1")
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, expect.collect()))
+
+
+def test_compact_parquet_rejects_inconsistent_layout(spark, tmp_path):
+    """Data files sitting beside key=value partition dirs at the same
+    level is not a Hive layout — compaction must refuse loudly instead of
+    guessing a partitioning that would drop or misfile rows."""
+    import shutil
+
+    import pytest
+
+    from mapreduceproject_spark.sources.formats import compact_parquet
+
+    df = spark.createDataFrame([(i, i % 2) for i in range(10)], "id long, a long")
+    src = str(tmp_path / "mixed_src")
+    df.write.partitionBy("a").parquet(src)
+    flat = str(tmp_path / "flat")
+    df.drop("a").write.parquet(flat)
+    import glob as _g
+
+    shutil.copy(_g.glob(f"{flat}/part-*.parquet")[0], f"{src}/stray.parquet")
+    with pytest.raises(ValueError, match="inconsistent partition depth"):
+        compact_parquet(spark, src, str(tmp_path / "mixed_dest"))

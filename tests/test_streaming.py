@@ -510,15 +510,17 @@ def test_upsert_manifest_commit_matches_rename(spark, tmp_path, monkeypatch):
         monkeypatch.setattr(_os, "rename", real_rename)
     rows = {r["k"]: r["v"] for r in got2.collect()}
     assert rows[7] == 99 and len(rows) == 30
-    # exactly one live manifest, and every gen dir it references exists
-    manifests = [e for e in os.listdir(path) if e.startswith("_manifest-")]
-    assert len(manifests) == 1
+    # keep-last-2 GC: the live manifest plus its parsable predecessor
+    # (the fallback), and every gen dir EITHER references exists
+    manifests = sorted(e for e in os.listdir(path) if e.startswith("_manifest-"))
+    assert len(manifests) == 2
     import json
 
-    mapping = json.load(open(os.path.join(path, manifests[0])))
-    assert mapping and all(
-        os.path.isdir(os.path.join(path, g)) for g in set(mapping.values())
-    )
+    for m in manifests:
+        mapping = json.load(open(os.path.join(path, m)))
+        assert mapping and all(
+            os.path.isdir(os.path.join(path, g)) for g in set(mapping.values())
+        )
 
 
 def test_upsert_manifest_crash_before_commit_preserves_state(spark, tmp_path):
@@ -605,10 +607,116 @@ def test_upsert_manifest_torn_highest_manifest_recovers(spark, tmp_path):
     )
     rows = {r["k"]: r["v"] for r in got2.collect()}
     assert rows == {0: 5, 1: 60, 2: 7}
-    # ...commits above the torn number and sweeps it + the orphan temp
-    left = [e for e in os.listdir(path) if e.startswith(("_manifest-", "._manifest-tmp-"))]
-    assert len(left) == 1 and int(left[0].split("-")[1]) == mn + 2
-    _json.load(open(os.path.join(path, left[0])))  # parsable
+    # ...commits above the torn number, sweeps it + the orphan temp, and
+    # keeps the parsable predecessor as the fallback (keep-last-2)
+    left = sorted(
+        e
+        for e in os.listdir(path)
+        if e.startswith(("_manifest-", "._manifest-tmp-"))
+    )
+    assert [int(e.split("-")[1]) for e in left] == [mn, mn + 2]
+    for e in left:
+        _json.load(open(os.path.join(path, e)))  # both parsable
+
+
+def test_upsert_manifest_all_torn_refuses_and_preserves_gens(spark, tmp_path):
+    """When manifest files exist but NONE parse, the table state is
+    unknowable — the next batch must FAIL LOUDLY and leave every
+    generation dir in place, never orphan-sweep them as if the table
+    were empty (that would silently destroy all untouched buckets)."""
+    import pytest
+
+    path = str(tmp_path / "state_allton")
+    jobs.upsert_latest_per_key(
+        _lts_stream(
+            spark, tmp_path, {"k": [0, 1, 2], "ts": [1, 1, 1], "v": [5, 6, 7]}, "a1"
+        ),
+        spark,
+        path,
+        ["k"],
+        "ts",
+        num_buckets=4,
+        commit="manifest",
+    )
+    gens_before = sorted(e for e in os.listdir(path) if e.startswith("gen-"))
+    assert gens_before
+    # mangle EVERY manifest in place (external corruption / torn writes)
+    for e in os.listdir(path):
+        if e.startswith("_manifest-"):
+            with open(os.path.join(path, e), "w") as f:
+                f.write('{"0": "gen-')
+    # the RuntimeError surfaces through awaitTermination wrapped in
+    # StreamingQueryException; match on the message instead of the type
+    with pytest.raises(Exception, match="none parsable"):
+        jobs.upsert_latest_per_key(
+            _lts_stream(spark, tmp_path, {"k": [1], "ts": [2], "v": [60]}, "a2"),
+            spark,
+            path,
+            ["k"],
+            "ts",
+            num_buckets=4,
+            commit="manifest",
+        )
+    # nothing was swept: state is recoverable by restoring a manifest
+    assert sorted(e for e in os.listdir(path) if e.startswith("gen-")) == gens_before
+
+
+def test_upsert_manifest_stray_nonconforming_file_ignored(spark, tmp_path):
+    """A stray file matching the loose `_manifest-*.json` prefix but not
+    the writer's strict name pattern (e.g. `_manifest-backup.json`) must
+    neither crash the number parse nor be deleted by GC — it is not ours."""
+    path = str(tmp_path / "state_stray")
+    jobs.upsert_latest_per_key(
+        _lts_stream(spark, tmp_path, {"k": [0, 1], "ts": [1, 1], "v": [5, 6]}, "s1"),
+        spark,
+        path,
+        ["k"],
+        "ts",
+        num_buckets=4,
+        commit="manifest",
+    )
+    stray = os.path.join(path, "_manifest-backup.json")
+    with open(stray, "w") as f:
+        f.write("user notes, not json")
+    got = jobs.upsert_latest_per_key(
+        _lts_stream(spark, tmp_path, {"k": [1], "ts": [2], "v": [60]}, "s2"),
+        spark,
+        path,
+        ["k"],
+        "ts",
+        num_buckets=4,
+        commit="manifest",
+    )
+    rows = {r["k"]: r["v"] for r in got.collect()}
+    assert rows == {0: 5, 1: 60}
+    assert os.path.exists(stray)  # ignored, not GC'd
+
+
+def test_upsert_manifest_lost_newest_falls_back_to_previous(spark, tmp_path):
+    """keep-last-2 is what makes torn-newest recovery real: after losing
+    the newest manifest entirely, the retained predecessor must still
+    resolve — every generation dir it references survived GC."""
+    path = str(tmp_path / "state_fallback")
+    for i, (ks, ts, vs) in enumerate(
+        [([0, 1, 2], [1, 1, 1], [5, 6, 7]), ([1], [2], [60])]
+    ):
+        jobs.upsert_latest_per_key(
+            _lts_stream(
+                spark, tmp_path, {"k": ks, "ts": ts, "v": vs}, f"fb{i}"
+            ),
+            spark,
+            path,
+            ["k"],
+            "ts",
+            num_buckets=4,
+            commit="manifest",
+        )
+    manifests = sorted(e for e in os.listdir(path) if e.startswith("_manifest-"))
+    assert len(manifests) == 2
+    os.remove(os.path.join(path, manifests[-1]))  # lose the newest
+    # previous manifest resolves to batch-1 state (documented degradation)
+    rows = {r["k"]: r["v"] for r in _read_manifest_table(spark, path).collect()}
+    assert rows == {0: 5, 1: 6, 2: 7}
 
 
 def _read_manifest_table(spark, path):
