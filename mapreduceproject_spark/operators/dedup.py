@@ -144,20 +144,33 @@ def lsh_band_buckets(
 
 
 def _drop_saturated_buckets(
-    df: DataFrame, keys: list[str], cap: int
+    df: DataFrame, keys: list[str], cap: int, observation=None
 ) -> DataFrame:
     """Viral-bucket pressure valve shared by every bucketed pair join:
     one window count on the join's own bucket partitioning, buckets over
     ``cap`` dropped before pairing (the self-join is quadratic per
-    bucket).  See the callers for the recall contract each one trades."""
+    bucket).  See the callers for the recall contract each one trades.
+
+    ``observation`` (a ``pyspark.sql.Observation``) makes the loss
+    machine-readable IN-BAND: the metrics ride the same job (zero extra
+    passes) and report ``bucket_rows_total`` / ``bucket_rows_dropped`` —
+    bucket-membership rows seen vs dropped by the cap, whose ratio is
+    the saturated fraction of the candidate space.  A pipeline caller
+    reads ``observation.get`` after any action on the result instead of
+    parsing stdout."""
     from pyspark.sql import Window
 
     w = Window.partitionBy(*keys)
-    return (
-        df.withColumn("_bn", F.count("*").over(w))
-        .filter(F.col("_bn") <= cap)
-        .drop("_bn")
-    )
+    counted = df.withColumn("_bn", F.count("*").over(w))
+    if observation is not None:
+        counted = counted.observe(
+            observation,
+            F.count(F.lit(1)).alias("bucket_rows_total"),
+            F.sum(F.when(F.col("_bn") > cap, 1).otherwise(0))
+            .cast("long")
+            .alias("bucket_rows_dropped"),
+        )
+    return counted.filter(F.col("_bn") <= cap).drop("_bn")
 
 
 def candidate_pairs_from_buckets(
@@ -545,6 +558,7 @@ def _ngram_jaccard_minhash_verify(
     num_hashes: int,
     seed: int = 42,
     max_bucket_size: int | None = None,
+    loss_observation=None,
 ) -> DataFrame:
     """Scratch-light fallback: MinHash width-1-band candidates, then the
     SAME exact array-intersect jaccard verify as the main path.
@@ -598,7 +612,17 @@ def _ngram_jaccard_minhash_verify(
         # not emitted — bounded cost in exchange for recall inside
         # saturated buckets.  Default None keeps the estimate≡exact
         # contract.
-        buckets = _drop_saturated_buckets(buckets, ["hi", "hv"], max_bucket_size)
+        buckets = _drop_saturated_buckets(
+            buckets, ["hi", "hv"], max_bucket_size, observation=loss_observation
+        )
+    elif loss_observation is not None:
+        # uncapped: nothing can be dropped — attach the same metric pair
+        # so callers read one uniform contract regardless of the cap
+        buckets = buckets.observe(
+            loss_observation,
+            F.count(F.lit(1)).alias("bucket_rows_total"),
+            F.sum(F.lit(0)).cast("long").alias("bucket_rows_dropped"),
+        )
     a = buckets.select(
         F.col("_id").alias("id_a"),
         *[F.col(c).alias(f"{c}_a") for c in block_cols],
@@ -651,6 +675,236 @@ def _ngram_jaccard_minhash_verify(
     ).filter(F.col("jaccard") >= threshold)
 
 
+# Broadcast bound for the prefix-light fallback's document-frequency
+# table: only grams this hot get their true df in the prefix ORDER; the
+# long tail defaults to df=1 (hash tie-break keeps the order total, and
+# PPJoin is exact under ANY total order — rarity only shapes candidate
+# volume, and only hot grams can go viral).  1M rows ≈ 16 MB broadcast.
+NGRAM_HOT_DF_LIMIT = 1 << 20
+
+
+def _ngram_jaccard_prefix_light(
+    grams: DataFrame,
+    meta: DataFrame,
+    block_cols: list[str],
+    length_band: int,
+    threshold: float,
+    loss_observation=None,
+) -> DataFrame:
+    """Scratch-light EXACT fallback (the shipped default): the same
+    PPJoin rarest-first prefix filter as the main exact path, built
+    without its two full gram-stream window sorts.
+
+    The window path's scratch (measured ~480 B/char, the 100× DNF) is
+    dominated by sorting the gram stream twice (document-frequency
+    window over h, prefix-rank window over _id) plus the verify join.
+    Here instead: (1) gram document frequencies come from ONE map-side-
+    combined groupBy whose output is VOCAB-sized, truncated to the
+    {NGRAM_HOT_DF_LIMIT} hottest grams and broadcast; (2) the df rides
+    the gram rows through a broadcast join (narrow — no shuffle); (3) a
+    single gram-stream groupBy collects each doc's (df, h) structs, and
+    the rarest-first sort + prefix slice happen INSIDE the array
+    (``sort_array`` + ``slice``, JVM codegen, zero extra exchanges).
+    Long-tail grams beyond the broadcast bound order as df=1 with hash
+    tie-break — a different but still TOTAL order, so the prefix theorem
+    (Xiao et al., WWW'08) holds and the output is bit-identical to exact
+    mode (pytest pins it); only candidate volume can differ, and only
+    hot grams — which always get their true df — drive virality.
+
+    Cost at 100 TB: one gram-stream shuffle (the struct collect), one
+    prefix-stream self-join (~(1-t) of the gram volume on rarest-first
+    keys, the PPJoin win), one candidate-bounded verify join against the
+    SAME persisted arrays.  No cap, no recall trade: this retires the
+    char-minhash fallback's measured 0.041-recall cliff by never
+    sketching at all.
+    """
+    d = grams.groupBy("h").count()
+    hot = d.filter(F.col("count") >= 2).orderBy(
+        F.desc("count"), "h"
+    ).limit(NGRAM_HOT_DF_LIMIT)
+    g2 = grams.join(F.broadcast(hot), "h", "left").select(
+        "_id", "h", F.coalesce("count", F.lit(1)).alias("df")
+    )
+    arrs = (
+        g2.groupBy("_id")
+        .agg(F.sort_array(F.collect_list(F.struct("df", "h"))).alias("sdh"))
+        .select(
+            "_id",
+            F.col("sdh.h").alias("hs"),
+            F.size("sdh").cast("long").alias("ng"),
+        )
+        .join(meta, "_id")
+        .persist()
+    )
+    # α = ⌈t·n⌉ with the same epsilon discipline as the window path:
+    # float noise may only LENGTHEN the prefix
+    plen = (
+        F.col("ng")
+        - F.ceil(F.col("ng") * F.lit(threshold) - F.lit(1e-9))
+        + 1
+    )
+    pref = arrs.select(
+        "_id",
+        *[F.col(c) for c in block_cols],
+        "_len",
+        "ng",
+        F.explode(F.slice("hs", F.lit(1), plen)).alias("h"),
+    )
+    if loss_observation is not None:
+        # lossless by construction — attach the uniform zero-drop metric
+        # pair so pipeline callers read one contract across candidates
+        pref = pref.observe(
+            loss_observation,
+            F.count(F.lit(1)).alias("bucket_rows_total"),
+            F.sum(F.lit(0)).cast("long").alias("bucket_rows_dropped"),
+        )
+    pa = pref.select(
+        F.col("_id").alias("id_a"),
+        *[F.col(c).alias(f"{c}_a") for c in block_cols],
+        F.col("_len").alias("len_a"),
+        F.col("ng").alias("na"),
+        "h",
+    )
+    pb = pref.select(
+        F.col("_id").alias("id_b"),
+        *[F.col(c).alias(f"{c}_b") for c in block_cols],
+        F.col("_len").alias("len_b"),
+        F.col("ng").alias("nb"),
+        "h",
+    )
+    cond = (F.col("id_a") < F.col("id_b")) & (
+        F.abs(F.col("len_a") - F.col("len_b")) <= length_band
+    )
+    for c in block_cols:
+        cond = cond & (F.col(f"{c}_a") == F.col(f"{c}_b"))
+    size_cond = (
+        F.col("nb") >= F.col("na") * F.lit(threshold) - F.lit(1e-9)
+    ) & (F.col("na") >= F.col("nb") * F.lit(threshold) - F.lit(1e-9))
+    pairs = (
+        pa.join(pb, ["h"])
+        .filter(cond & size_cond)
+        .select("id_a", "id_b", "na", "nb")
+        .distinct()
+    )
+    inter = (
+        pairs.join(
+            arrs.select(F.col("_id").alias("id_a"), F.col("hs").alias("ha")), "id_a"
+        )
+        .join(
+            arrs.select(F.col("_id").alias("id_b"), F.col("hs").alias("hb")), "id_b"
+        )
+        .select(
+            "id_a",
+            "id_b",
+            "na",
+            "nb",
+            F.size(F.array_intersect("ha", "hb")).cast("long").alias("both"),
+        )
+    )
+    return inter.select(
+        "id_a",
+        "id_b",
+        (F.col("both") / (F.col("na") + F.col("nb") - F.col("both"))).alias("jaccard"),
+    ).filter(F.col("jaccard") >= threshold)
+
+
+def _ngram_jaccard_wordshingle_verify(
+    base: DataFrame,
+    grams: DataFrame,
+    meta: DataFrame,
+    block_cols: list[str],
+    length_band: int,
+    threshold: float,
+    num_hashes: int,
+    shingle_k: int = 3,
+    seed: int = 42,
+    max_bucket_size: int | None = None,
+    loss_observation=None,
+) -> DataFrame:
+    """Estimate-mode candidates from WORD-SHINGLE minhash — the shipped
+    default fallback.  Word shingles are sparse where char trigrams are
+    dense: on corpora whose BACKGROUND char-trigram similarity sits near
+    the threshold (the 341 M-candidate / recall-0.041-at-cap-256 shape
+    measured at the 100× fixture), width-1 char buckets saturate and the
+    cap forfeits nearly every true pair, while word-shingle buckets stay
+    naturally small and need no cap at all.
+
+    The VERIFY is unchanged — exact char-ngram jaccard on the collected
+    gram arrays — so every emitted value is identical to exact mode;
+    only candidate recall can differ, and the registered gauge
+    (``ngram_jaccard_est_recall``) measures it.  Candidate recall per
+    true pair is 1-(1-Jw)^K over the pair's word-shingle jaccard Jw:
+    char-similar docs share most words, so Jw is high wherever char
+    jaccard clears the threshold (docs under ``shingle_k`` words shingle
+    as their whole text — they still bucket).
+
+    Cost shape at scale: one word-shingle shuffle (signatures), one
+    char-gram shuffle (verify arrays), one small bucket self-join —
+    the exact path's two extra full gram-stream window sorts never run,
+    which is the scratch the fallback exists to avoid.
+    """
+    arrs = grams.groupBy("_id").agg(F.collect_list("h").alias("hs")).persist()
+    sh = (
+        word_shingle_rows(base, F.lower(F.col("_txt")), shingle_k, keep=["_id"])
+        .select("_id", hash60(F.col("sh")).alias("h"))
+        .distinct()
+    )
+    sigs = minhash_signatures(sh, num_hashes, seed)
+    # width-1 bands: maximum candidate recall per hash; bucket volume is
+    # bounded by the sparse shingle space, not by a cap
+    buckets = lsh_band_buckets(sigs, num_hashes, num_hashes)
+    if max_bucket_size is not None:
+        buckets = _drop_saturated_buckets(
+            buckets, ["band", "sig"], max_bucket_size, observation=loss_observation
+        )
+    elif loss_observation is not None:
+        buckets = buckets.observe(
+            loss_observation,
+            F.count(F.lit(1)).alias("bucket_rows_total"),
+            F.sum(F.lit(0)).cast("long").alias("bucket_rows_dropped"),
+        )
+    pairs = candidate_pairs_from_buckets(buckets, None)
+    # block/length pruning BEFORE the verify join — meta re-attaches at
+    # doc granularity, so the gram arrays are only materialized for
+    # pairs that survive the blocking predicate
+    m_a = meta.select(
+        F.col("_id").alias("id_a"),
+        *[F.col(c).alias(f"{c}_a") for c in block_cols],
+        F.col("_len").alias("len_a"),
+    )
+    m_b = meta.select(
+        F.col("_id").alias("id_b"),
+        *[F.col(c).alias(f"{c}_b") for c in block_cols],
+        F.col("_len").alias("len_b"),
+    )
+    cond = F.abs(F.col("len_a") - F.col("len_b")) <= length_band
+    for c in block_cols:
+        cond = cond & (F.col(f"{c}_a") == F.col(f"{c}_b"))
+    pruned = (
+        pairs.join(m_a, "id_a").join(m_b, "id_b").filter(cond).select("id_a", "id_b")
+    )
+    inter = (
+        pruned.join(
+            arrs.select(F.col("_id").alias("id_a"), F.col("hs").alias("ha")), "id_a"
+        )
+        .join(
+            arrs.select(F.col("_id").alias("id_b"), F.col("hs").alias("hb")), "id_b"
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.size("ha").cast("long").alias("na"),
+            F.size("hb").cast("long").alias("nb"),
+            F.size(F.array_intersect("ha", "hb")).cast("long").alias("both"),
+        )
+    )
+    return inter.select(
+        "id_a",
+        "id_b",
+        (F.col("both") / (F.col("na") + F.col("nb") - F.col("both"))).alias("jaccard"),
+    ).filter(F.col("jaccard") >= threshold)
+
+
 def ngram_jaccard_dedup(
     df: DataFrame,
     id_col: str,
@@ -664,14 +918,17 @@ def ngram_jaccard_dedup(
     scratch_policy: str = "auto",
     scratch_headroom: float = 0.5,
     est_bucket_cap: int | None = None,
+    est_candidates: str = "prefix",
+    loss_observation=None,
+    plan_info: dict | None = None,
 ) -> DataFrame:
     """n-gram jaccard near-dup within (block_cols, |length diff| ≤ band).
 
     ``scratch_policy`` guards the exact path's shuffle scratch: "exact"
     always runs full PPJoin + exact verification; "estimate" runs the
-    MinHash-candidate fallback (:func:`_ngram_jaccard_minhash_verify` —
-    ONE gram shuffle, no full gram-stream window sorts, exact verify on
-    the collected gram sets); "auto" (default) estimates the
+    scratch-light fallback selected by ``est_candidates`` (ONE gram
+    shuffle, no full gram-stream window sorts, exact verify on the
+    collected gram sets); "auto" (default) estimates the
     exact path's scratch from a one-column sum of ``length_col``
     (~{NGRAM_SCRATCH_BYTES_PER_CHAR} B/char measured) and switches to
     "estimate" when it would exceed ``scratch_headroom`` of the free
@@ -679,22 +936,46 @@ def ngram_jaccard_dedup(
     not compute, and this policy lets the same call complete by
     explicit, logged fallback.
 
-    ``est_bucket_cap`` (estimate mode only) drops width-1 minhash
-    buckets larger than the cap before pairing.  On corpora whose
-    BACKGROUND gram similarity sits near the threshold, the candidate
-    volume is quadratic in block size no matter the sketch (the 100×
-    fixture measured 341 M uncapped candidates); the cap bounds the cost
-    and forfeits pairs confined to saturated buckets.  None (default)
-    is lossless.  The loss is now a MEASURED number, not an adjective:
-    ``ngram_jaccard_est_recall`` (plans/dedup_queries.py) is the
-    registered recall gauge, and at the production cap 256 the 100×
-    near-threshold corpus keeps only **0.041** of true pairs (6,269 of
-    152,705 on a 20% sample — `measurements/scale_100x_latest.json::
-    ngram_recall_at_cap`): on such corpora the capped fallback is a
-    bounded-cost TRIAGE mode, and the production answer is the
-    cluster-exact path (<1 GB/node scratch across 100 executors,
-    SCALING.md) or word-shingle minhash_lsh_dedup, whose sparse shingle
-    space keeps buckets small.
+    ``est_candidates`` picks the fallback's candidate generator:
+
+    * "prefix" (default) — :func:`_ngram_jaccard_prefix_light`: the SAME
+      rarest-first PPJoin prefix filter as exact mode, rebuilt with one
+      gram shuffle + a broadcast df table instead of two gram-stream
+      window sorts.  EXACT — recall 1.0 by the prefix theorem, output
+      bit-identical to scratch_policy="exact" (pytest-pinned).  This
+      retires the round-4/5 finding that the fallback kept only 0.041
+      of true pairs at production cap on near-threshold corpora.
+    * "char" — char-trigram width-1 minhash candidates (the one-shuffle
+      signature trick; minimal scratch).  On corpora whose BACKGROUND
+      char-trigram similarity sits near the threshold its buckets
+      saturate (341 M candidates at the 100× fixture) and
+      ``est_bucket_cap`` turns it into a bounded-cost TRIAGE mode
+      (measured recall 0.041 at cap 256 there — see
+      ``ngram_jaccard_capped_recall``).
+    * "word" — word-shingle minhash candidates.  Naturally small
+      buckets, but recall against CHAR-ngram truth collapses on the
+      same near-threshold corpora (measured 0.048 at sf0.001 — word
+      overlap does not track char overlap there); kept for corpora
+      where the two spaces agree.
+
+    All three verify with exact char-ngram jaccard on the collected
+    gram arrays, so emitted VALUES always match exact mode — only
+    candidate recall differs, and the registered gauges
+    (``ngram_jaccard_est_recall`` for the shipped default,
+    ``ngram_jaccard_capped_recall`` for the capped char space) measure
+    it.
+
+    ``est_bucket_cap`` (minhash candidate spaces only) drops width-1
+    buckets larger than the cap before pairing.  None (default) is
+    lossless for "char"/"word" candidate GENERATION; ignored by
+    "prefix".  ``loss_observation`` (a ``pyspark.sql.Observation``)
+    makes the loss machine-readable IN-BAND: attached to the candidate
+    stream in fallback mode, it reports ``bucket_rows_total`` /
+    ``bucket_rows_dropped`` on the same job, so a pipeline caller reads
+    the saturated fraction from ``observation.get`` instead of stdout.
+    ``plan_info`` (a dict) receives the resolved plan driver-side before
+    any job runs: ``verify_mode`` ("exact"/"estimate"),
+    ``est_candidates``, ``est_bucket_cap``, ``loss_observed``.
 
     Blocking: equi-join on block columns + a length range predicate — the
     classic blocking-key pattern.  At 100 TB the equi part shuffles; the
@@ -715,6 +996,10 @@ def ngram_jaccard_dedup(
     Rarest-first ordering makes prefix grams low-frequency, so the
     prefix equi-join explodes far less than the block cross product.
     """
+    if est_candidates not in ("prefix", "word", "char"):
+        raise ValueError(
+            f"est_candidates must be prefix|word|char, got {est_candidates!r}"
+        )
     # spread: the char-ngram explode below is the dominant narrow stage
     base = spread_for_compute(df).select(
         F.col(id_col).alias("_id"),
@@ -752,7 +1037,9 @@ def ngram_jaccard_dedup(
                 f"# ngram_jaccard_dedup: estimated exact-mode scratch "
                 f"{est_chars * NGRAM_SCRATCH_BYTES_PER_CHAR >> 30} GiB exceeds "
                 f"{scratch_headroom:.0%} of free {free >> 30} GiB on "
-                f"{local_dir}; switching to MinHash-estimate verify"
+                f"{local_dir}; switching to the scratch-light "
+                f"{est_candidates!r} fallback (machine-readable via "
+                f"plan_info/loss_observation)"
             )
     else:
         mode = _ngram_scratch_mode(scratch_policy, 0, 0)
@@ -761,11 +1048,39 @@ def ngram_jaccard_dedup(
         .select("_id", hash60(F.col("g")).alias("h"))
         .distinct()
     )
+    if plan_info is not None:
+        plan_info.update(
+            verify_mode=mode,
+            est_candidates=est_candidates if mode == "estimate" else None,
+            est_bucket_cap=est_bucket_cap if mode == "estimate" else None,
+            loss_observed=mode == "estimate" and loss_observation is not None,
+        )
     if mode == "estimate":
         # NOT persisted here: the fallback consumes grams exactly once
         # (its single arrs groupBy); caching the corpus-sized gram
         # stream would re-create memory/disk pressure on precisely the
         # scratch-constrained path
+        if est_candidates == "prefix":
+            return _ngram_jaccard_prefix_light(
+                grams,
+                meta,
+                block_cols,
+                length_band,
+                threshold,
+                loss_observation=loss_observation,
+            )
+        if est_candidates == "word":
+            return _ngram_jaccard_wordshingle_verify(
+                base,
+                grams,
+                meta,
+                block_cols,
+                length_band,
+                threshold,
+                NGRAM_EST_HASHES,
+                max_bucket_size=est_bucket_cap,
+                loss_observation=loss_observation,
+            )
         return _ngram_jaccard_minhash_verify(
             grams,
             meta,
@@ -774,6 +1089,7 @@ def ngram_jaccard_dedup(
             threshold,
             NGRAM_EST_HASHES,
             max_bucket_size=est_bucket_cap,
+            loss_observation=loss_observation,
         )
     # exact mode: grams feeds doc sizes, the prefix index, and both
     # verify sides — persist() makes the branches share one computation

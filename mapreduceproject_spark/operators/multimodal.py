@@ -63,37 +63,56 @@ def have_pillow() -> bool:
 
 
 def decode_image_real(df: DataFrame, id_col: str) -> DataFrame:
-    """Real image decode — the optional-extras path, Pillow when present.
+    """Real image decode: Pillow when present, else the vendored minimal
+    PNG codec (functions/minipng.py — real zlib decode of spec PNG
+    bytes, 8-bit grayscale/RGB non-interlaced only).
 
     Same mapInPandas shape as :func:`decode_stats` with the kernel
     swapped for an actual codec: per payload, decode → (width, height,
-    mode, grayscale mean pixel).  Raises ``NotImplementedError`` when
-    Pillow is absent (this container), keeping the seam explicit; the
-    Spark-side plumbing — schema, Arrow batching, partition parallelism —
-    is identical either way, so swapping codecs never touches the plan.
+    mode, grayscale mean pixel).  The two codecs produce IDENTICAL
+    output for PNGs both can read (the fallback mirrors Pillow's exact
+    integer RGB→L conversion), so the choice never changes results —
+    only the supported-format envelope.  Pillow remains the production
+    path (arbitrary formats); the fallback exists so the real-decode
+    kernel executes in minimal environments instead of skipping (a
+    format outside its envelope raises ValueError from the kernel).
+    The Spark-side plumbing — schema, Arrow batching, partition
+    parallelism — is identical either way, so swapping codecs never
+    touches the plan.
     """
-    try:
-        import PIL.Image  # noqa: F401
-    except ImportError as e:
-        raise NotImplementedError(
-            "image decoding requires Pillow, which is not installed in this "
-            "environment; use decode_stats (deterministic fake) instead"
-        ) from e
+    use_pil = have_pillow()
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import io
 
-        from PIL import Image
+        if use_pil:
+            from PIL import Image
+        else:
+            from mapreduceproject_spark.functions.minipng import (
+                decode_png,
+                luma,
+            )
 
         for pdf in batches:
             ids, ws, hs, modes, means = [], [], [], [], []
             for _id, payload in zip(pdf[id_col], pdf["payload"], strict=True):
-                img = Image.open(io.BytesIO(bytes(payload)))
-                gray = list(img.convert("L").getdata())
+                if use_pil:
+                    img = Image.open(io.BytesIO(bytes(payload)))
+                    gray = list(img.convert("L").getdata())
+                    w, h, mode = img.width, img.height, img.mode
+                else:
+                    w, h, mode, px = decode_png(bytes(payload))
+                    if mode == "L":
+                        gray = list(px)
+                    else:
+                        gray = [
+                            luma(px[i], px[i + 1], px[i + 2])
+                            for i in range(0, len(px), 3)
+                        ]
                 ids.append(int(_id))
-                ws.append(img.width)
-                hs.append(img.height)
-                modes.append(img.mode)
+                ws.append(w)
+                hs.append(h)
+                modes.append(mode)
                 means.append(float(sum(gray)) / max(len(gray), 1))
             yield pd.DataFrame(
                 {
@@ -105,6 +124,9 @@ def decode_image_real(df: DataFrame, id_col: str) -> DataFrame:
                 }
             )
 
+    from mapreduceproject_spark.bootstrap import ensure_worker_imports
+
+    ensure_worker_imports(df.sparkSession)
     return df.select(F.col(id_col), F.col("payload")).mapInPandas(
         kernel, "doc_id long, width long, height long, mode string, mean_pixel double"
     )

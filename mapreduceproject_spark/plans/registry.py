@@ -50,12 +50,22 @@ ORACLES: dict[str, str] = {}
 #          changed).
 #   41-50: refill with the OLDEST remaining rows: r2-row entries in
 #          their CORRECTNESS_r02 order.
-# Tail: the remaining r2-row entries oldest-first, so they lead round
-# 6; r3/r4-fresh untouched entries follow in registration order.
-# ROUND-6 WINDOW LEADERS (never driver-run): the three round-5 late
-# additions — batch_sessionize, embedding_dim_stats,
-# dedup_source_report (registered after the r5 window froze; builder
-# parity only) — then the r2-row tail below, oldest-first.
+# Round-6 window (first 50), in order:
+#   1-3:   the three round-5 late additions, never driver-run
+#          (batch_sessionize, embedding_dim_stats, dedup_source_report —
+#          registered after the r5 window froze; builder parity only).
+#   4-6:   round-6 algorithm changes/additions: ngram_jaccard_est_recall
+#          (now measures the NEW default fallback — the exact
+#          prefix-light path — so its values changed from the r5 row),
+#          ngram_jaccard_capped_recall (new name for the r5 capped-char
+#          measurement), dedup_incremental_stream (new: streaming twin
+#          of the ingest near-dup gate).
+#   7-41:  refill with the OLDEST remaining rows: the 35-entry r2-row
+#          tail, oldest-first (the rotation round 5's ledger promised).
+#   42-50: the next-oldest remaining rows: r3-row entries in
+#          registration order (everything else holds an r4/r5 row).
+#          Eight fit; the ninth listed below (bigram_lm_top) leads the
+#          tail at slot 51.
 # Names absent from the registry are ignored (a pytest guards against
 # typos).  Every registry entry, windowed or not, is parity-checked
 # in-repo against its DuckDB oracle at sf0.001
@@ -63,7 +73,64 @@ ORACLES: dict[str, str] = {}
 # the driver's sf0.01 each round (scripts/window_check.py all ->
 # measurements/parity_sf0.01_r0N.json).
 _FRONT: tuple[str, ...] = (
-    # 1-26: round-4 additions, never driver-verified
+    # 1-3: round-5 late additions, never driver-verified
+    "batch_sessionize",
+    "embedding_dim_stats",
+    "dedup_source_report",
+    # 4-6: round-6 algorithm changes / additions
+    "ngram_jaccard_est_recall",
+    "ngram_jaccard_capped_recall",
+    "dedup_incremental_stream",
+    # 7-50: the r2-row tail, oldest-first
+    "q4_order_priority",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q21_waiting_suppliers",
+    "text_repetition_metrics",
+    "decontam_ngram_overlap",
+    "pack_token_shards",
+    "stratified_sample_stats",
+    "source_quality_rollup",
+    "stream_stream_join",
+    "agg_approx_percentile",
+    "window_distribution",
+    "ann_bruteforce_topk",
+    "ann_filtered_topk",
+    "text_token_stats",
+    "text_quality_scores",
+    "text_fingerprints",
+    "text_langid_ngram",
+    "text_tfidf_top_terms",
+    "pipeline_clean_corpus",
+    "sample_hash_split",
+    "text_normalize",
+    "vocab_stats",
+    "mm_decode_stats",
+    "mm_frame_sample",
+    "mm_audio_chunks",
+    "mm_feature_extract",
+    "stream_tumbling_counts",
+    "stream_sliding_counts",
+    "stream_dedup_events",
+    "session_window_stats",
+    "stream_static_join",
+    # 42-50 (+ slot 51): next-oldest (r3-row) entries, registration order
+    "join_full_outer",
+    "scd2_intervals",
+    "q19_disjunctive_revenue",
+    "q22_dormant_customers",
+    "dedup_clusters",
+    "dedup_incremental",
+    "cdc_chunk_dedup",
+    "bm25_search",
+    "bigram_lm_top",
+    # -- tail: previous (round-5) window order, then r3/r4-fresh entries
+    # in registration order --
+    # r5 window 1-26: round-4 additions (r5 driver rows)
     "gopher_quality_filter",
     "dsir_importance_weights",
     "doc_shingle_novelty",

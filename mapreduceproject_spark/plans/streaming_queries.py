@@ -282,3 +282,142 @@ def stream_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+# -- streaming ingest near-dup gate (round 6) ---------------------------------
+# The streaming twin of dedup_incremental_minhash: the same 10% "new
+# arrivals" content-hash slice, but delivered as INCR_STREAM_BATCHES
+# micro-batches (a second deterministic content hash assigns each new
+# doc a batch) against a PERSISTED corpus bucket index that every batch
+# checks and then joins (streaming/jobs.py::incremental_minhash_stream).
+# A doc therefore pairs with everything ingested STRICTLY earlier —
+# bootstrap corpus or a previous micro-batch — which is the semantics a
+# real continuously-ingesting gate has, and exactly what the oracle's
+# ord-comparison expresses.  With one batch the result equals the batch
+# twin (pytest pins it).
+INCR_STREAM_BATCHES, INCR_STREAM_SALT = 3, "|ingest-order"
+
+
+def _incr_stream_oracle() -> str:
+    from mapreduceproject_spark.functions.hashing import duck_hash60
+    from mapreduceproject_spark.plans.dedup_queries import (
+        INCR_NEW_PCT,
+        INCR_SALT,
+        JACCARD_THR,
+        _minhash_prefix,
+    )
+
+    arrival = duck_hash60(f"text || '{INCR_SALT}'")
+    order = duck_hash60(f"text || '{INCR_STREAM_SALT}'")
+    return f"""
+    WITH {_minhash_prefix()},
+    flags AS (
+      SELECT doc_id AS id,
+             CASE WHEN {arrival} % 100 < {INCR_NEW_PCT}
+                  THEN {order} % {INCR_STREAM_BATCHES} ELSE -1 END AS ord
+      FROM documents
+    ),
+    pairs AS (
+      SELECT DISTINCT a.id AS new_id, b.id AS prior_id
+      FROM bands a
+      JOIN flags fa ON fa.id = a.id AND fa.ord >= 0
+      JOIN bands b ON a.band = b.band AND a.sig = b.sig
+      JOIN flags fb ON fb.id = b.id AND fb.ord < fa.ord
+    ),
+    sizes AS (SELECT id, COUNT(*) AS n FROM sh GROUP BY id),
+    inter AS (
+      SELECT p.new_id, p.prior_id, COUNT(*) AS both
+      FROM pairs p
+      JOIN sh x ON x.id = p.new_id
+      JOIN sh y ON y.id = p.prior_id AND y.h = x.h
+      GROUP BY 1, 2
+    )
+    SELECT i.new_id, i.prior_id,
+           i.both / (na.n + nb.n - i.both) AS jaccard
+    FROM inter i
+    JOIN sizes na ON na.id = i.new_id
+    JOIN sizes nb ON nb.id = i.prior_id
+    WHERE i.both / (na.n + nb.n - i.both) >= {JACCARD_THR}
+    """
+
+
+@query("dedup_incremental_stream", oracle=_incr_stream_oracle())
+def dedup_incremental_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingest near-dup gate: the {INCR_NEW_PCT}%% new-arrivals
+    slice replayed as {INCR_STREAM_BATCHES} deterministic micro-batches
+    (file-per-batch, maxFilesPerTrigger=1, availableNow) through
+    incremental_minhash_stream — each batch LSH-joins the persisted
+    corpus bucket index and is appended to it, so output pairs are
+    (new doc, any STRICTLY-earlier-ingested doc) at exact word-shingle
+    jaccard >= threshold.  Per-batch cost follows batch size; the index
+    is append-only (generation dirs, object-store-safe); replayed epochs
+    overwrite their own dirs, so a crash anywhere is repaired by the
+    checkpoint (crash pytest in tests/test_streaming.py)."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    from mapreduceproject_spark.functions.hashing import hash60
+    from mapreduceproject_spark.plans.dedup_queries import (
+        INCR_NEW_PCT,
+        INCR_SALT,
+        JACCARD_THR,
+        MINHASH_BANDS,
+        MINHASH_N,
+        MINHASH_SEED,
+        SHINGLE_K,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    is_new = (
+        hash60(F.concat(F.col("text"), F.lit(INCR_SALT))) % 100 < INCR_NEW_PCT
+    )
+    corpus = docs.filter(~is_new)
+    new = docs.filter(is_new).withColumn(
+        "_b",
+        hash60(F.concat(F.col("text"), F.lit(INCR_STREAM_SALT)))
+        % INCR_STREAM_BATCHES,
+    )
+    root = tempfile.mkdtemp(prefix="incr_stream_")
+    try:
+        stage = os.path.join(root, "stage")
+        os.makedirs(stage)
+        base = int(time.time())
+        for b in range(INCR_STREAM_BATCHES):
+            tmp = os.path.join(root, f"w{b}")
+            new.filter(F.col("_b") == b).drop("_b").coalesce(1).write.parquet(
+                tmp
+            )
+            parts = glob.glob(os.path.join(tmp, "part-*.parquet"))
+            if not parts:  # empty batch: nothing to ingest, no file
+                continue
+            dst = os.path.join(stage, f"batch-{b}.parquet")
+            shutil.move(parts[0], dst)
+            # the file source orders by (modification time, path): pin
+            # both so micro-batch order IS the deterministic batch index
+            os.utime(dst, (base + 2 * b, base + 2 * b))
+        s = jobs.streaming_session(spark)
+        stream = (
+            s.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(stage, "*.parquet"))
+        )
+        out = jobs.incremental_minhash_stream(
+            stream,
+            spark,
+            os.path.join(root, "state"),
+            os.path.join(root, "ckpt"),
+            corpus,
+            "doc_id",
+            "text",
+            num_hashes=MINHASH_N,
+            bands=MINHASH_BANDS,
+            shingle_k=SHINGLE_K,
+            threshold=JACCARD_THR,
+            seed=MINHASH_SEED,
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

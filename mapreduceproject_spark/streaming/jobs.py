@@ -511,3 +511,142 @@ def upsert_latest_per_key(
         # state is the empty table with the stream's schema
         return spark.createDataFrame([], schema=stream.schema)
     return spark.read.parquet(path).drop("_kb")
+
+
+def incremental_minhash_stream(
+    new_stream: DataFrame,
+    spark: SparkSession,
+    state_dir: str,
+    checkpoint_dir: str,
+    corpus: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 12,
+    bands: int = 4,
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+    seed: int = 42,
+) -> DataFrame:
+    """Streaming ingest near-dup gate: each micro-batch of NEW documents
+    is LSH-checked against a PERSISTED corpus bucket index, then appended
+    to that index — the streaming twin of
+    :func:`operators.dedup.minhash_lsh_incremental` (reference has no
+    streaming; this is the ingest gate a continuously-growing corpus
+    runs).
+
+    Output: (new_id, prior_id, jaccard) — every batch document
+    near-duplicating (exact word-shingle jaccard >= ``threshold``) a
+    document ingested STRICTLY EARLIER: the bootstrap corpus or a
+    previous micro-batch.  Same-batch pairs are never emitted (the gate
+    dedups an arrival against the existing corpus, matching the batch
+    twin's batch x corpus contract; with a single batch the result
+    equals the batch twin exactly — pytest pins it).
+
+    State layout (``state_dir``): two partitioned parquet tables,
+    ``buckets`` (id, band, sig) and ``shingles`` (id, h), each under an
+    ``ingest=<gen>`` partition directory per ingest generation
+    ("corpus" for the bootstrap, "b<epoch>" per micro-batch).  Per-batch
+    cost: the batch side is signature-computed once (batch-sized), the
+    index bucket table is scanned once and hash-joined (the batch side
+    broadcasts under AQE), and the verify join touches only candidate
+    ids — never corpus x corpus, and the index is never rewritten, only
+    appended.  At 100 TB the index tables would additionally be bucketed
+    by ``sig``/``id`` so the scan prunes; the append-only generation
+    layout is already the object-store-safe shape (no file is ever
+    replaced).
+
+    Crash safety / exactly-once: writes are idempotent per epoch — each
+    epoch owns its ``ingest=b<epoch>`` (and ``results/batch=<epoch>``)
+    directory and OVERWRITES it on replay, so a batch that crashed
+    mid-write is fully repaired when the checkpoint replays that epoch
+    (pytest kills an epoch mid-flight and re-runs).  The checkpoint is
+    the commit log; the partition dirs are the data.
+    """
+    import os
+
+    from mapreduceproject_spark.operators.dedup import (
+        lsh_band_buckets,
+        minhash_signatures,
+        shingle_hashes,
+        verify_jaccard,
+    )
+    from mapreduceproject_spark.sources.catalog import spread_for_compute
+
+    buckets_dir = os.path.join(state_dir, "buckets")
+    shingles_dir = os.path.join(state_dir, "shingles")
+    results_dir = os.path.join(state_dir, "results")
+
+    def write_gen(hashed: DataFrame, gen: str) -> None:
+        sigs = minhash_signatures(hashed, num_hashes, seed)
+        bk = lsh_band_buckets(sigs, num_hashes, bands)
+        bk.write.mode("overwrite").parquet(
+            os.path.join(buckets_dir, f"ingest={gen}")
+        )
+        hashed.write.mode("overwrite").parquet(
+            os.path.join(shingles_dir, f"ingest={gen}")
+        )
+
+    # bootstrap: the existing corpus becomes generation "corpus" (skip if
+    # a previous run already wrote it — the stream may be a restart)
+    if not os.path.isdir(os.path.join(buckets_dir, "ingest=corpus")):
+        corpus_hashed = shingle_hashes(
+            spread_for_compute(corpus), id_col, text_col, shingle_k
+        ).persist()
+        write_gen(corpus_hashed, "corpus")
+        corpus_hashed.unpersist()
+
+    def gate(batch: DataFrame, epoch_id: int) -> None:
+        s = batch.sparkSession
+        hashed_new = shingle_hashes(batch, id_col, text_col, shingle_k).persist()
+        idx_buckets = s.read.parquet(buckets_dir).drop("ingest")
+        idx_shingles = s.read.parquet(shingles_dir).drop("ingest")
+        new_buckets = lsh_band_buckets(
+            minhash_signatures(hashed_new, num_hashes, seed), num_hashes, bands
+        )
+        pairs = (
+            new_buckets.select(F.col("_id").alias("id_a"), "band", "sig")
+            .join(
+                idx_buckets.select(F.col("_id").alias("id_b"), "band", "sig"),
+                ["band", "sig"],
+            )
+            .select("id_a", "id_b")
+            .distinct()
+        )
+        both = hashed_new.select("_id", "h").unionByName(
+            idx_shingles.select("_id", "h")
+        )
+        out = verify_jaccard(pairs, both, threshold).select(
+            F.col("id_a").alias("new_id"),
+            F.col("id_b").alias("prior_id"),
+            "jaccard",
+        )
+        out.write.mode("overwrite").parquet(
+            os.path.join(results_dir, f"batch={epoch_id}")
+        )
+        # append the batch to the index LAST: results for this epoch are
+        # derived from index-before-this-batch, and a replayed epoch
+        # overwrites both dirs, so ordering only matters for readability
+        write_gen(hashed_new, f"b{epoch_id}")
+        hashed_new.unpersist()
+
+    q = (
+        new_stream.writeStream.foreachBatch(gate)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    if not os.path.isdir(results_dir):
+        from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+        return spark.createDataFrame(
+            [],
+            StructType(
+                [
+                    StructField("new_id", LongType()),
+                    StructField("prior_id", LongType()),
+                    StructField("jaccard", DoubleType()),
+                ]
+            ),
+        )
+    return spark.read.parquet(results_dir).drop("batch")

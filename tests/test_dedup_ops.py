@@ -292,28 +292,90 @@ def test_star_cc_converges_where_diameter_bound_fails(spark):
 
 
 def test_ngram_estimate_mode_matches_exact_pairs(spark, sf_dir):
-    """The MinHash-candidate fallback (the scratch-guard mode) must find
-    the SAME near-dup pair set as exact PPJoin candidates — the verify is
-    the same exact array-intersect in both modes, so only a width-1-band
-    candidate miss (p ≈ (1-J)^24 ≈ 5e-9 per true pair) could differ."""
+    """The shipped fallback (est_candidates="prefix") is EXACT: same
+    PPJoin prefix theorem as the window path under a different total
+    order, so pairs AND jaccard values must be identical — not
+    probabilistically close, bit-identical."""
+    from pyspark.sql import Observation
+
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     kw = dict(
         block_cols=["lang"], length_col="n_chars", n=3, length_band=8,
         threshold=0.55,
     )
     exact = {
-        (r["id_a"], r["id_b"])
+        (r["id_a"], r["id_b"], round(r["jaccard"], 9))
         for r in dd.ngram_jaccard_dedup(
             docs, "doc_id", "text", scratch_policy="exact", **kw
         ).collect()
     }
+    obs, info = Observation(), {}
     est = {
-        (r["id_a"], r["id_b"])
+        (r["id_a"], r["id_b"], round(r["jaccard"], 9))
         for r in dd.ngram_jaccard_dedup(
-            docs, "doc_id", "text", scratch_policy="estimate", **kw
+            docs, "doc_id", "text", scratch_policy="estimate",
+            loss_observation=obs, plan_info=info, **kw
         ).collect()
     }
     assert exact and est == exact
+    # the in-band contract: plan resolved driver-side, zero loss observed
+    assert info == {
+        "verify_mode": "estimate",
+        "est_candidates": "prefix",
+        "est_bucket_cap": None,
+        "loss_observed": True,
+    }
+    got = obs.get
+    assert got["bucket_rows_dropped"] == 0 and got["bucket_rows_total"] > 0
+
+
+def test_ngram_char_cap_loss_is_machine_readable(spark, sf_dir):
+    """The capped char-minhash triage mode must surface its loss IN-BAND:
+    the observation reports how many bucket-membership rows the cap
+    dropped on the same job — a pipeline caller reads the saturated
+    fraction from observation.get, never from stdout."""
+    from pyspark.sql import Observation
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    obs, info = Observation(), {}
+    out = dd.ngram_jaccard_dedup(
+        docs, "doc_id", "text",
+        block_cols=["lang"], length_col="n_chars", n=3, length_band=8,
+        threshold=0.55, scratch_policy="estimate", est_candidates="char",
+        est_bucket_cap=50, loss_observation=obs, plan_info=info,
+    )
+    out.collect()
+    got = obs.get
+    assert got["bucket_rows_dropped"] > 0
+    assert got["bucket_rows_total"] >= got["bucket_rows_dropped"]
+    assert info["est_candidates"] == "char" and info["est_bucket_cap"] == 50
+
+
+def test_ngram_exact_mode_plan_info_and_bad_candidates(spark, sf_dir):
+    """plan_info records exact mode (no loss observation attached), and
+    an unknown est_candidates value raises instead of silently running
+    some default."""
+    import pytest
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    kw = dict(
+        block_cols=["lang"], length_col="n_chars", n=3, length_band=8,
+        threshold=0.55,
+    )
+    info = {}
+    dd.ngram_jaccard_dedup(
+        docs, "doc_id", "text", scratch_policy="exact", plan_info=info, **kw
+    )
+    assert info == {
+        "verify_mode": "exact",
+        "est_candidates": None,
+        "est_bucket_cap": None,
+        "loss_observed": False,
+    }
+    with pytest.raises(ValueError, match="est_candidates"):
+        dd.ngram_jaccard_dedup(
+            docs, "doc_id", "text", est_candidates="yolo", **kw
+        )
 
 
 def test_ngram_estimate_bucket_cap_is_bounded_subset(spark, sf_dir):
@@ -326,7 +388,7 @@ def test_ngram_estimate_bucket_cap_is_bounded_subset(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     kw = dict(
         block_cols=["lang"], length_col="n_chars", n=3, length_band=8,
-        threshold=0.55, scratch_policy="estimate",
+        threshold=0.55, scratch_policy="estimate", est_candidates="char",
     )
 
     def pairs(cap):

@@ -81,6 +81,7 @@ REPRESENTATIVE = [
     "knn_bfs_reach",
     # round-5 waves
     "ngram_jaccard_est_recall",
+    "ngram_jaccard_capped_recall",
     "equidepth_histogram_approx",
     "quality_calibration_approx",
     "psi_distribution_drift",

@@ -753,3 +753,153 @@ def test_upsert_rename_recovery_sweeps_orphan_tmp(spark, tmp_path):
     )
     assert {r["k"]: r["v"] for r in got.collect()} == {0: 50, 1: 6}
     assert not os.path.exists(orphan)
+
+
+# -- streaming ingest near-dup gate (round 6) ---------------------------------
+
+
+def _docs_frame(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+def _stage_batches(spark, tmp_path, batches, name):
+    """Write each list of (doc_id, text) rows as ONE parquet file with
+    increasing mtimes so the file stream source replays them in order."""
+    import glob
+    import shutil
+    import time
+
+    stage = tmp_path / f"{name}_stage"
+    stage.mkdir()
+    base = int(time.time())
+    for b, rows in enumerate(batches):
+        tmp = str(tmp_path / f"{name}_w{b}")
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+            1
+        ).write.parquet(tmp)
+        part = glob.glob(f"{tmp}/part-*.parquet")[0]
+        dst = str(stage / f"batch-{b}.parquet")
+        shutil.move(part, dst)
+        os.utime(dst, (base + 2 * b, base + 2 * b))
+    return str(stage)
+
+
+def _incr_stream(spark, stage):
+    s = jobs.streaming_session(spark)
+    return (
+        s.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{stage}/*.parquet")
+    )
+
+
+_CORPUS_TEXTS = [
+    "alpha beta gamma delta epsilon zeta",
+    "one two three four five six seven",
+    "the quick brown fox jumps over the lazy dog",
+]
+
+
+def test_incremental_stream_single_batch_equals_batch_twin(spark, tmp_path):
+    """With ONE micro-batch the streaming gate must equal the batch
+    operator on the same split — same pairs, same exact jaccard."""
+    from mapreduceproject_spark.operators import dedup as dd
+
+    corpus = _docs_frame(spark, _CORPUS_TEXTS)
+    new_rows = [
+        (100, "alpha beta gamma delta epsilon eta"),   # near-dup of doc 0
+        (101, "completely unrelated words entirely"),
+    ]
+    stage = _stage_batches(spark, tmp_path, [new_rows], "single")
+    got = jobs.incremental_minhash_stream(
+        _incr_stream(spark, stage), spark,
+        str(tmp_path / "single_state"), str(tmp_path / "single_ckpt"),
+        corpus, "doc_id", "text",
+    )
+    want = dd.minhash_lsh_incremental(
+        _docs_frame(spark, []).unionByName(
+            spark.createDataFrame(new_rows, "doc_id long, text string")
+        ),
+        corpus, "doc_id", "text",
+    )
+    g = {(r["new_id"], r["prior_id"], round(r["jaccard"], 9)) for r in got.collect()}
+    w = {(r["new_id"], r["corpus_id"], round(r["jaccard"], 9)) for r in want.collect()}
+    assert g and g == w
+
+
+def test_incremental_stream_pairs_strictly_earlier_only(spark, tmp_path):
+    """Across micro-batches a doc pairs with the corpus AND earlier
+    batches, never its own batch: two near-identical docs in the SAME
+    batch emit nothing between themselves; the same doc re-arriving in a
+    LATER batch pairs with the earlier arrival."""
+    corpus = _docs_frame(spark, _CORPUS_TEXTS)
+    twin_a = (200, "red orange yellow green blue indigo violet")
+    twin_b = (201, "red orange yellow green blue indigo purple")
+    later = (300, "red orange yellow green blue indigo violet maroon")
+    stage = _stage_batches(spark, tmp_path, [[twin_a, twin_b], [later]], "order")
+    got = jobs.incremental_minhash_stream(
+        _incr_stream(spark, stage), spark,
+        str(tmp_path / "order_state"), str(tmp_path / "order_ckpt"),
+        corpus, "doc_id", "text",
+    )
+    pairs = {(r["new_id"], r["prior_id"]) for r in got.collect()}
+    assert (200, 201) not in pairs and (201, 200) not in pairs  # same batch
+    assert (300, 200) in pairs  # later batch vs earlier batch
+    assert all(n != p for n, p in pairs)
+
+
+def test_incremental_stream_crash_replay_is_idempotent(spark, tmp_path):
+    """Kill the gate mid-epoch (after earlier epochs committed), then
+    restart with the same checkpoint: the replayed epoch overwrites its
+    own results/index dirs and the final output equals an uninterrupted
+    run — the per-epoch-overwrite idempotence contract."""
+    import pytest
+
+    from mapreduceproject_spark.operators import dedup as dd
+
+    corpus = _docs_frame(spark, _CORPUS_TEXTS)
+    b0 = [(400, "alpha beta gamma delta epsilon zeta eta theta iota kappa")]
+    b1 = [(401, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda")]
+    # reference: uninterrupted run
+    stage_ref = _stage_batches(spark, tmp_path, [b0, b1], "ref")
+    ref = {
+        (r["new_id"], r["prior_id"], round(r["jaccard"], 9))
+        for r in jobs.incremental_minhash_stream(
+            _incr_stream(spark, stage_ref), spark,
+            str(tmp_path / "ref_state"), str(tmp_path / "ref_ckpt"),
+            corpus, "doc_id", "text",
+        ).collect()
+    }
+    assert ref  # 401 pairs with 400 (earlier batch) and maybe corpus
+    # crashing run: poison verify_jaccard to die on its 2nd per-epoch call
+    stage = _stage_batches(spark, tmp_path, [b0, b1], "crash")
+    state, ckpt = str(tmp_path / "crash_state"), str(tmp_path / "crash_ckpt")
+    real = dd.verify_jaccard
+    calls = {"n": 0}
+
+    def dying(*a, **k):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise RuntimeError("injected crash mid-epoch")
+        return real(*a, **k)
+
+    dd.verify_jaccard = dying
+    try:
+        with pytest.raises(Exception, match="injected crash"):
+            jobs.incremental_minhash_stream(
+                _incr_stream(spark, stage), spark, state, ckpt,
+                corpus, "doc_id", "text",
+            )
+    finally:
+        dd.verify_jaccard = real
+    # restart with the SAME state + checkpoint: epoch 1 replays
+    got = {
+        (r["new_id"], r["prior_id"], round(r["jaccard"], 9))
+        for r in jobs.incremental_minhash_stream(
+            _incr_stream(spark, stage), spark, state, ckpt,
+            corpus, "doc_id", "text",
+        ).collect()
+    }
+    assert got == ref
