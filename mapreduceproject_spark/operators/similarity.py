@@ -146,23 +146,40 @@ def assign_cells(
     (pytest-pinned); at the default it is the standard IVF approximation
     — a vector whose true cell hides in an unprobed coarse cell can be
     routed to its second-best cell.
+
+    Exchange discipline (round 6, the third-decade fix): the quantized
+    vector (~dim·8 B ≈ 512 B at dim=64) NEVER rides a scoring window's
+    shuffle.  Scores are computed where ``_q`` is already resident (the
+    broadcast-join projection, pre-exchange), the top-k windows shuffle
+    only (id, cell, cos) ≈ 24 B rows, and ``_q``/``_n2`` re-attach by id
+    AFTER selection — one n-sized join instead of hauling the array
+    through an n·√C-row exchange (~20× shuffle bytes at dim=64; at the
+    2M-vector 1000× fixture the difference is a 6 GB window vs a 140 GB
+    one).  Values are bit-identical: same cosine arithmetic, same
+    (cos desc, cid asc) tie-breaks, and the re-attach join key is the
+    unique vector id.
     """
     cb = F.broadcast(centroids)
+    slim = vecs.select(id_name, "_q", "_n2")
+
+    def _reattach(top: DataFrame) -> DataFrame:
+        return top.join(slim, id_name).select(
+            id_name, "_q", "_n2", "cid", "cos", "rn"
+        )
+
     if assign == "brute":
         scored = vecs.crossJoin(cb).select(
             id_name,
-            "_q",
-            "_n2",
             "cid",
             prequantized_cosine(
                 F.col("_q"), F.col("cq"), F.col("_n2"), F.col("cn2")
             ).alias("cos"),
         )
         w = Window.partitionBy(id_name).orderBy(F.desc("cos"), F.asc("cid"))
-        return (
+        return _reattach(
             scored.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") <= nprobe)
-            .select(id_name, "_q", "_n2", "cid", "cos", "rn")
+            .select(id_name, "cid", "cos", "rn")
         )
     if assign != "twolevel":
         raise ValueError(f"assign must be brute|twolevel, got {assign!r}")
@@ -196,27 +213,31 @@ def assign_cells(
     )
     vcos = prequantized_cosine(F.col("_q"), F.col("gq"), F.col("_n2"), F.col("gn2"))
     wv = Window.partitionBy(id_name).orderBy(F.desc("_vcos"), F.asc("gid"))
+    # coarse routing window shuffles (id, gid, cos) only; _q re-attaches
+    # at n·coarse_nprobe rows for the fine scoring join below
     vec_routed = (
         vecs.crossJoin(coarse)
-        .select(id_name, "_q", "_n2", "gid", vcos.alias("_vcos"))
+        .select(id_name, "gid", vcos.alias("_vcos"))
         .withColumn("_rn", F.row_number().over(wv))
         .filter(F.col("_rn") <= coarse_nprobe)
-        .select(id_name, "_q", "_n2", "gid")
+        .select(id_name, "gid")
+        .join(slim, id_name)
     )
+    # fine scoring happens inside the broadcast join's projection (where
+    # _q is resident); the projection drops _q so the final top-nprobe
+    # window shuffles slim rows
     scored = vec_routed.join(fine_routed, "gid").select(
         id_name,
-        "_q",
-        "_n2",
         "cid",
         prequantized_cosine(
             F.col("_q"), F.col("cq"), F.col("_n2"), F.col("cn2")
         ).alias("cos"),
     )
     w = Window.partitionBy(id_name).orderBy(F.desc("cos"), F.asc("cid"))
-    return (
+    return _reattach(
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= nprobe)
-        .select(id_name, "_q", "_n2", "cid", "cos", "rn")
+        .select(id_name, "cid", "cos", "rn")
     )
 
 

@@ -115,26 +115,30 @@ def build(spark) -> None:
     n_docs = docs.agg(F.max("doc_id")).collect()[0][0] + 1
     reps = []
     vowels = "aeiou"
+    consonants = "".join(c for c in ALPHA if c not in vowels)
     for k in range(REPLICAS):
         # composed per-replica character permutation: alphabet rotation
-        # (26 values) x vowel rotation (5 more) = 130 distinct maps, so
-        # replicas stay non-near-dup past k=26; k < 26 composes with the
-        # identity vowel map — bit-identical to the original 10x fixture.
-        a, b = k % 26, (k // 26) % 5
+        # (26) x vowel rotation (5) x consonant rotation (21, third
+        # decade) = 2730 distinct maps, so replicas stay non-near-dup
+        # past k=130; k < 130 composes with the identity consonant map —
+        # bit-identical to the original 10x/100x fixtures.
+        a, b, c = k % 26, (k // 26) % 5, (k // 130) % 21
         rot = ALPHA[a:] + ALPHA[:a]
         vrot = vowels[b:] + vowels[:b]
-        txt = F.translate(F.translate(F.col("text"), ALPHA, rot), vowels, vrot)
+        crot = consonants[c:] + consonants[:c]
+        txt = F.translate(
+            F.translate(F.translate(F.col("text"), ALPHA, rot), vowels, vrot),
+            consonants,
+            crot,
+        )
         reps.append(
             docs.select(
                 (F.col("doc_id") + F.lit(k * n_docs)).alias("doc_id"),
                 txt.alias("text"),
-                *[c for c in docs.columns if c not in ("doc_id", "text")],
+                *[c2 for c2 in docs.columns if c2 not in ("doc_id", "text")],
             )
         )
-    big_docs = reps[0]
-    for r in reps[1:]:
-        big_docs = big_docs.unionByName(r)
-    big_docs.repartition(32).write.parquet(str(out / "documents.parquet"))
+    _write_chunked(reps, str(out / "documents.parquet"))
 
     emb = spark.read.parquet(f"{SRC_SF}/embeddings.parquet")
     id_col = "vec_id"
@@ -143,9 +147,11 @@ def build(spark) -> None:
     reps = []
     for k in range(REPLICAS):
         # rotate the vector by k%dim positions (slice+concat,
-        # norm-preserving); past a full cycle, additionally reverse —
-        # 128 distinct decorrelated transforms, identity-compatible with
-        # the original 10x fixture for k < 64.
+        # norm-preserving); past a full cycle, additionally reverse; past
+        # 128, additionally sign-flip a k-dependent prefix (also
+        # norm-preserving) — 64 x 2 x 65 = 8320 distinct decorrelated
+        # transforms, identity-compatible with the original 10x/100x
+        # fixtures for k < 128.
         r = k % 64
         rotated = F.concat(
             F.slice(F.col(vec_col), r + 1, 10**6),
@@ -153,6 +159,13 @@ def build(spark) -> None:
         )
         if (k // 64) % 2 == 1:
             rotated = F.reverse(rotated)
+        j = (k // 128) % 65
+        if j:
+            rotated = F.zip_with(
+                rotated,
+                F.sequence(F.lit(1), F.size(rotated)),
+                lambda x, i: F.when(i <= F.lit(j), -x).otherwise(x),
+            )
         reps.append(
             emb.select(
                 (F.col(id_col) + F.lit(k * n_emb)).alias(id_col),
@@ -160,10 +173,19 @@ def build(spark) -> None:
                 *[c for c in emb.columns if c not in (id_col, vec_col)],
             )
         )
-    big_emb = reps[0]
-    for r in reps[1:]:
-        big_emb = big_emb.unionByName(r)
-    big_emb.repartition(32).write.parquet(str(out / "embeddings.parquet"))
+    _write_chunked(reps, str(out / "embeddings.parquet"))
+
+
+def _write_chunked(reps: list, dest: str, chunk: int = 100) -> None:
+    """Union replicas in bounded chunks and append each to ``dest``:
+    a 1000-branch union is one logical plan Catalyst must analyze whole
+    (minutes of driver time and a deep tree); 100-branch appends keep
+    analysis bounded and produce identical table contents."""
+    for start in range(0, len(reps), chunk):
+        big = reps[start]
+        for r in reps[start + 1 : start + chunk]:
+            big = big.unionByName(r)
+        big.repartition(32).write.mode("append").parquet(dest)
 
 
 def skew_split_check(spark) -> bool:
@@ -408,9 +430,15 @@ def kmeans_autok_check(spark) -> dict:
         spark.catalog.clearCache()
 
     run(0)  # warmup (distributed carrier), untimed
-    t0 = time.perf_counter()
-    run(10**9)  # force the literal/driver-collect carrier
-    lit_sec = round(time.perf_counter() - t0, 2)
+    lit_sec = None
+    if REPLICAS <= 100:
+        # past 100x the auto-k exceeds tens of thousands: forcing the
+        # literal carrier would inline k·dim literal values into every
+        # Lloyd re-plan — exactly the driver pathology the 512 gate
+        # exists to prevent; there is nothing left to A/B up there
+        t0 = time.perf_counter()
+        run(10**9)  # force the literal/driver-collect carrier
+        lit_sec = round(time.perf_counter() - t0, 2)
     t0 = time.perf_counter()
     run(0)  # distributed carrier
     dist_sec = round(time.perf_counter() - t0, 2)
@@ -453,7 +481,11 @@ def ngram_recall_check(spark) -> dict:
     production cap 256 (the round-5 measured 0.041 cliff, kept for the
     record).  The sample percentage bounds the exact side's shuffle
     scratch (the full 100x exact pass is the documented DNF); 20%% keeps
-    it ~1/25th of the full pair work."""
+    it ~1/25th of the full pair work at <=100x, and past that the sample
+    holds a FIXED ABSOLUTE size (the same contract dedup_minhash_recall
+    documents: a gauge's exact-truth side is budgeted in documents, not
+    corpus fraction — 20% of the 1000x corpus would alone exceed this
+    box's disk)."""
     import time
 
     from pyspark.sql import functions as F
@@ -461,7 +493,8 @@ def ngram_recall_check(spark) -> dict:
     from mapreduceproject_spark.functions.hashing import hash60
     from mapreduceproject_spark.operators.dedup import ngram_jaccard_dedup
 
-    pct, salt, cap = 20, "|ng-recall", 256
+    pct = 20 if REPLICAS <= 100 else max(1, 2000 // REPLICAS)
+    salt, cap = "|ng-recall", 256
     docs = spark.read.parquet(f"{OUT_DIR}/documents.parquet")
     sample = docs.filter(
         hash60(F.concat(F.col("text"), F.lit(salt))) % 100 < pct
