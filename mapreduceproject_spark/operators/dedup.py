@@ -531,6 +531,19 @@ NGRAM_EST_HASHES = 24
 # DNF), not for small fixtures on crowded machines.
 NGRAM_SCRATCH_FLOOR_BYTES = 4 << 30
 
+# Prefix-light fallback scratch model, calibrated at the 1000× fixture
+# (5M docs, ~1.5G chars): the single collect_list(struct(df,h)) gram
+# shuffle plus the prefix self-join spilled ~60-70 GB — ≈48 B/char
+# end-to-end, a 10× reduction on the exact path's 480 but still
+# corpus-proportional.  "auto" cannot route below it (prefix IS the
+# lightest exact mode), so when even this estimate exceeds the headroom
+# the operator completes-or-dies on disk like any Spark job would — but
+# it SAYS so up front (print + plan_info["light_scratch_exceeds"]), and
+# the knowing caller can choose the bounded-cost lossy triage
+# (est_candidates="char", est_bucket_cap=...) or a real cluster, where
+# this is <1 GB/node across 100 executors.
+NGRAM_LIGHT_SCRATCH_BYTES_PER_CHAR = 48
+
 
 def _ngram_scratch_mode(
     policy: str, need_bytes: int, free_bytes: int, headroom: float = 0.5
@@ -1032,6 +1045,10 @@ def ngram_jaccard_dedup(
             free,
             scratch_headroom,
         )
+        light_exceeds = (
+            est_chars * NGRAM_LIGHT_SCRATCH_BYTES_PER_CHAR
+            > free * scratch_headroom
+        )
         if mode == "estimate":
             print(
                 f"# ngram_jaccard_dedup: estimated exact-mode scratch "
@@ -1041,8 +1058,24 @@ def ngram_jaccard_dedup(
                 f"{est_candidates!r} fallback (machine-readable via "
                 f"plan_info/loss_observation)"
             )
+        if light_exceeds and est_candidates == "prefix":
+            # the 1000×-fixture finding: prefix-light is the LIGHTEST
+            # exact mode (~48 B/char), so "auto" has nowhere lighter to
+            # route — say so up front instead of dying of disk mid-job;
+            # the caller's options are a cluster or the explicit lossy
+            # triage (est_candidates="char" + est_bucket_cap)
+            print(
+                f"# ngram_jaccard_dedup: even the prefix-light fallback's "
+                f"estimated scratch "
+                f"{est_chars * NGRAM_LIGHT_SCRATCH_BYTES_PER_CHAR >> 30} GiB "
+                f"exceeds {scratch_headroom:.0%} of free {free >> 30} GiB "
+                f"on {local_dir} — this box may run out of shuffle disk; "
+                f"options: run on a cluster, or opt into bounded-cost "
+                f"triage with est_candidates='char', est_bucket_cap=..."
+            )
     else:
         mode = _ngram_scratch_mode(scratch_policy, 0, 0)
+        light_exceeds = False
     grams = (
         char_ngram_rows(base, F.lower(F.col("_txt")), n, keep=["_id"])
         .select("_id", hash60(F.col("g")).alias("h"))
@@ -1054,6 +1087,7 @@ def ngram_jaccard_dedup(
             est_candidates=est_candidates if mode == "estimate" else None,
             est_bucket_cap=est_bucket_cap if mode == "estimate" else None,
             loss_observed=mode == "estimate" and loss_observation is not None,
+            light_scratch_exceeds=light_exceeds,
         )
     if mode == "estimate":
         # NOT persisted here: the fallback consumes grams exactly once

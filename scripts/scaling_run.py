@@ -14,6 +14,13 @@ Fixture design (built under .scaling/, gitignored):
 
 Usage: python scripts/scaling_run.py [--build-only|--run-only]
 Prints one JSON line with per-query wall-clock at the scaled fixture.
+
+At REPLICAS=1000 set SPARK_DRIVER_MEM=48g+ (the 8g default OOMs the
+doc-backed checks in the single local JVM) and run checks ONE PER
+PROCESS; budget ~15 min for the build and 13-30 min per embeddings
+check (measured round 6: ivf 803 s, pagerank 795 s, kmeans 1504 s,
+semantic 1785 s).  ngram at 1000x is a documented disk DNF on this box
+(~48 B/char x 1.5G chars > free scratch — SCALING.md round-6 section).
 """
 
 from __future__ import annotations

@@ -324,6 +324,7 @@ def test_ngram_estimate_mode_matches_exact_pairs(spark, sf_dir):
         "est_candidates": "prefix",
         "est_bucket_cap": None,
         "loss_observed": True,
+        "light_scratch_exceeds": False,
     }
     got = obs.get
     assert got["bucket_rows_dropped"] == 0 and got["bucket_rows_total"] > 0
@@ -371,6 +372,7 @@ def test_ngram_exact_mode_plan_info_and_bad_candidates(spark, sf_dir):
         "est_candidates": None,
         "est_bucket_cap": None,
         "loss_observed": False,
+        "light_scratch_exceeds": False,
     }
     with pytest.raises(ValueError, match="est_candidates"):
         dd.ngram_jaccard_dedup(
@@ -404,6 +406,30 @@ def test_ngram_estimate_bucket_cap_is_bounded_subset(spark, sf_dir):
     capped = pairs(50)
     assert capped <= uncapped
     assert len(capped) < len(uncapped)
+
+
+def test_ngram_auto_announces_light_scratch_overrun(spark, sf_dir, monkeypatch):
+    """When even the prefix-light fallback's scratch estimate exceeds the
+    headroom (the 1000x-fixture disk-DNF shape), auto must still run the
+    lightest exact mode but SAY so machine-readably up front — the caller
+    decides between a cluster and explicit lossy triage."""
+    import collections
+    import shutil as _shutil
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    du = collections.namedtuple("du", "total used free")
+    monkeypatch.setattr(dd, "NGRAM_SCRATCH_FLOOR_BYTES", 0)
+    monkeypatch.setattr(_shutil, "disk_usage", lambda p: du(2, 1, 1))
+    info = {}
+    out = dd.ngram_jaccard_dedup(
+        docs, "doc_id", "text",
+        block_cols=["lang"], length_col="n_chars", n=3, length_band=8,
+        threshold=0.55, scratch_policy="auto", plan_info=info,
+    )
+    assert info["verify_mode"] == "estimate"
+    assert info["est_candidates"] == "prefix"
+    assert info["light_scratch_exceeds"] is True
+    assert out.count() > 0  # the warning is advisory: fixture-scale completes
 
 
 def test_ngram_scratch_policy_resolution():
