@@ -513,6 +513,44 @@ def upsert_latest_per_key(
     return spark.read.parquet(path).drop("_kb")
 
 
+def _gen_buckets(
+    hashed: DataFrame, num_hashes: int, bands: int, seed: int
+) -> DataFrame:
+    """Shingle-hash frame -> LSH band buckets (shared by the gate's join
+    side and the persisted index generations, so both use identical
+    signatures)."""
+    from mapreduceproject_spark.operators.dedup import (
+        lsh_band_buckets,
+        minhash_signatures,
+    )
+
+    return lsh_band_buckets(minhash_signatures(hashed, num_hashes, seed),
+                            num_hashes, bands)
+
+
+def _write_generation(
+    hashed: DataFrame,
+    gen: str,
+    buckets_dir: str,
+    shingles_dir: str,
+    num_hashes: int,
+    bands: int,
+    seed: int,
+) -> None:
+    """Append one ingest generation (bucket + shingle tables) to the
+    streaming gate's index.  Module-level so the crash-replay pytest can
+    inject a failure between the two writes — the window the gate's
+    committed-generation filter exists to survive."""
+    import os
+
+    _gen_buckets(hashed, num_hashes, bands, seed).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(buckets_dir, f"ingest={gen}"))
+    hashed.write.mode("overwrite").parquet(
+        os.path.join(shingles_dir, f"ingest={gen}")
+    )
+
+
 def incremental_minhash_stream(
     new_stream: DataFrame,
     spark: SparkSession,
@@ -560,13 +598,21 @@ def incremental_minhash_stream(
     directory and OVERWRITES it on replay, so a batch that crashed
     mid-write is fully repaired when the checkpoint replays that epoch
     (pytest kills an epoch mid-flight and re-runs).  The checkpoint is
-    the commit log; the partition dirs are the data.
+    the commit log; the partition dirs are the data.  A replayed epoch
+    reads ONLY committed generations — ``corpus`` plus ``b<k>`` with
+    ``k < epoch_id``, enumerated explicitly — so a crash *during* its own
+    ``ingest=b<epoch>`` append can neither make the batch join against
+    itself (same-batch/self pairs would violate the strictly-earlier
+    contract) nor break the read via a partially written parquet file
+    (the partial generation dir is never opened, only overwritten).
+    The bootstrap generation commits via a ``_corpus_committed`` marker
+    written after both corpus tables land, so a crash mid-bootstrap
+    rebuilds the corpus generation on restart instead of trusting a
+    half-written one.
     """
     import os
 
     from mapreduceproject_spark.operators.dedup import (
-        lsh_band_buckets,
-        minhash_signatures,
         shingle_hashes,
         verify_jaccard,
     )
@@ -575,34 +621,60 @@ def incremental_minhash_stream(
     buckets_dir = os.path.join(state_dir, "buckets")
     shingles_dir = os.path.join(state_dir, "shingles")
     results_dir = os.path.join(state_dir, "results")
-
-    def write_gen(hashed: DataFrame, gen: str) -> None:
-        sigs = minhash_signatures(hashed, num_hashes, seed)
-        bk = lsh_band_buckets(sigs, num_hashes, bands)
-        bk.write.mode("overwrite").parquet(
-            os.path.join(buckets_dir, f"ingest={gen}")
-        )
-        hashed.write.mode("overwrite").parquet(
-            os.path.join(shingles_dir, f"ingest={gen}")
-        )
+    corpus_marker = os.path.join(state_dir, "_corpus_committed")
 
     # bootstrap: the existing corpus becomes generation "corpus" (skip if
-    # a previous run already wrote it — the stream may be a restart)
-    if not os.path.isdir(os.path.join(buckets_dir, "ingest=corpus")):
+    # a previous run already COMMITTED it — the stream may be a restart;
+    # the marker, not the dir, is the commit record, so a crash between
+    # the two table writes re-runs the idempotent overwrite here)
+    if not os.path.exists(corpus_marker):
         corpus_hashed = shingle_hashes(
             spread_for_compute(corpus), id_col, text_col, shingle_k
         ).persist()
-        write_gen(corpus_hashed, "corpus")
+        _write_generation(
+            corpus_hashed, "corpus", buckets_dir, shingles_dir,
+            num_hashes, bands, seed,
+        )
         corpus_hashed.unpersist()
+        os.makedirs(state_dir, exist_ok=True)
+        with open(corpus_marker, "w") as fh:
+            fh.write("committed\n")
+
+    def committed_gen_dirs(base: str, epoch_id: int) -> list:
+        """Generation dirs the gate may read for this epoch: the
+        bootstrap corpus plus batches that committed strictly earlier.
+        The current epoch's own ``b<epoch_id>`` (left behind by a crash
+        mid-append, before the checkpoint committed) and anything newer
+        or unparsable is excluded — those dirs may be partial and their
+        contents are NOT part of the strictly-earlier index."""
+        out = []
+        for name in os.listdir(base):
+            if not name.startswith("ingest="):
+                continue
+            gen = name[len("ingest="):]
+            if gen == "corpus":
+                out.append(os.path.join(base, name))
+            elif gen.startswith("b"):
+                try:
+                    k = int(gen[1:])
+                except ValueError:
+                    continue
+                if k < epoch_id:
+                    out.append(os.path.join(base, name))
+        return sorted(out)
 
     def gate(batch: DataFrame, epoch_id: int) -> None:
         s = batch.sparkSession
         hashed_new = shingle_hashes(batch, id_col, text_col, shingle_k).persist()
-        idx_buckets = s.read.parquet(buckets_dir).drop("ingest")
-        idx_shingles = s.read.parquet(shingles_dir).drop("ingest")
-        new_buckets = lsh_band_buckets(
-            minhash_signatures(hashed_new, num_hashes, seed), num_hashes, bands
+        # reading the enumerated dirs (not the root) keeps partition
+        # discovery from ever touching an uncommitted generation
+        idx_buckets = s.read.parquet(
+            *committed_gen_dirs(buckets_dir, epoch_id)
         )
+        idx_shingles = s.read.parquet(
+            *committed_gen_dirs(shingles_dir, epoch_id)
+        )
+        new_buckets = _gen_buckets(hashed_new, num_hashes, bands, seed)
         pairs = (
             new_buckets.select(F.col("_id").alias("id_a"), "band", "sig")
             .join(
@@ -625,8 +697,12 @@ def incremental_minhash_stream(
         )
         # append the batch to the index LAST: results for this epoch are
         # derived from index-before-this-batch, and a replayed epoch
-        # overwrites both dirs, so ordering only matters for readability
-        write_gen(hashed_new, f"b{epoch_id}")
+        # both ignores (committed_gen_dirs) and overwrites any partial
+        # b<epoch_id> a crash here leaves behind
+        _write_generation(
+            hashed_new, f"b{epoch_id}", buckets_dir, shingles_dir,
+            num_hashes, bands, seed,
+        )
         hashed_new.unpersist()
 
     q = (

@@ -903,3 +903,132 @@ def test_incremental_stream_crash_replay_is_idempotent(spark, tmp_path):
         ).collect()
     }
     assert got == ref
+
+
+def test_incremental_stream_crash_mid_write_gen_no_same_batch_pairs(
+    spark, tmp_path
+):
+    """Kill the gate INSIDE ``_write_generation`` — after the epoch's
+    results and its bucket-generation write landed, but before the
+    shingle write (checkpoint uncommitted).  The replayed epoch must not
+    read its own partial ``ingest=b<epoch>`` generation: no same-batch or
+    self pairs (the strictly-earlier contract), no crash on the garbage
+    parquet file the fault leaves behind, and the final output must equal
+    an uninterrupted run exactly."""
+    import pytest
+
+    corpus = _docs_frame(spark, _CORPUS_TEXTS)
+    # b1 holds two near-identical docs: if the replay reads its own
+    # generation, (500,501)/(501,500) same-batch pairs and (500,500)
+    # jaccard-1.0 self pairs appear in the overwritten results
+    b0 = [(400, "alpha beta gamma delta epsilon zeta eta theta iota kappa")]
+    b1 = [
+        (500, "alpha beta gamma delta epsilon zeta eta theta iota mu"),
+        (501, "alpha beta gamma delta epsilon zeta eta theta iota nu"),
+    ]
+    stage_ref = _stage_batches(spark, tmp_path, [b0, b1], "wgref")
+    ref = {
+        (r["new_id"], r["prior_id"], r["jaccard"])
+        for r in jobs.incremental_minhash_stream(
+            _incr_stream(spark, stage_ref), spark,
+            str(tmp_path / "wgref_state"), str(tmp_path / "wgref_ckpt"),
+            corpus, "doc_id", "text",
+        ).collect()
+    }
+    assert ref
+    stage = _stage_batches(spark, tmp_path, [b0, b1], "wg")
+    state, ckpt = str(tmp_path / "wg_state"), str(tmp_path / "wg_ckpt")
+    real = jobs._write_generation
+
+    def dying(hashed, gen, buckets_dir, shingles_dir, *a, **k):
+        if gen == "b1":
+            # reproduce the exact on-disk state of a crash between the
+            # two writes: buckets generation fully written, shingles
+            # generation a partially-written (garbage) parquet file
+            jobs._gen_buckets(hashed, a[0], a[1], a[2]).write.mode(
+                "overwrite"
+            ).parquet(os.path.join(buckets_dir, f"ingest={gen}"))
+            bad = os.path.join(shingles_dir, f"ingest={gen}")
+            os.makedirs(bad, exist_ok=True)
+            with open(os.path.join(bad, "part-00000.parquet"), "wb") as fh:
+                fh.write(b"this is not a parquet file")
+            raise RuntimeError("injected crash mid-write_gen")
+        return real(hashed, gen, buckets_dir, shingles_dir, *a, **k)
+
+    jobs._write_generation = dying
+    try:
+        with pytest.raises(Exception, match="injected crash"):
+            jobs.incremental_minhash_stream(
+                _incr_stream(spark, stage), spark, state, ckpt,
+                corpus, "doc_id", "text",
+            )
+    finally:
+        jobs._write_generation = real
+    # the crash left b1's results derived from a committed index, plus a
+    # full bucket gen and a garbage shingle gen for b1 on disk
+    assert os.path.isdir(os.path.join(state, "buckets", "ingest=b1"))
+    # restart with the SAME state + checkpoint: epoch 1 replays, must
+    # ignore (not crash on) its own partial generation, then repair it
+    got = {
+        (r["new_id"], r["prior_id"], r["jaccard"])
+        for r in jobs.incremental_minhash_stream(
+            _incr_stream(spark, stage), spark, state, ckpt,
+            corpus, "doc_id", "text",
+        ).collect()
+    }
+    pairs = {(n, p) for n, p, _ in got}
+    assert (500, 501) not in pairs and (501, 500) not in pairs
+    assert all(n != p for n, p in pairs)
+    assert got == ref  # bit-equal to the uninterrupted run
+
+
+def test_incremental_stream_crash_mid_bootstrap_rebuilds_corpus(
+    spark, tmp_path
+):
+    """Kill the bootstrap between its two corpus writes (bucket table
+    landed, shingle table missing, marker unwritten).  The restart must
+    rebuild the corpus generation instead of trusting the half-written
+    one — output equals an uninterrupted run."""
+    import pytest
+
+    corpus = _docs_frame(spark, _CORPUS_TEXTS)
+    newb = [(600, "the quick brown fox jumps over the lazy cat")]
+    stage_ref = _stage_batches(spark, tmp_path, [newb], "bsref")
+    ref = {
+        (r["new_id"], r["prior_id"], r["jaccard"])
+        for r in jobs.incremental_minhash_stream(
+            _incr_stream(spark, stage_ref), spark,
+            str(tmp_path / "bsref_state"), str(tmp_path / "bsref_ckpt"),
+            corpus, "doc_id", "text",
+        ).collect()
+    }
+    assert ref  # 600 near-dups corpus doc 2
+    stage = _stage_batches(spark, tmp_path, [newb], "bs")
+    state, ckpt = str(tmp_path / "bs_state"), str(tmp_path / "bs_ckpt")
+    real = jobs._write_generation
+
+    def dying(hashed, gen, buckets_dir, shingles_dir, *a, **k):
+        jobs._gen_buckets(hashed, 12, 4, 42).write.mode("overwrite").parquet(
+            os.path.join(buckets_dir, f"ingest={gen}")
+        )
+        raise RuntimeError("injected crash mid-bootstrap")
+
+    jobs._write_generation = dying
+    try:
+        with pytest.raises(Exception, match="injected crash"):
+            jobs.incremental_minhash_stream(
+                _incr_stream(spark, stage), spark, state, ckpt,
+                corpus, "doc_id", "text",
+            )
+    finally:
+        jobs._write_generation = real
+    assert os.path.isdir(os.path.join(state, "buckets", "ingest=corpus"))
+    assert not os.path.exists(os.path.join(state, "_corpus_committed"))
+    got = {
+        (r["new_id"], r["prior_id"], r["jaccard"])
+        for r in jobs.incremental_minhash_stream(
+            _incr_stream(spark, stage), spark, state, ckpt,
+            corpus, "doc_id", "text",
+        ).collect()
+    }
+    assert got == ref
