@@ -513,6 +513,39 @@ def upsert_latest_per_key(
     return spark.read.parquet(path).drop("_kb")
 
 
+def _hadoop_fs(spark: SparkSession, path: str):
+    """(FileSystem, Path) for ``path`` resolved through the session's
+    Hadoop configuration, so the streaming gate's state directory works
+    on any Hadoop-visible store (local file://, HDFS, S3A), not only a
+    POSIX filesystem mounted on the driver."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    return jpath.getFileSystem(spark._jsc.hadoopConfiguration()), jpath
+
+
+def _fs_exists(spark: SparkSession, path: str) -> bool:
+    fs, jpath = _hadoop_fs(spark, path)
+    return bool(fs.exists(jpath))
+
+
+def _fs_child_names(spark: SparkSession, base: str) -> list:
+    """Names of the immediate children of ``base`` (empty if absent)."""
+    fs, jpath = _hadoop_fs(spark, base)
+    if not fs.exists(jpath):
+        return []
+    return [st.getPath().getName() for st in fs.listStatus(jpath)]
+
+
+def _fs_touch(spark: SparkSession, path: str) -> None:
+    """Create/overwrite a small marker file at ``path`` (parents made)."""
+    fs, jpath = _hadoop_fs(spark, path)
+    out = fs.create(jpath, True)
+    try:
+        out.write(bytearray(b"committed\n"))
+    finally:
+        out.close()
+
+
 def _gen_buckets(
     hashed: DataFrame, num_hashes: int, bands: int, seed: int
 ) -> DataFrame:
@@ -627,7 +660,7 @@ def incremental_minhash_stream(
     # a previous run already COMMITTED it — the stream may be a restart;
     # the marker, not the dir, is the commit record, so a crash between
     # the two table writes re-runs the idempotent overwrite here)
-    if not os.path.exists(corpus_marker):
+    if not _fs_exists(spark, corpus_marker):
         corpus_hashed = shingle_hashes(
             spread_for_compute(corpus), id_col, text_col, shingle_k
         ).persist()
@@ -636,31 +669,45 @@ def incremental_minhash_stream(
             num_hashes, bands, seed,
         )
         corpus_hashed.unpersist()
-        os.makedirs(state_dir, exist_ok=True)
-        with open(corpus_marker, "w") as fh:
-            fh.write("committed\n")
+        _fs_touch(spark, corpus_marker)
 
     def committed_gen_dirs(base: str, epoch_id: int) -> list:
         """Generation dirs the gate may read for this epoch: the
         bootstrap corpus plus batches that committed strictly earlier.
         The current epoch's own ``b<epoch_id>`` (left behind by a crash
-        mid-append, before the checkpoint committed) and anything newer
-        or unparsable is excluded — those dirs may be partial and their
-        contents are NOT part of the strictly-earlier index."""
+        mid-append, before the checkpoint committed) is excluded — that
+        dir may be partial and its contents are NOT part of the
+        strictly-earlier index.  A generation NEWER than the epoch (or
+        an unparsable ``ingest=`` name) cannot be a crash artifact of a
+        correctly paired checkpoint — only ``k == epoch_id`` can exist
+        uncommitted — so it means the caller pointed an old state_dir at
+        a fresh/foreign checkpoint; reading on would silently ignore the
+        batches those generations ingested and then overwrite them, so
+        the gate refuses instead.  Listing goes through the Hadoop
+        FileSystem API, so state_dir may live on any store Spark can
+        read (local, HDFS, S3A), not only the driver's POSIX fs."""
         out = []
-        for name in os.listdir(base):
+        for name in _fs_child_names(spark, base):
             if not name.startswith("ingest="):
                 continue
             gen = name[len("ingest="):]
             if gen == "corpus":
                 out.append(os.path.join(base, name))
-            elif gen.startswith("b"):
-                try:
-                    k = int(gen[1:])
-                except ValueError:
-                    continue
-                if k < epoch_id:
-                    out.append(os.path.join(base, name))
+                continue
+            k = int(gen[1:]) if gen[:1] == "b" and gen[1:].isdigit() else None
+            if k is None or k > epoch_id:
+                raise ValueError(
+                    f"state_dir/checkpoint pairing violation: found index "
+                    f"generation '{name}' under {base} while replaying "
+                    f"epoch {epoch_id}; only generations b<k> with "
+                    f"k <= epoch can exist under a correctly paired "
+                    f"checkpoint. The state_dir was likely reused with a "
+                    f"fresh or foreign checkpoint_dir — continuing would "
+                    f"silently drop previously ingested batches from the "
+                    f"index and overwrite their generations."
+                )
+            if k < epoch_id:
+                out.append(os.path.join(base, name))
         return sorted(out)
 
     def gate(batch: DataFrame, epoch_id: int) -> None:
@@ -712,7 +759,7 @@ def incremental_minhash_stream(
         .start()
     )
     q.awaitTermination()
-    if not os.path.isdir(results_dir):
+    if not _fs_exists(spark, results_dir):
         from pyspark.sql.types import DoubleType, LongType, StructField, StructType
 
         return spark.createDataFrame(

@@ -1008,7 +1008,7 @@ def test_incremental_stream_crash_mid_bootstrap_rebuilds_corpus(
     real = jobs._write_generation
 
     def dying(hashed, gen, buckets_dir, shingles_dir, *a, **k):
-        jobs._gen_buckets(hashed, 12, 4, 42).write.mode("overwrite").parquet(
+        jobs._gen_buckets(hashed, *a).write.mode("overwrite").parquet(
             os.path.join(buckets_dir, f"ingest={gen}")
         )
         raise RuntimeError("injected crash mid-bootstrap")
@@ -1032,3 +1032,31 @@ def test_incremental_stream_crash_mid_bootstrap_rebuilds_corpus(
         ).collect()
     }
     assert got == ref
+
+
+def test_incremental_stream_foreign_checkpoint_refused(spark, tmp_path):
+    """Reusing a populated state_dir with a FRESH checkpoint_dir restarts
+    epoch numbering at 0, so the committed generation b1 shows up with
+    k > epoch — a pairing violation, not a crash artifact.  The gate must
+    refuse loudly instead of silently dropping previously ingested
+    batches from the index and overwriting their generations."""
+    import pytest
+
+    corpus = _docs_frame(spark, _CORPUS_TEXTS)
+    b0 = [(700, "alpha beta gamma delta epsilon zeta eta theta")]
+    b1 = [(701, "alpha beta gamma delta epsilon zeta eta theta iota")]
+    stage = _stage_batches(spark, tmp_path, [b0, b1], "foreign")
+    state = str(tmp_path / "foreign_state")
+    jobs.incremental_minhash_stream(
+        _incr_stream(spark, stage), spark, state,
+        str(tmp_path / "foreign_ckpt"), corpus, "doc_id", "text",
+    ).collect()
+    assert os.path.isdir(os.path.join(state, "buckets", "ingest=b1"))
+    stage2 = _stage_batches(spark, tmp_path, [b0], "foreign2")
+    with pytest.raises(Exception, match="pairing violation"):
+        jobs.incremental_minhash_stream(
+            _incr_stream(spark, stage2), spark, state,
+            str(tmp_path / "foreign_ckpt2"), corpus, "doc_id", "text",
+        )
+    # the committed generations were NOT overwritten by the refused run
+    assert os.path.isdir(os.path.join(state, "buckets", "ingest=b1"))
