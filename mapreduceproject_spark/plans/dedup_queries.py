@@ -250,6 +250,30 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("dedup_ngram_sharded", oracle=_ngram_oracle())
+def dedup_ngram_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc-sharded EXACT char-{NGRAM_N}-gram jaccard
+    (operators/dedup.py::_ngram_jaccard_prefix_sharded): the same
+    contract as dedup_ngram_jaccard — identical oracle — computed in
+    3 shards / 6 bounded-scratch passes, the single-box closure of the
+    1000×-fixture disk DNF.  Exactness of the pass decomposition is the
+    property under test: every unordered pair lands in exactly one
+    diagonal or cross-shard pass."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.ngram_jaccard_dedup(
+        docs,
+        "doc_id",
+        "text",
+        block_cols=["lang"],
+        length_col="n_chars",
+        n=NGRAM_N,
+        length_band=NGRAM_LEN_BAND,
+        threshold=NGRAM_THR,
+        scratch_policy="sharded",
+        shards=3,
+    )
+
+
 def _embedding_oracle() -> str:
     from mapreduceproject_spark.operators.similarity import duck_auto_centroid_cut
 

@@ -148,39 +148,45 @@ def build(spark) -> None:
     _write_chunked(reps, str(out / "documents.parquet"))
 
     emb = spark.read.parquet(f"{SRC_SF}/embeddings.parquet")
-    id_col = "vec_id"
-    vec_col = "embedding"
-    n_emb = emb.agg(F.max(id_col)).collect()[0][0] + 1
-    reps = []
-    for k in range(REPLICAS):
-        # rotate the vector by k%dim positions (slice+concat,
-        # norm-preserving); past a full cycle, additionally reverse; past
-        # 128, additionally sign-flip a k-dependent prefix (also
-        # norm-preserving) — 64 x 2 x 65 = 8320 distinct decorrelated
-        # transforms, identity-compatible with the original 10x/100x
-        # fixtures for k < 128.
-        r = k % 64
-        rotated = F.concat(
-            F.slice(F.col(vec_col), r + 1, 10**6),
-            F.slice(F.col(vec_col), 1, r),
+    n_emb = emb.agg(F.max("vec_id")).collect()[0][0] + 1
+    _write_chunked(
+        [emb_replica(emb, k, n_emb) for k in range(REPLICAS)],
+        str(out / "embeddings.parquet"),
+    )
+
+
+def emb_replica(
+    emb, k: int, n_emb: int, id_col: str = "vec_id", vec_col: str = "embedding"
+):
+    """Replica k of the embeddings table: ids offset by k*n_emb, vector
+    passed through a norm-preserving decorrelating transform — rotate by
+    k%dim positions (slice+concat); past a full cycle, additionally
+    reverse; past 128, additionally sign-flip a k-dependent prefix —
+    64 x 2 x 65 = 8320 distinct transforms, identity-compatible with the
+    original 10x/100x fixtures for k < 128.  Shared by the decade
+    fixtures (build) and the centroid-knee chunk fixture
+    (scripts/centroid_knee_proxy.py)."""
+    from pyspark.sql import functions as F
+
+    r = k % 64
+    rotated = F.concat(
+        F.slice(F.col(vec_col), r + 1, 10**6),
+        F.slice(F.col(vec_col), 1, r),
+    )
+    if (k // 64) % 2 == 1:
+        rotated = F.reverse(rotated)
+    j = (k // 128) % 65
+    if j:
+        rotated = F.zip_with(
+            rotated,
+            F.sequence(F.lit(1), F.size(rotated)),
+            lambda x, i: F.when(i <= F.lit(j), -x).otherwise(x),
         )
-        if (k // 64) % 2 == 1:
-            rotated = F.reverse(rotated)
-        j = (k // 128) % 65
-        if j:
-            rotated = F.zip_with(
-                rotated,
-                F.sequence(F.lit(1), F.size(rotated)),
-                lambda x, i: F.when(i <= F.lit(j), -x).otherwise(x),
-            )
-        reps.append(
-            emb.select(
-                (F.col(id_col) + F.lit(k * n_emb)).alias(id_col),
-                rotated.alias(vec_col),
-                *[c for c in emb.columns if c not in (id_col, vec_col)],
-            )
-        )
-    _write_chunked(reps, str(out / "embeddings.parquet"))
+    return emb.select(
+        (F.col(id_col) + F.lit(k * n_emb)).alias(id_col),
+        rotated.alias(vec_col),
+        *[c for c in emb.columns if c not in (id_col, vec_col)],
+    )
 
 
 def _write_chunked(reps: list, dest: str, chunk: int = 100) -> None:

@@ -325,6 +325,7 @@ def test_ngram_estimate_mode_matches_exact_pairs(spark, sf_dir):
         "est_bucket_cap": None,
         "loss_observed": True,
         "light_scratch_exceeds": False,
+        "shards": None,
     }
     got = obs.get
     assert got["bucket_rows_dropped"] == 0 and got["bucket_rows_total"] > 0
@@ -373,6 +374,7 @@ def test_ngram_exact_mode_plan_info_and_bad_candidates(spark, sf_dir):
         "est_bucket_cap": None,
         "loss_observed": False,
         "light_scratch_exceeds": False,
+        "shards": None,
     }
     with pytest.raises(ValueError, match="est_candidates"):
         dd.ngram_jaccard_dedup(
@@ -410,9 +412,12 @@ def test_ngram_estimate_bucket_cap_is_bounded_subset(spark, sf_dir):
 
 def test_ngram_auto_announces_light_scratch_overrun(spark, sf_dir, monkeypatch):
     """When even the prefix-light fallback's scratch estimate exceeds the
-    headroom (the 1000x-fixture disk-DNF shape), auto must still run the
-    lightest exact mode but SAY so machine-readably up front — the caller
-    decides between a cluster and explicit lossy triage."""
+    headroom AND bounding it would need more than NGRAM_MAX_SHARDS doc
+    shards (free=1 byte forces an astronomical shard count), auto must
+    still run the lightest exact mode but SAY so machine-readably up
+    front — the caller decides between a cluster and explicit lossy
+    triage.  (When a sane shard count suffices, auto routes to the
+    sharded exact plan instead — test_ngram_auto_routes_to_sharded.)"""
     import collections
     import shutil as _shutil
 
@@ -430,6 +435,84 @@ def test_ngram_auto_announces_light_scratch_overrun(spark, sf_dir, monkeypatch):
     assert info["est_candidates"] == "prefix"
     assert info["light_scratch_exceeds"] is True
     assert out.count() > 0  # the warning is advisory: fixture-scale completes
+
+
+def test_ngram_sharded_exact_matches_exact(spark, sf_dir):
+    """The doc-sharded plan is EXACT: pairs and jaccards bit-equal to
+    single-pass exact mode at several shard counts (2 hits the minimum,
+    3 exercises both diagonal and off-diagonal passes, 7 leaves some
+    shards near-empty), and plan_info records the resolved plan."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    kw = dict(
+        block_cols=["lang"], length_col="n_chars", n=3, length_band=8,
+        threshold=0.55,
+    )
+    exact = {
+        (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+        for r in dd.ngram_jaccard_dedup(
+            docs, "doc_id", "text", scratch_policy="exact", **kw
+        ).collect()
+    }
+    assert exact
+    for s in (2, 3, 7):
+        info = {}
+        got = {
+            (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+            for r in dd.ngram_jaccard_dedup(
+                docs, "doc_id", "text", scratch_policy="sharded",
+                shards=s, plan_info=info, **kw
+            ).collect()
+        }
+        assert got == exact, f"shards={s} diverged from exact"
+        assert info["verify_mode"] == "exact" and info["shards"] == s
+
+    import pytest
+
+    with pytest.raises(ValueError, match="shards >= 2"):
+        dd.ngram_jaccard_dedup(
+            docs, "doc_id", "text", scratch_policy="sharded", shards=1, **kw
+        )
+
+
+def test_ngram_auto_routes_to_sharded(spark, sf_dir, monkeypatch):
+    """The 1000x closure: when prefix-light's scratch estimate exceeds
+    the headroom but a sane shard count bounds it, auto runs the EXACT
+    doc-sharded plan (not the single-pass gamble, not lossy triage) and
+    the output still equals exact mode."""
+    import collections
+    import shutil as _shutil
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    kw = dict(
+        block_cols=["lang"], length_col="n_chars", n=3, length_band=8,
+        threshold=0.55,
+    )
+    exact = {
+        (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+        for r in dd.ngram_jaccard_dedup(
+            docs, "doc_id", "text", scratch_policy="exact", **kw
+        ).collect()
+    }
+    from pyspark.sql import functions as F
+
+    light_need = 48 * docs.agg(F.sum("n_chars")).collect()[0][0]
+    du = collections.namedtuple("du", "total used free")
+    monkeypatch.setattr(dd, "NGRAM_SCRATCH_FLOOR_BYTES", 0)
+    # free = light_need -> headroom 0.5 -> s_needed = ceil(2/0.5) = 4
+    monkeypatch.setattr(
+        _shutil, "disk_usage", lambda p: du(light_need * 2, light_need, light_need)
+    )
+    info = {}
+    got = {
+        (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+        for r in dd.ngram_jaccard_dedup(
+            docs, "doc_id", "text", scratch_policy="auto", plan_info=info, **kw
+        ).collect()
+    }
+    assert got == exact
+    assert info["verify_mode"] == "exact"
+    assert info["shards"] == 4
+    assert info["light_scratch_exceeds"] is True
 
 
 def test_ngram_scratch_policy_resolution():
