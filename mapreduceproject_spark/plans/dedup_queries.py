@@ -133,6 +133,49 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _minhash_bucket_stats_oracle() -> str:
+    return f"""
+    WITH {_minhash_prefix()},
+    sizes AS (SELECT band, sig, COUNT(*) AS n FROM bands GROUP BY 1, 2)
+    SELECT CAST(ceil(log2(n)) AS BIGINT) AS log2_size,
+           CAST(COUNT(*) AS BIGINT) AS n_buckets,
+           CAST(SUM(n) AS BIGINT) AS n_rows,
+           CAST(SUM(n * (n - 1) // 2) AS BIGINT) AS implied_pairs
+    FROM sizes
+    GROUP BY 1
+    """
+
+
+@query("dedup_minhash_bucket_stats", oracle=_minhash_bucket_stats_oracle())
+def dedup_minhash_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH bucket-occupancy histogram (log2 size classes): per class, the
+    bucket count, member rows, and the implied pre-distinct candidate
+    volume sum C(n,2) — the observability an ops team needs BEFORE paying
+    a bucketed self-join at 100 TB, and the round-8 instrument that
+    attributed dedup_minhash_lsh's third-decade superlinearity (a
+    candidate-volume density property, not an engine defect; see
+    SCALING.md).  Cost: the signature pipeline plus one vocab-sized
+    groupBy — strictly cheaper than the dedup it forecasts."""
+    docs = load_table(spark, sf_dir, "documents")
+    buckets = dd.lsh_band_buckets(
+        dd.minhash_signatures(
+            dd.shingle_hashes(docs, "doc_id", "text", SHINGLE_K),
+            MINHASH_N,
+            MINHASH_SEED,
+        ),
+        MINHASH_N,
+        MINHASH_BANDS,
+    )
+    sizes = buckets.groupBy("band", "sig").agg(F.count("*").alias("n"))
+    return sizes.groupBy(
+        F.ceil(F.log2("n")).cast("long").alias("log2_size")
+    ).agg(
+        F.count("*").alias("n_buckets"),
+        F.sum("n").alias("n_rows"),
+        F.sum(F.col("n") * (F.col("n") - 1) / 2).cast("long").alias("implied_pairs"),
+    )
+
+
 def _duck_band_extract(start: int, width: int) -> str:
     """DuckDB expression for bits [start, start+width) of the (lo, hi)
     split signature — mirrors operators/dedup.py::_band_extract exactly

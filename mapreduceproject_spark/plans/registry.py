@@ -66,6 +66,24 @@ ORACLES: dict[str, str] = {}
 #          registration order (everything else holds an r4/r5 row).
 #          Eight fit; the ninth listed below (bigram_lm_top) leads the
 #          tail at slot 51.
+# Round-7 window: identical to round 6 (the round had one code change —
+# the ingest gate's crash-replay fix, whose query was already in the
+# window); CORRECTNESS_r07 re-recorded all 50 green.
+# Round-8 window (first 50), in order:
+#   1-2:   round-8 additions, never driver-run: dedup_ngram_sharded (the
+#          doc-sharded exact ngram plan — same oracle as
+#          dedup_ngram_jaccard, pinning pass-decomposition exactness)
+#          and dedup_minhash_bucket_stats (the LSH occupancy histogram
+#          that attributed the third-decade superlinearity).
+#   3:     dedup_incremental_stream — the gate's generation listing
+#          moved to the Hadoop FS API and foreign-checkpoint refusal
+#          landed this round; output semantics unchanged, re-verified.
+#   4-36:  refill with the OLDEST remaining rows: the 33 entries whose
+#          newest driver row is r3, in CORRECTNESS_r03 order.
+#   37-50: next-oldest: the first 14 r4-row entries in CORRECTNESS_r04
+#          order (dedup_minhash_lsh and dedup_ngram_jaccard — the two
+#          operators this round's scale work touched — land here
+#          naturally as oldest r4 rows).
 # Names absent from the registry are ignored (a pytest guards against
 # typos).  Every registry entry, windowed or not, is parity-checked
 # in-repo against its DuckDB oracle at sf0.001
@@ -73,6 +91,63 @@ ORACLES: dict[str, str] = {}
 # the driver's sf0.01 each round (scripts/window_check.py all ->
 # measurements/parity_sf0.01_r0N.json).
 _FRONT: tuple[str, ...] = (
+    # -- round-8 window ------------------------------------------------
+    # 1-2: round-8 additions, never driver-run
+    "dedup_ngram_sharded",
+    "dedup_minhash_bucket_stats",
+    # 3: implementation changed this round (Hadoop FS listing + refusal)
+    "dedup_incremental_stream",
+    # 4-36: oldest remaining rows (r3, in CORRECTNESS_r03 order)
+    "mm_resize_images",
+    "source_mix_weights",
+    "token_length_histogram",
+    "training_interleave",
+    "pii_scan_redact",
+    "bigram_lm_top",
+    "ann_hyperplane_topk",
+    "data_profile",
+    "event_anomaly_zscore",
+    "dedup_keep_best",
+    "running_zscore",
+    "grouped_regression",
+    "corr_matrix",
+    "table_checksums",
+    "ann_ivf_topk",
+    "ann_ivf_recall",
+    "stream_running_zscore",
+    "market_basket_lift",
+    "ewma_user_values",
+    "mad_robust_stats",
+    "quality_calibration_deciles",
+    "token_pmi_bigrams",
+    "source_token_entropy",
+    "customer_rfm",
+    "orders_mom_growth",
+    "token_zipf_fit",
+    "cross_source_shingle_overlap",
+    "equidepth_histogram",
+    "attribution_last_touch",
+    "skyline_price_size",
+    "event_transition_matrix",
+    "dedup_incremental_minhash",
+    "chunk_sliding_windows",
+    # 37-50: next-oldest rows (r4, in CORRECTNESS_r04 order)
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "pagerank_knn",
+    "knn_triangle_census",
+    "knn_degree_hist",
+    "heavy_hitters",
+    "dedup_ngram_jaccard",
+    "word_count",
+    "inverted_index",
+    "maple_juice_word_count",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "join_inner_enrich",
+    # -- tail: previous (round-6/7) window order, then the older ledger
+    # blocks below (first occurrence wins in _ordered) ------------------
     # 1-3: round-5 late additions, never driver-verified
     "batch_sessionize",
     "embedding_dim_stats",
