@@ -1422,6 +1422,129 @@ def ngram_jaccard_dedup(
     ).filter(F.col("jaccard") >= threshold)
 
 
+def ngram_containment_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_cols: list[str],
+    n: int = 3,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Asymmetric containment near-dup: ORDERED pairs (a, b), a ≠ b, with
+    C(a→b) = |grams(a) ∩ grams(b)| / |grams(a)| ≥ ``threshold`` — the
+    containment half of Broder's resemblance/containment pair, the
+    asymmetric complement of :func:`ngram_jaccard_dedup`.  A long page
+    that wholesale-includes a short document scores containment ≈ 1 at a
+    jaccard far below any dedup threshold, so a jaccard-only pipeline
+    never sees it; containment is how a training-data pipeline catches
+    boilerplate inclusion and quote-expansion duplicates.  (Reference
+    scope: the MapReduce engine ships no similarity ops — this extends
+    the same documents-table dedup family the round briefs require.)
+
+    Plan — the prefix-light scratch discipline
+    (:func:`_ngram_jaccard_prefix_light`), ONE gram-stream shuffle:
+
+    1. distinct (doc, gram-hash) rows; vocab-sized doc-frequency groupBy
+       truncated to the {NGRAM_HOT_DF_LIMIT} hottest grams, broadcast,
+       long tail df=1 — any TOTAL order satisfies the prefix theorem.
+    2. one groupBy collects each doc's rarest-first gram array
+       (sort inside the array: zero extra exchanges); persisted — it
+       feeds the prefix stream, the full stream, and both verify sides.
+    3. containment prefix theorem (one-sided Xiao et al. WWW'08 form):
+       C(a→b) ≥ t ⟹ |grams(a) ∩ grams(b)| ≥ ⌈t·na⌉, so among a's
+       ``na − ⌈t·na⌉ + 1`` rarest grams at least one lies in grams(b).
+       Candidates join a's PREFIX against b's FULL gram list — b cannot
+       be pruned (any gram of b may witness a's prefix); the exact size
+       bound nb ≥ t·na (inter ≤ nb) prunes further.  Rarest-first makes
+       prefix grams low-frequency, so the full-side explode meets few
+       prefix partners per gram; residual hot-key skew is AQE's job.
+    4. exact verify: array_intersect on the persisted arrays;
+       containment = both / na.  No sketch anywhere — exact by
+       construction, like the jaccard prefix paths (pytest pins the
+       one-sided theorem against a filter-free reference plan).
+
+    Output: (id_a, id_b, containment), id_a the CONTAINED side.
+    """
+    base = spread_for_compute(df).select(
+        F.col(id_col).alias("_id"),
+        *[F.col(c) for c in block_cols],
+        F.col(text_col).alias("_txt"),
+    )
+    meta = base.select("_id", *[F.col(c) for c in block_cols])
+    grams = (
+        char_ngram_rows(base, F.lower(F.col("_txt")), n, keep=["_id"])
+        .select("_id", hash60(F.col("g")).alias("h"))
+        .distinct()
+    )
+    d = grams.groupBy("h").count()
+    hot = d.filter(F.col("count") >= 2).orderBy(
+        F.desc("count"), "h"
+    ).limit(NGRAM_HOT_DF_LIMIT)
+    g2 = grams.join(F.broadcast(hot), "h", "left").select(
+        "_id", "h", F.coalesce("count", F.lit(1)).alias("df")
+    )
+    arrs = (
+        g2.groupBy("_id")
+        .agg(F.sort_array(F.collect_list(F.struct("df", "h"))).alias("sdh"))
+        .select(
+            "_id",
+            F.col("sdh.h").alias("hs"),
+            F.size("sdh").cast("long").alias("ng"),
+        )
+        .join(meta, "_id")
+        .persist()
+    )
+    # prefix length na − ⌈t·na⌉ + 1, float noise may only LENGTHEN it
+    plen = (
+        F.col("ng")
+        - F.ceil(F.col("ng") * F.lit(threshold) - F.lit(1e-9))
+        + 1
+    )
+    pa = arrs.select(
+        F.col("_id").alias("id_a"),
+        *[F.col(c).alias(f"{c}_a") for c in block_cols],
+        F.col("ng").alias("na"),
+        F.explode(F.slice("hs", F.lit(1), plen)).alias("h"),
+    )
+    pb = arrs.select(
+        F.col("_id").alias("id_b"),
+        *[F.col(c).alias(f"{c}_b") for c in block_cols],
+        F.col("ng").alias("nb"),
+        F.explode("hs").alias("h"),
+    )
+    cond = F.col("id_a") != F.col("id_b")
+    for c in block_cols:
+        cond = cond & (F.col(f"{c}_a") == F.col(f"{c}_b"))
+    size_cond = F.col("nb") >= F.col("na") * F.lit(threshold) - F.lit(1e-9)
+    pairs = (
+        pa.join(pb, ["h"])
+        .filter(cond & size_cond)
+        .select("id_a", "id_b", "na")
+        .distinct()
+    )
+    inter = (
+        pairs.join(
+            arrs.select(F.col("_id").alias("id_a"), F.col("hs").alias("ha")),
+            "id_a",
+        )
+        .join(
+            arrs.select(F.col("_id").alias("id_b"), F.col("hs").alias("hb")),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            "na",
+            F.size(F.array_intersect("ha", "hb")).cast("long").alias("both"),
+        )
+    )
+    return inter.select(
+        "id_a",
+        "id_b",
+        (F.col("both") / F.col("na")).alias("containment"),
+    ).filter(F.col("containment") >= threshold)
+
+
 # ---------------------------------------------------------------------------
 # 5. embedding cosine near-dup (IVF-bucketed)
 # ---------------------------------------------------------------------------

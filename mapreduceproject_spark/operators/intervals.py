@@ -1,0 +1,109 @@
+"""Interval-overlap join: pairs of rows whose [start, end] intervals
+overlap, computed as an EQUI-join via temporal binning instead of the
+non-equi cross product a naive ``a.s <= b.e AND b.s <= a.e`` predicate
+forces.  (Reference scope: the MapReduce engine ships no temporal join —
+this extends the relational family the round briefs require; the
+technique is the standard bin-replicated interval join used by temporal
+databases and Spark range-join hints alike.)
+
+Why not a plain non-equi join: Catalyst executes a join whose ONLY
+predicates are inequalities as BroadcastNestedLoopJoin (small side) or a
+cartesian product — O(n²) row visits per key group regardless of how few
+pairs truly overlap.  At 100 TB of events that is the difference between
+a plan that finishes and one that never will.
+
+The binning scheme:
+
+1. every interval is replicated to each fixed-width time bin it touches
+   (``sequence(floor(s/W), floor(e/W))`` — replication factor is
+   len/W + 1, bounded by choosing W near the typical interval length);
+2. candidates equi-join on (key_cols…, bin) — a SortMergeJoin/shuffle
+   join Catalyst can plan, prune, and AQE-skew-split like any other;
+3. the true predicate ``a.s <= b.e AND b.s <= a.e`` filters candidates
+   inside the joined partition (codegen, no extra exchange);
+4. the COUNT-ONCE rule deduplicates pairs that co-occur in several bins
+   without a distinct: a pair is emitted only in the bin containing
+   max(a.s, b.s) — every overlapping pair has exactly one such bin, so
+   the output needs no pair-level shuffle at all.
+
+Hot (key, bin) buckets (a flash-sale minute, a popular event type) are
+exactly the skew AQE's runtime split handles; the operator adds no
+collect, no broadcast of unbounded data, and exactly one shuffle (the
+bin equi-join) beyond the scans.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def interval_overlap_pairs(
+    df: DataFrame,
+    key_cols: list[str],
+    id_col: str,
+    start_col: str,
+    end_col: str,
+    bin_width: float = 3600.0,
+    distinct_col: str | None = None,
+) -> DataFrame:
+    """Self-join ``df`` on overlapping [start, end] intervals within each
+    ``key_cols`` group.
+
+    ``start_col``/``end_col`` are numeric (e.g. epoch seconds as double);
+    ``id_col`` orders the pair (``a.id < b.id`` — each unordered pair
+    once); ``distinct_col``, when set, additionally requires the two rows
+    to DIFFER in that column (the cross-user overlap contract).  Returns
+    one row per overlapping pair: key cols, ``id_a``, ``id_b``, the pair
+    columns ``s_a/e_a/s_b/e_b``, and ``overlap`` (the overlap length,
+    ``min(e_a, e_b) − max(s_a, s_b)``, ≥ 0 — touching intervals count).
+    """
+    w = F.lit(float(bin_width))
+    side_cols = [id_col, start_col, end_col] + (
+        [distinct_col] if distinct_col else []
+    )
+    binned = df.select(
+        *key_cols,
+        *side_cols,
+        F.explode(
+            F.sequence(
+                F.floor(F.col(start_col) / w).cast("long"),
+                F.floor(F.col(end_col) / w).cast("long"),
+            )
+        ).alias("_bin"),
+    )
+
+    def side(suffix: str) -> DataFrame:
+        return binned.select(
+            *key_cols,
+            "_bin",
+            *[F.col(c).alias(f"{c}{suffix}") for c in side_cols],
+        )
+
+    a, b = side("_a"), side("_b")
+    sa, ea = F.col(f"{start_col}_a"), F.col(f"{end_col}_a")
+    sb, eb = F.col(f"{start_col}_b"), F.col(f"{end_col}_b")
+    cond: Column = (
+        (F.col(f"{id_col}_a") < F.col(f"{id_col}_b"))
+        & (sa <= eb)
+        & (sb <= ea)
+        # count-once: only the bin holding the later start emits the pair
+        & (F.floor(F.greatest(sa, sb) / w).cast("long") == F.col("_bin"))
+    )
+    if distinct_col:
+        cond = cond & (
+            F.col(f"{distinct_col}_a") != F.col(f"{distinct_col}_b")
+        )
+    return (
+        a.join(b, [*key_cols, "_bin"])
+        .filter(cond)
+        .select(
+            *key_cols,
+            F.col(f"{id_col}_a").alias("id_a"),
+            F.col(f"{id_col}_b").alias("id_b"),
+            sa.alias("s_a"),
+            ea.alias("e_a"),
+            sb.alias("s_b"),
+            eb.alias("e_b"),
+            (F.least(ea, eb) - F.greatest(sa, sb)).alias("overlap"),
+        )
+    )

@@ -1329,3 +1329,74 @@ def batch_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_events"),
         (F.sum("cents").cast("double") / 100.0).alias("value_sum"),
     )
+
+
+def _interval_overlap_oracle() -> str:
+    # epoch_us / integer microsecond arithmetic end-to-end; the single
+    # float division happens once per OUTPUT row in both engines, so the
+    # round-6 driver hash sees bit-identical doubles
+    return """
+    WITH iv AS (
+      SELECT event_id, user_id, event_type,
+             epoch_us(ts) AS s,
+             epoch_us(ts)
+               + CAST(floor(greatest(value, 0) * 60000000.0) AS BIGINT) AS e
+      FROM events
+    )
+    SELECT a.event_type AS event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_overlaps,
+           CAST(SUM(least(a.e, b.e) - greatest(a.s, b.s)) AS DOUBLE)
+             / COUNT(*) AS avg_overlap_us,
+           CAST(MAX(least(a.e, b.e) - greatest(a.s, b.s)) AS BIGINT)
+             AS max_overlap_us
+    FROM iv a JOIN iv b
+      ON a.event_type = b.event_type
+     AND a.event_id < b.event_id
+     AND a.user_id <> b.user_id
+     AND a.s <= b.e AND b.s <= a.e
+    GROUP BY 1
+    """
+
+
+@query("interval_overlap_join", oracle=_interval_overlap_oracle())
+def interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-user interval-overlap report over events: each event spans
+    [ts, ts + value minutes]; count, mean and max overlap (µs) of
+    same-type overlapping event pairs from DIFFERENT users.  The pair
+    generation is operators/intervals.py::interval_overlap_pairs — the
+    bin-replicated EQUI-join (1-hour bins, count-once rule) that replaces
+    the cartesian plan a naive non-equi overlap predicate would get; the
+    oracle states the same semantics as the direct non-equi join DuckDB's
+    IEJoin executes natively."""
+    from mapreduceproject_spark.operators.intervals import (
+        interval_overlap_pairs,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("s"),
+        (
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            + F.floor(
+                F.greatest(F.col("value"), F.lit(0.0)) * 60000000.0
+            ).cast("long")
+        ).alias("e"),
+    )
+    pairs = interval_overlap_pairs(
+        ev,
+        key_cols=["event_type"],
+        id_col="event_id",
+        start_col="s",
+        end_col="e",
+        bin_width=3_600_000_000.0,
+        distinct_col="user_id",
+    )
+    return pairs.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_overlaps"),
+        (F.sum("overlap").cast("double") / F.count("*")).alias(
+            "avg_overlap_us"
+        ),
+        F.max("overlap").cast("long").alias("max_overlap_us"),
+    )

@@ -34,6 +34,7 @@ from mapreduceproject_spark.sources.catalog import load_table
 MINHASH_N, MINHASH_BANDS, SHINGLE_K, JACCARD_THR = 12, 4, 3, 0.5
 MINHASH_SEED = 42
 NGRAM_N, NGRAM_LEN_BAND, NGRAM_THR = 3, 8, 0.55
+NGRAM_CONT_THR = 0.9
 SIMHASH_MAX_HAMMING = 4
 COSINE_THR, NEARDUP_NPROBE = 0.4, 2
 EXACT_PREFIX = 80
@@ -314,6 +315,48 @@ def dedup_ngram_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold=NGRAM_THR,
         scratch_policy="sharded",
         shards=3,
+    )
+
+
+def _containment_oracle() -> str:
+    return f"""
+    WITH g AS (
+      SELECT DISTINCT doc_id AS id, lang, {duck_hash60("gr")} AS h
+      FROM (SELECT doc_id, lang,
+                   unnest({duck_char_ngrams("lower(text)", NGRAM_N)}) AS gr
+            FROM documents)
+    ),
+    sizes AS (SELECT id, lang, COUNT(*) AS n FROM g GROUP BY 1, 2),
+    inter AS (
+      SELECT x.id AS id_a, y.id AS id_b, COUNT(*) AS n_common
+      FROM g x JOIN g y ON x.lang = y.lang AND x.h = y.h AND x.id <> y.id
+      GROUP BY 1, 2
+    )
+    SELECT i.id_a, i.id_b,
+           CAST(i.n_common AS DOUBLE) / a.n AS containment
+    FROM inter i JOIN sizes a ON a.id = i.id_a
+    WHERE CAST(i.n_common AS DOUBLE) / a.n >= {NGRAM_CONT_THR}
+    """
+
+
+@query("dedup_ngram_containment", oracle=_containment_oracle())
+def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric char-{NGRAM_N}-gram CONTAINMENT near-dup
+    (operators/dedup.py::ngram_containment_dedup): ordered pairs where ≥
+    {NGRAM_CONT_THR} of the contained doc's distinct grams appear in the
+    container, blocked on lang — the quoted/subsumed-document relation a
+    symmetric jaccard threshold never surfaces.  One-sided prefix filter
+    (rarest-first order, a-prefix × b-full join) + exact array-intersect
+    verify; no length band by design (the interesting containment pairs
+    have very different lengths)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.ngram_containment_dedup(
+        docs,
+        "doc_id",
+        "text",
+        block_cols=["lang"],
+        n=NGRAM_N,
+        threshold=NGRAM_CONT_THR,
     )
 
 

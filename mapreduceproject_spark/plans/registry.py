@@ -70,20 +70,26 @@ ORACLES: dict[str, str] = {}
 # the ingest gate's crash-replay fix, whose query was already in the
 # window); CORRECTNESS_r07 re-recorded all 50 green.
 # Round-8 window (first 50), in order:
-#   1-2:   round-8 additions, never driver-run: dedup_ngram_sharded (the
-#          doc-sharded exact ngram plan — same oracle as
-#          dedup_ngram_jaccard, pinning pass-decomposition exactness)
-#          and dedup_minhash_bucket_stats (the LSH occupancy histogram
-#          that attributed the third-decade superlinearity).
-#   3:     dedup_incremental_stream — the gate's generation listing
+#   1-2:   round-8 additions (second wave), never driver-run:
+#          dedup_ngram_containment (asymmetric containment near-dup,
+#          one-sided prefix filter) and interval_overlap_join (the
+#          bin-replicated equi-join replacing a non-equi cartesian).
+#   3-4:   round-8 additions (first wave), never driver-run:
+#          dedup_ngram_sharded (the doc-sharded exact ngram plan — same
+#          oracle as dedup_ngram_jaccard, pinning pass-decomposition
+#          exactness) and dedup_minhash_bucket_stats (the LSH occupancy
+#          histogram behind the third-decade attribution).
+#   5:     dedup_incremental_stream — the gate's generation listing
 #          moved to the Hadoop FS API and foreign-checkpoint refusal
 #          landed this round; output semantics unchanged, re-verified.
-#   4-36:  refill with the OLDEST remaining rows: the 33 entries whose
+#   6-38:  refill with the OLDEST remaining rows: the 33 entries whose
 #          newest driver row is r3, in CORRECTNESS_r03 order.
-#   37-50: next-oldest: the first 14 r4-row entries in CORRECTNESS_r04
+#   39-50: next-oldest: the first 12 r4-row entries in CORRECTNESS_r04
 #          order (dedup_minhash_lsh and dedup_ngram_jaccard — the two
 #          operators this round's scale work touched — land here
-#          naturally as oldest r4 rows).
+#          naturally as oldest r4 rows; the last two r4 names the
+#          first-wave comment counted at slots 49-50 move just past the
+#          window and lead the next rotation).
 # Names absent from the registry are ignored (a pytest guards against
 # typos).  Every registry entry, windowed or not, is parity-checked
 # in-repo against its DuckDB oracle at sf0.001
@@ -92,10 +98,13 @@ ORACLES: dict[str, str] = {}
 # measurements/parity_sf0.01_r0N.json).
 _FRONT: tuple[str, ...] = (
     # -- round-8 window ------------------------------------------------
-    # 1-2: round-8 additions, never driver-run
+    # 1-2: round-8 second-wave additions, never driver-run
+    "dedup_ngram_containment",
+    "interval_overlap_join",
+    # 3-4: round-8 first-wave additions, never driver-run
     "dedup_ngram_sharded",
     "dedup_minhash_bucket_stats",
-    # 3: implementation changed this round (Hadoop FS listing + refusal)
+    # 5: implementation changed this round (Hadoop FS listing + refusal)
     "dedup_incremental_stream",
     # 4-36: oldest remaining rows (r3, in CORRECTNESS_r03 order)
     "mm_resize_images",

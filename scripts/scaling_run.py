@@ -413,6 +413,7 @@ def ngram_scratch_check(spark) -> dict:
         "sec": round(time.perf_counter() - t0, 2),
         "mode": info.get("verify_mode"),
         "est_candidates": info.get("est_candidates"),
+        "shards": info.get("shards"),
     }
 
 

@@ -410,3 +410,85 @@ def test_sessionize_hand_timeline(spark, tmp_path):
         (1, 2): (t0_us + 2 * thirty + 1, 10 * 60 * 1_000_000, 2, 12.0),
         (2, 1): (t0_us, 0, 1, 16.0),
     }
+
+
+def test_interval_overlap_pairs_hand_truth(spark):
+    """Bin-replicated interval join: touching intervals count (overlap
+    0), disjoint ones don't, a pair sharing MANY bins is emitted once
+    (count-once rule), distinct_col excludes same-user pairs, and keys
+    partition the space."""
+    from mapreduceproject_spark.operators.intervals import (
+        interval_overlap_pairs,
+    )
+
+    rows = [
+        # key, id, user, start, end
+        ("k1", 1, 10, 0.0, 100.0),
+        ("k1", 2, 11, 100.0, 150.0),   # touches id 1 at t=100 -> overlap 0
+        ("k1", 3, 12, 200.0, 300.0),   # disjoint from 1 and 2
+        ("k1", 4, 10, 50.0, 60.0),     # overlaps 1 but SAME user -> excluded
+        # ids 5,6: overlap spans many shared bins (width 10 below)
+        ("k1", 5, 13, 400.0, 500.0),
+        ("k1", 6, 14, 390.0, 495.0),
+        # other key: overlaps id 1's range but never joins across keys
+        ("k2", 7, 15, 0.0, 100.0),
+    ]
+    df = spark.createDataFrame(rows, ["k", "id", "u", "s", "e"])
+    got = {
+        (r["k"], r["id_a"], r["id_b"]): r["overlap"]
+        for r in interval_overlap_pairs(
+            df, ["k"], "id", "s", "e", bin_width=10.0, distinct_col="u"
+        ).collect()
+    }
+    assert got == {
+        ("k1", 1, 2): 0.0,
+        ("k1", 5, 6): 95.0,
+    }
+
+
+def test_interval_overlap_pairs_matches_bruteforce(spark, sf_dir):
+    """The binning decomposition is exact: operator pairs on the events
+    fixture equal a Python brute force of the non-equi predicate, at a
+    bin width (7 min) that forces heavy multi-bin replication."""
+    from mapreduceproject_spark.operators.intervals import (
+        interval_overlap_pairs,
+    )
+
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("s"),
+            (
+                F.unix_micros(F.col("ts").cast("timestamp"))
+                + F.floor(F.greatest("value", F.lit(0.0)) * 60e6).cast("long")
+            ).alias("e"),
+        )
+    )
+    got = {
+        (r["event_type"], r["id_a"], r["id_b"], r["overlap"])
+        for r in interval_overlap_pairs(
+            ev, ["event_type"], "event_id", "s", "e",
+            bin_width=420e6, distinct_col="user_id",
+        ).collect()
+    }
+    raw = ev.collect()
+    want = set()
+    for a in raw:
+        for b in raw:
+            if (
+                a["event_type"] == b["event_type"]
+                and a["event_id"] < b["event_id"]
+                and a["user_id"] != b["user_id"]
+                and a["s"] <= b["e"]
+                and b["s"] <= a["e"]
+            ):
+                want.add(
+                    (
+                        a["event_type"], a["event_id"], b["event_id"],
+                        min(a["e"], b["e"]) - max(a["s"], b["s"]),
+                    )
+                )
+    assert want and got == want

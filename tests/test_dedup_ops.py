@@ -670,3 +670,60 @@ def test_source_report_matches_exact_dedup_keeper_rule(spark, sf_dir):
     }
     assert {s: n for s, n in report.items() if n > 0} == removed_per_source
     assert sum(removed_per_source.values()) > 0  # fixture has dup groups
+
+
+def test_ngram_containment_hand_truth(spark):
+    """Ordered semantics: the short doc quoted inside the long one scores
+    containment 1.0 in the a-in-b direction ONLY; the unrelated doc pairs
+    with neither."""
+    short = "the quick brown fox jumps over the lazy dog"
+    rows = [
+        (1, short, "en"),
+        (2, "PREFIX :: " + short + " :: SUFFIX padding text", "en"),
+        (3, "zzz completely different content here zzz", "en"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    got = {
+        (r["id_a"], r["id_b"]): r["containment"]
+        for r in dd.ngram_containment_dedup(
+            docs, "doc_id", "text", block_cols=["lang"], n=3, threshold=0.9
+        ).collect()
+    }
+    assert (1, 2) in got and got[(1, 2)] == 1.0
+    assert (2, 1) not in got  # asymmetric: the long doc is not contained
+    assert not any(3 in k for k in got)
+
+
+def test_ngram_containment_matches_bruteforce(spark, sf_dir):
+    """The one-sided prefix filter is lossless: operator output equals a
+    filter-free Python brute force (exact distinct-gram containment over
+    every same-lang ordered pair) on the fixture corpus."""
+    from collections import defaultdict
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    thr = 0.85  # off the registered 0.9 to exercise a second threshold
+    got = {
+        (r["id_a"], r["id_b"], round(r["containment"], 9))
+        for r in dd.ngram_containment_dedup(
+            docs, "doc_id", "text", block_cols=["lang"], n=3, threshold=thr
+        ).collect()
+    }
+    grams: dict[int, set] = {}
+    lang_docs = defaultdict(list)
+    for r in docs.select("doc_id", "lang", "text").collect():
+        t = r["text"].lower()
+        gs = (
+            {t[i : i + 3] for i in range(len(t) - 2)} if len(t) >= 3 else {t}
+        )
+        grams[r["doc_id"]] = gs
+        lang_docs[r["lang"]].append(r["doc_id"])
+    want = set()
+    for ids in lang_docs.values():
+        for a in ids:
+            for b in ids:
+                if a == b:
+                    continue
+                c = len(grams[a] & grams[b]) / len(grams[a])
+                if c >= thr:
+                    want.add((a, b, round(c, 9)))
+    assert want and got == want

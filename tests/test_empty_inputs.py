@@ -89,6 +89,9 @@ REPRESENTATIVE = [
     "batch_sessionize",
     "embedding_dim_stats",
     "dedup_source_report",
+    # round-8 wave
+    "dedup_ngram_containment",
+    "interval_overlap_join",
 ]
 
 

@@ -479,3 +479,26 @@ def test_dedup_source_report_shares_hash_exchange(spark, sf_dir):
     plan = _plan(QUERIES["dedup_source_report"](spark, sf_dir))
     assert plan.count("Exchange hashpartitioning") == 2
     assert "CartesianProduct" not in plan
+
+
+def test_interval_overlap_join_is_equi_join(spark, sf_dir):
+    # the whole point of the binning: the overlap predicate must ride an
+    # EQUI-join on (event_type, bin) — never a cartesian/nested-loop plan
+    plan = _plan(QUERIES["interval_overlap_join"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert (
+        "SortMergeJoin" in plan
+        or "ShuffledHashJoin" in plan
+        or "BroadcastHashJoin" in plan
+    )
+
+
+def test_ngram_containment_single_gram_exchange_and_broadcast_df(spark, sf_dir):
+    # prefix-light discipline carried over: the gram stream is shuffled
+    # once (the per-doc array collect); the document-frequency order
+    # arrives by BROADCAST join, not another gram-stream exchange; and
+    # the prefix/full candidate join is an equi-join, never cartesian
+    plan = _plan(QUERIES["dedup_ngram_containment"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
