@@ -42,7 +42,14 @@ def main() -> None:
         r = subprocess.run(
             [sys.executable, str(ROOT / "bench.py")],
             cwd=ROOT,
-            env={**os.environ, "SPARK_GRAFT_BENCH_RUNS": "1"},
+            # RUNS=2, the r5/r6 fold methodology: each query's in-session
+            # min is its WARM pass, so per-query first-run analysis +
+            # codegen (~0.5-3 s, measured) isn't billed as query cost.
+            # The round-8 fold's first sessions ran RUNS=1 and probed
+            # 15-20% high on exactly the cheap early-alphabet queries
+            # before this was spotted — minima across the mixed fold are
+            # still warm-pass-dominated once RUNS=2 sessions land.
+            env={**os.environ, "SPARK_GRAFT_BENCH_RUNS": os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")},
             capture_output=True,
             text=True,
         )
@@ -56,6 +63,9 @@ def main() -> None:
     sessions = [
         json.loads(p.read_text()) for p in sorted(SNAP_DIR.glob("session*.json"))
     ]
+    runs_mix = sorted(
+        {s.get("runs") for s in sessions}, key=lambda x: (x is None, x)
+    )
     folded: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
     for s in sessions:
@@ -70,8 +80,11 @@ def main() -> None:
         "sf": sessions[0].get("sf"),
         "note": (
             f"per-query min over round-{ROUND} sessions "
-            "(scripts/bench_fold.py, SPARK_GRAFT_BENCH_RUNS=1 each)"
+            f"(scripts/bench_fold.py; runs_mix={runs_mix} passes/session "
+            "— min-of-passes within a session excludes first-run "
+            "analysis+codegen when runs >= 2)"
         ),
+        "runs_mix": runs_mix,
         "queries": {q: folded[q] for q in sorted(folded)},
         "spread_max": {q: max(v) for q, v in sorted(spread.items())},
     }
