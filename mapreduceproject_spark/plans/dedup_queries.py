@@ -153,10 +153,11 @@ def dedup_minhash_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket count, member rows, and the implied pre-distinct candidate
     volume sum C(n,2) — the observability an ops team needs BEFORE paying
     a bucketed self-join at 100 TB, and the round-8 instrument that
-    attributed dedup_minhash_lsh's third-decade superlinearity (a
-    candidate-volume density property, not an engine defect; see
-    SCALING.md).  Cost: the signature pipeline plus one vocab-sized
-    groupBy — strictly cheaper than the dedup it forecasts."""
+    closed dedup_minhash_lsh's third-decade flag by RULING DENSITY OUT
+    (implied pairs measured ×10.2 per ×10 rows, max bucket 65 — the
+    "12×" was a cold-run artifact; warm decade ratio 7.9–8.8×, see
+    SCALING.md round-8).  Cost: the signature pipeline plus one
+    vocab-sized groupBy — strictly cheaper than the dedup it forecasts."""
     docs = load_table(spark, sf_dir, "documents")
     buckets = dd.lsh_band_buckets(
         dd.minhash_signatures(
