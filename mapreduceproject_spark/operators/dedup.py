@@ -713,6 +713,44 @@ def _ngram_jaccard_minhash_verify(
 NGRAM_HOT_DF_LIMIT = 1 << 20
 
 
+def _stage_materialize(df: DataFrame, path: str) -> DataFrame | None:
+    """Write ``df`` to scratch parquet, drop every reference to its
+    lineage (shuffle files become ContextCleaner-collectable), and read
+    it back.  Returns None when the write produced no part files (an
+    empty frame under AQE may schedule zero tasks, and reading a
+    part-less directory is a schema-inference error, not an empty
+    DataFrame)."""
+    import gc
+    import os
+
+    spark = df.sparkSession
+    df.write.mode("overwrite").parquet(path)
+    del df
+    gc.collect()
+    spark._jvm.System.gc()
+    if not any(n.endswith(".parquet") for n in os.listdir(path)):
+        return None
+    return spark.read.parquet(path)
+
+
+def _empty_pairs_frame(df_with_id: DataFrame, value_col: str) -> DataFrame:
+    """Typed empty (id_a, id_b, <value_col>) result — id type taken from
+    the caller's ``_id`` column."""
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    idt = df_with_id.schema["_id"].dataType
+    return df_with_id.sparkSession.createDataFrame(
+        [],
+        StructType(
+            [
+                StructField("id_a", idt),
+                StructField("id_b", idt),
+                StructField(value_col, DoubleType()),
+            ]
+        ),
+    )
+
+
 def _ngram_jaccard_prefix_light(
     grams: DataFrame,
     meta: DataFrame,
@@ -721,6 +759,7 @@ def _ngram_jaccard_prefix_light(
     threshold: float,
     loss_observation=None,
     _persist_registry: list | None = None,
+    _stage_dir: str | None = None,
 ) -> DataFrame:
     """Scratch-light EXACT fallback (the shipped default): the same
     PPJoin rarest-first prefix filter as the main exact path, built
@@ -765,12 +804,28 @@ def _ngram_jaccard_prefix_light(
             F.size("sdh").cast("long").alias("ng"),
         )
         .join(meta, "_id")
-        .persist()
     )
-    if _persist_registry is not None:
-        # pass-scoped callers (the sharded driver) unpersist between
-        # passes so per-pass cache/scratch doesn't accumulate
-        _persist_registry.append(arrs)
+    if _stage_dir is not None:
+        # SUB-JOB SPLIT (the round-8 1000× disk fix): one monolithic
+        # pass job keeps the shuffle files of EVERY exchange — gram
+        # distinct, df groupBy, array collect, prefix self-join, verify
+        # — alive on disk simultaneously until the job ends (measured
+        # ~104 B/char total at the 1000× fixture, 2.2× the 48 B/char
+        # single-exchange model; the S=4 first attempt filled the 78 GiB
+        # volume mid-pass).  Materializing the array table and the
+        # candidate set to scratch parquet cuts the pass into three
+        # jobs whose exchanges never coexist, so the per-pass disk peak
+        # really is the largest single stage, which is what
+        # _ngram_shards_needed models.
+        arrs = _stage_materialize(arrs, f"{_stage_dir}/arrs.parquet")
+        if arrs is None:
+            return _empty_pairs_frame(grams, "jaccard")
+    else:
+        arrs = arrs.persist()
+        if _persist_registry is not None:
+            # pass-scoped callers unpersist between passes so per-pass
+            # cache/scratch doesn't accumulate
+            _persist_registry.append(arrs)
     # α = ⌈t·n⌉ with the same epsilon discipline as the window path:
     # float noise may only LENGTHEN the prefix
     plen = (
@@ -821,6 +876,13 @@ def _ngram_jaccard_prefix_light(
         .select("id_a", "id_b", "na", "nb")
         .distinct()
     )
+    if _stage_dir is not None:
+        # second sub-job boundary: the candidate set is tiny next to the
+        # gram stream, but cutting here frees BOTH prefix-stream
+        # exchanges before the verify join runs
+        pairs = _stage_materialize(pairs, f"{_stage_dir}/pairs.parquet")
+        if pairs is None:
+            return _empty_pairs_frame(grams, "jaccard")
     inter = (
         pairs.join(
             arrs.select(F.col("_id").alias("id_a"), F.col("hs").alias("ha")), "id_a"
@@ -881,6 +943,7 @@ def _ngram_jaccard_prefix_sharded(
     """
     import gc
     import os
+    import shutil
     import uuid
 
     spark = base.sparkSession
@@ -904,7 +967,10 @@ def _ngram_jaccard_prefix_sharded(
             .distinct()
         )
         meta = sub.select("_id", *[F.col(c) for c in block_cols], "_len")
-        registry: list = []
+        # per-pass stage dir: the sub-job split inside prefix-light is
+        # what keeps the pass's disk peak at one exchange, not the sum
+        # of all of them (see _stage_materialize / the round-8 fix note)
+        stage_dir = f"{out_dir}-stage"
         res = _ngram_jaccard_prefix_light(
             grams,
             meta,
@@ -912,7 +978,7 @@ def _ngram_jaccard_prefix_sharded(
             length_band,
             threshold,
             loss_observation=loss_observation if p == 0 else None,
-            _persist_registry=registry,
+            _stage_dir=stage_dir,
         )
         if i != j:
             # cross-shard pairs only: within-shard pairs are the
@@ -923,14 +989,14 @@ def _ngram_jaccard_prefix_sharded(
                 != F.pmod(F.xxhash64(F.col("id_b")), F.lit(shards))
             )
         res.write.mode("append").parquet(out_dir)
-        for cached in registry:
-            cached.unpersist()
         # finished-pass shuffle files are freed by ContextCleaner once
         # their RDDs are GC'd — nudge both collectors so pass p's scratch
-        # is gone before pass p+1 peaks, keeping the (2/S) bound real
-        del res, grams, sub, registry
+        # is gone before pass p+1 peaks, keeping the (2/S) bound real;
+        # the stage dir's parquet scratch is deleted outright
+        del res, grams, sub
         gc.collect()
         spark._jvm.System.gc()
+        shutil.rmtree(stage_dir, ignore_errors=True)
     # a fully duplicate-free corpus can leave zero part files (every pass
     # empty) — return the typed empty frame instead of a schema-inference
     # error; out_dir is on spark.local.dir, driver-local by definition
@@ -1215,7 +1281,11 @@ def ngram_jaccard_dedup(
                         f"doc-sharded plan: {s_needed} shards, "
                         f"{s_needed * (s_needed + 1) // 2} passes, "
                         f"~{2 * light_need // s_needed >> 30} GiB peak "
-                        f"per-pass scratch (machine-readable via plan_info)"
+                        f"per-pass scratch — the largest single sub-job "
+                        f"stage, not the pass total: each pass "
+                        f"materializes its array table and candidate set "
+                        f"so exchanges never coexist on disk "
+                        f"(machine-readable via plan_info)"
                     )
                 else:
                     print(
