@@ -760,6 +760,7 @@ def _ngram_jaccard_prefix_light(
     loss_observation=None,
     _persist_registry: list | None = None,
     _stage_dir: str | None = None,
+    _stage_chunks: int = 4,
 ) -> DataFrame:
     """Scratch-light EXACT fallback (the shipped default): the same
     PPJoin rarest-first prefix filter as the main exact path, built
@@ -792,36 +793,79 @@ def _ngram_jaccard_prefix_light(
     hot = d.filter(F.col("count") >= 2).orderBy(
         F.desc("count"), "h"
     ).limit(NGRAM_HOT_DF_LIMIT)
-    g2 = grams.join(F.broadcast(hot), "h", "left").select(
-        "_id", "h", F.coalesce("count", F.lit(1)).alias("df")
-    )
-    arrs = (
-        g2.groupBy("_id")
-        .agg(F.sort_array(F.collect_list(F.struct("df", "h"))).alias("sdh"))
-        .select(
-            "_id",
-            F.col("sdh.h").alias("hs"),
-            F.size("sdh").cast("long").alias("ng"),
-        )
-        .join(meta, "_id")
-    )
     if _stage_dir is not None:
-        # SUB-JOB SPLIT (the round-8 1000× disk fix): one monolithic
-        # pass job keeps the shuffle files of EVERY exchange — gram
-        # distinct, df groupBy, array collect, prefix self-join, verify
-        # — alive on disk simultaneously until the job ends (measured
-        # ~104 B/char total at the 1000× fixture, 2.2× the 48 B/char
-        # single-exchange model; the S=4 first attempt filled the 78 GiB
-        # volume mid-pass).  Materializing the array table and the
-        # candidate set to scratch parquet cuts the pass into three
-        # jobs whose exchanges never coexist, so the per-pass disk peak
-        # really is the largest single stage, which is what
-        # _ngram_shards_needed models.
-        arrs = _stage_materialize(arrs, f"{_stage_dir}/arrs.parquet")
-        if arrs is None:
+        # SUB-JOB SPLIT (the round-8 1000× disk fix, two attempts deep):
+        # one monolithic pass job keeps the shuffle files of EVERY
+        # exchange — gram distinct, df groupBy, array collect, prefix
+        # self-join, verify — alive on disk simultaneously until the job
+        # ends, and the array collect's external sort alone measured
+        # ~170 B/gram of scratch (a quarter-corpus pass overflowed the
+        # 78 GiB volume inside its FIRST sub-job).  So the pass is cut
+        # at every exchange boundary: (A0) the hot-gram df table
+        # materializes as its own job; (A1..Ak) the per-doc gram arrays
+        # build in ``_stage_chunks`` id-hash chunks — the chunk filter
+        # pushes below the distinct into the gram explode, so each chunk
+        # job shuffles and sorts only 1/K of the pass — appending to one
+        # scratch parquet; (B) the prefix self-join materializes the
+        # candidate set; (C) the verify joins read-back parquet.  Disk
+        # peak per job is capped at the largest single exchange / K,
+        # which is what _ngram_shards_needed models.
+        hot = _stage_materialize(hot, f"{_stage_dir}/hot.parquet")
+        if hot is None:
+            # no repeated gram anywhere — every df is 1
+            hot = grams.sparkSession.createDataFrame(
+                [], "h bigint, count bigint"
+            )
+        g2 = grams.join(F.broadcast(hot), "h", "left").select(
+            "_id", "h", F.coalesce("count", F.lit(1)).alias("df")
+        )
+        import gc
+
+        spark = grams.sparkSession
+        arrs_path = f"{_stage_dir}/arrs.parquet"
+        for k in range(_stage_chunks):
+            chunk = g2.filter(
+                F.pmod(F.xxhash64(F.col("_id"), F.lit(7)), F.lit(_stage_chunks))
+                == k
+            )
+            arrs_k = (
+                chunk.groupBy("_id")
+                .agg(
+                    F.sort_array(F.collect_list(F.struct("df", "h"))).alias(
+                        "sdh"
+                    )
+                )
+                .select(
+                    "_id",
+                    F.col("sdh.h").alias("hs"),
+                    F.size("sdh").cast("long").alias("ng"),
+                )
+                .join(meta, "_id")
+            )
+            arrs_k.write.mode("append").parquet(arrs_path)
+            del arrs_k, chunk
+            gc.collect()
+            spark._jvm.System.gc()
+        import os
+
+        if not any(n.endswith(".parquet") for n in os.listdir(arrs_path)):
             return _empty_pairs_frame(grams, "jaccard")
+        arrs = spark.read.parquet(arrs_path)
     else:
-        arrs = arrs.persist()
+        g2 = grams.join(F.broadcast(hot), "h", "left").select(
+            "_id", "h", F.coalesce("count", F.lit(1)).alias("df")
+        )
+        arrs = (
+            g2.groupBy("_id")
+            .agg(F.sort_array(F.collect_list(F.struct("df", "h"))).alias("sdh"))
+            .select(
+                "_id",
+                F.col("sdh.h").alias("hs"),
+                F.size("sdh").cast("long").alias("ng"),
+            )
+            .join(meta, "_id")
+            .persist()
+        )
         if _persist_registry is not None:
             # pass-scoped callers unpersist between passes so per-pass
             # cache/scratch doesn't accumulate
@@ -838,7 +882,7 @@ def _ngram_jaccard_prefix_light(
         *[F.col(c) for c in block_cols],
         "_len",
         "ng",
-        F.explode(F.slice("hs", F.lit(1), plen)).alias("h"),
+        F.posexplode(F.slice("hs", F.lit(1), plen)).alias("pp", "h"),
     )
     if loss_observation is not None:
         # lossless by construction — attach the uniform zero-drop metric
@@ -853,6 +897,7 @@ def _ngram_jaccard_prefix_light(
         *[F.col(c).alias(f"{c}_a") for c in block_cols],
         F.col("_len").alias("len_a"),
         F.col("ng").alias("na"),
+        (F.col("pp") + 1).alias("ia"),
         "h",
     )
     pb = pref.select(
@@ -860,6 +905,7 @@ def _ngram_jaccard_prefix_light(
         *[F.col(c).alias(f"{c}_b") for c in block_cols],
         F.col("_len").alias("len_b"),
         F.col("ng").alias("nb"),
+        (F.col("pp") + 1).alias("ib"),
         "h",
     )
     cond = (F.col("id_a") < F.col("id_b")) & (
@@ -870,9 +916,32 @@ def _ngram_jaccard_prefix_light(
     size_cond = (
         F.col("nb") >= F.col("na") * F.lit(threshold) - F.lit(1e-9)
     ) & (F.col("na") >= F.col("nb") * F.lit(threshold) - F.lit(1e-9))
+    # PPJoin POSITIONAL filter (Xiao et al., WWW'08 §3.2), the part of
+    # the algorithm the first cut skipped: jaccard ≥ t needs overlap
+    # I ≥ ⌈t·(na+nb)/(1+t)⌉, and a match at 1-based sorted ranks
+    # (ia, ib) bounds I ≤ 1 + min(na−ia, nb−ib) — so late-position
+    # matches die HERE, inside codegen, before the candidate distinct's
+    # exchange and sort.  Exactness: the pair's FIRST common gram under
+    # the global order sits in both prefixes at the pair's minimal
+    # ranks, where the bound is loosest — a qualifying pair always
+    # keeps at least that row (pytest pins prefix-light ≡ exact).  At
+    # the 1000× fixture this is the difference between a candidate
+    # stream the box can sort and the 66 GB pre-distinct blowup that
+    # filled the volume: replica-invariant grams (digits survive the
+    # fixture's letter rotation) occur in thousands of prefixes, and
+    # without the positional bound every co-occurrence of such a gram
+    # joins p² rows into the distinct.
+    alpha = F.ceil(
+        (F.col("na") + F.col("nb"))
+        * F.lit(threshold / (1.0 + threshold))
+        - F.lit(1e-9)
+    )
+    pos_cond = (
+        1 + F.least(F.col("na") - F.col("ia"), F.col("nb") - F.col("ib"))
+    ) >= alpha
     pairs = (
         pa.join(pb, ["h"])
-        .filter(cond & size_cond)
+        .filter(cond & size_cond & pos_cond)
         .select("id_a", "id_b", "na", "nb")
         .distinct()
     )
