@@ -550,6 +550,14 @@ NGRAM_LIGHT_SCRATCH_BYTES_PER_CHAR = 48
 # (or the explicit lossy triage), not ever-finer single-box slicing.
 NGRAM_MAX_SHARDS = 32
 
+# Candidate-mass announcement threshold for the exact sharded plan: past
+# this many (extrapolated) verify candidates, exact verification is
+# cluster-scale work on ANY plan — the run proceeds as asked, but says
+# so after the first pass instead of burning hours silently (measured:
+# the 1000x fixture implies ~11.5B candidates; a 100-executor cluster
+# clears that routinely, one box does not).
+NGRAM_EXACT_CANDIDATE_CEILING = 2_000_000_000
+
 
 def _ngram_scratch_mode(
     policy: str, need_bytes: int, free_bytes: int, headroom: float = 0.5
@@ -761,6 +769,7 @@ def _ngram_jaccard_prefix_light(
     _persist_registry: list | None = None,
     _stage_dir: str | None = None,
     _stage_chunks: int = 4,
+    _stats: dict | None = None,
 ) -> DataFrame:
     """Scratch-light EXACT fallback (the shipped default): the same
     PPJoin rarest-first prefix filter as the main exact path, built
@@ -951,7 +960,13 @@ def _ngram_jaccard_prefix_light(
         # exchanges before the verify join runs
         pairs = _stage_materialize(pairs, f"{_stage_dir}/pairs.parquet")
         if pairs is None:
+            if _stats is not None:
+                _stats["candidate_pairs"] = 0
             return _empty_pairs_frame(grams, "jaccard")
+        if _stats is not None:
+            # metadata-only count on the just-written parquet — the
+            # sharded driver extrapolates total candidate mass from it
+            _stats["candidate_pairs"] = pairs.count()
     inter = (
         pairs.join(
             arrs.select(F.col("_id").alias("id_a"), F.col("hs").alias("ha")), "id_a"
@@ -982,6 +997,7 @@ def _ngram_jaccard_prefix_sharded(
     n: int,
     shards: int,
     loss_observation=None,
+    plan_info: dict | None = None,
 ) -> DataFrame:
     """EXACT prefix-light dedup in S doc-sharded passes with BOUNDED
     per-pass scratch — the round-6 1000×-fixture closure: the single-pass
@@ -1040,6 +1056,7 @@ def _ngram_jaccard_prefix_sharded(
         # what keeps the pass's disk peak at one exchange, not the sum
         # of all of them (see _stage_materialize / the round-8 fix note)
         stage_dir = f"{out_dir}-stage"
+        pass_stats: dict = {}
         res = _ngram_jaccard_prefix_light(
             grams,
             meta,
@@ -1048,6 +1065,7 @@ def _ngram_jaccard_prefix_sharded(
             threshold,
             loss_observation=loss_observation if p == 0 else None,
             _stage_dir=stage_dir,
+            _stats=pass_stats if p == 0 else None,
         )
         if i != j:
             # cross-shard pairs only: within-shard pairs are the
@@ -1058,6 +1076,34 @@ def _ngram_jaccard_prefix_sharded(
                 != F.pmod(F.xxhash64(F.col("id_b")), F.lit(shards))
             )
         res.write.mode("append").parquet(out_dir)
+        if p == 0 and "candidate_pairs" in pass_stats:
+            # CANDIDATE-MASS CHECKPOINT (round 8, no-silent-caps): the
+            # diagonal pass covers 1/S^2 of the pair space, so its
+            # measured candidate count extrapolates the whole job's
+            # verify mass.  On a self-similar corpus that mass grows
+            # with the SQUARE of the duplication depth even after
+            # prefix + positional filtering (1000x fixture: 722M
+            # candidates in pass 0 alone -> ~11.5B total, each dragging
+            # two gram arrays through the verify join) - a property of
+            # the corpus, not the plan.  The run proceeds as the caller
+            # asked, but announces after ONE pass instead of after
+            # hours, and reports in-band.
+            est_total = pass_stats["candidate_pairs"] * shards * shards
+            if plan_info is not None:
+                plan_info.update(
+                    pass0_candidate_pairs=pass_stats["candidate_pairs"],
+                    est_total_candidate_pairs=est_total,
+                )
+            if est_total > NGRAM_EXACT_CANDIDATE_CEILING:
+                print(
+                    f"# ngram_jaccard_dedup[sharded]: pass 0 verified-"
+                    f"candidate count {pass_stats['candidate_pairs']:,} "
+                    f"implies ~{est_total:,} total - exact verification "
+                    f"at this duplication density is cluster-scale work "
+                    f"on any plan; consider est_candidates triage or "
+                    f"minhash/simhash first (proceeding as asked; "
+                    f"machine-readable via plan_info)"
+                )
         # finished-pass shuffle files are freed by ContextCleaner once
         # their RDDs are GC'd — nudge both collectors so pass p's scratch
         # is gone before pass p+1 peaks, keeping the (2/S) bound real;
@@ -1402,6 +1448,7 @@ def ngram_jaccard_dedup(
             n,
             resolved_shards,
             loss_observation=loss_observation,
+            plan_info=plan_info,
         )
     grams = (
         char_ngram_rows(base, F.lower(F.col("_txt")), n, keep=["_id"])

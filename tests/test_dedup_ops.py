@@ -465,6 +465,13 @@ def test_ngram_sharded_exact_matches_exact(spark, sf_dir):
         }
         assert got == exact, f"shards={s} diverged from exact"
         assert info["verify_mode"] == "exact" and info["shards"] == s
+        # the candidate-mass checkpoint measures pass 0 and extrapolates
+        # by pass-space fraction (diagonal pass covers 1/s^2)
+        assert info["pass0_candidate_pairs"] >= 0
+        assert (
+            info["est_total_candidate_pairs"]
+            == info["pass0_candidate_pairs"] * s * s
+        )
 
     import pytest
 
