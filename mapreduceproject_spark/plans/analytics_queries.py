@@ -639,7 +639,11 @@ def token_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     natural text; a flat or cliffed curve betrays template spam or
     boilerplate (the corpus-health cousin of source_token_entropy).
 
-    One corpus shuffle to term counts, a vocabulary-sized rank window,
+    One corpus shuffle to term counts, a TakeOrdered top-{ZIPF_MAX_RANK}
+    cut (per-partition heaps + merge — NOT a vocab-wide rank window; at
+    a 100-TB corpus the vocabulary is 10⁸+ terms and an unpartitioned
+    row_number would sort all of it through one task), a rank window
+    over the ≤{ZIPF_MAX_RANK} survivors only,
     then the shared exact-integer sufficient-statistics OLS
     (functions/stats.py — same algebra as grouped_regression; slope is
     a ratio of exact int64 sums, summation order cannot move it).
@@ -653,9 +657,15 @@ def token_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id", "text"), F.lower(F.col("text")), ["doc_id"]
     )
     c = toks.groupBy("tok").agg(F.count("*").cast("long").alias("c"))
-    r = c.withColumn(
-        "rnk", F.row_number().over(Window.orderBy(F.desc("c"), "tok"))
-    ).filter(F.col("rnk") <= ZIPF_MAX_RANK)
+    # TakeOrdered-limit first, THEN rank the survivors (the
+    # bigram_lm_top / dsir_importance_weights discipline): the residual
+    # row_number window runs over <= ZIPF_MAX_RANK rows, never the
+    # full vocabulary.
+    r = (
+        c.orderBy(F.desc("c"), "tok")
+        .limit(ZIPF_MAX_RANK)
+        .withColumn("rnk", F.row_number().over(Window.orderBy(F.desc("c"), "tok")))
+    )
     q = r.select(
         F.floor(F.log("rnk") * LN_SCALE).cast("long").alias("x"),
         F.floor(F.log("c") * LN_SCALE).cast("long").alias("y"),

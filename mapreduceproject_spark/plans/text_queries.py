@@ -336,10 +336,20 @@ def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 def vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary: term frequency, document frequency, zipf rank —
     the 'what does my corpus look like' aggregate; vocabulary-sized
-    output regardless of corpus size."""
+    output regardless of corpus size.
+
+    The output is inherently vocab-sized, so TakeOrdered-limit-first does
+    not apply; zipf_rank comes from the two-phase distributed rank
+    (operators/ranking.py — range exchange + per-partition row_number +
+    broadcast prefix-sum offsets).  At a 100-TB corpus the vocabulary is
+    10⁸+ terms; an unpartitioned row_number window would sort all of it
+    through one task, the two-phase plan sorts 1/N per task.  (tf, term)
+    is a total order (term is the group key), so ranks are deterministic
+    and bit-identical to the oracle's global window.
+    """
     docs = load_table(spark, sf_dir, "documents")
     from mapreduceproject_spark.functions.textfn import tokens
-    from pyspark.sql import Window
+    from mapreduceproject_spark.operators.ranking import distributed_rank
 
     terms = docs.select(
         "doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("term")
@@ -347,10 +357,9 @@ def vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = terms.groupBy("term").agg(
         F.count("*").alias("tf"), F.countDistinct("doc_id").alias("df")
     )
-    w = Window.orderBy(F.desc("tf"), F.asc("term"))
-    return stats.select(
-        "term", "tf", "df", F.row_number().over(w).cast("long").alias("zipf_rank")
-    )
+    return distributed_rank(
+        stats, [F.desc("tf"), F.asc("term")], rank_col="zipf_rank"
+    ).select("term", "tf", "df", "zipf_rank")
 
 
 # -- BM25 relevance search ---------------------------------------------------

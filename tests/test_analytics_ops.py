@@ -492,3 +492,37 @@ def test_interval_overlap_pairs_matches_bruteforce(spark, sf_dir):
                     )
                 )
     assert want and got == want
+
+
+# -- two-phase distributed rank (round-9) ------------------------------------
+def test_distributed_rank_matches_global_window(spark):
+    """Exactness pin: the range-exchange + per-partition row_number +
+    broadcast-offset plan must be bit-identical to the unpartitioned
+    global window it replaces, including across range boundaries, for
+    any num_partitions (empty ranges included)."""
+    from mapreduceproject_spark.operators.ranking import distributed_rank
+
+    # 997 rows, keys engineered so many share the first sort column
+    # (exercises the must-not-straddle-tie guarantee on the second)
+    rows = [(i * 7919 % 101, f"k{i:04d}", i) for i in range(997)]
+    df = spark.createDataFrame(rows, "a int, k string, payload int")
+    order = [F.desc("a"), F.asc("k")]
+    expected = {
+        r["k"]: r["rnk"]
+        for r in df.withColumn(
+            "rnk", F.row_number().over(Window.orderBy(*order)).cast("long")
+        ).collect()
+    }
+    for n_parts in (1, 5, 32, 2000):  # 2000 > n_rows: empty ranges
+        got = {
+            r["k"]: r["rnk"]
+            for r in distributed_rank(df, order, num_partitions=n_parts).collect()
+        }
+        assert got == expected, f"mismatch at num_partitions={n_parts}"
+
+
+def test_distributed_rank_empty_input(spark):
+    from mapreduceproject_spark.operators.ranking import distributed_rank
+
+    df = spark.createDataFrame([], "a int, k string")
+    assert distributed_rank(df, [F.desc("a"), F.asc("k")]).count() == 0

@@ -502,3 +502,33 @@ def test_ngram_containment_single_gram_exchange_and_broadcast_df(spark, sf_dir):
     plan = _plan(QUERIES["dedup_ngram_containment"](spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+# -- round-9: single-partition-window family retired -------------------------
+
+
+def test_token_zipf_fit_ranks_survivors_not_vocab(spark, sf_dir):
+    # the r8 verdict's weak #1: the vocab must be cut by TakeOrdered
+    # (per-partition heaps) BEFORE any rank window; an unpartitioned
+    # row_number over the full term table would single-task the sort
+    plan = _plan(QUERIES["token_zipf_fit"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_vocab_stats_rank_is_two_phase(spark, sf_dir):
+    # vocab_stats' output is inherently vocab-sized, so limit-first does
+    # not apply; the global zipf_rank must come from the two-phase plan:
+    # a sampled RANGE exchange (parallel per-slice sorts), with the
+    # partition offsets arriving by BROADCAST.  The only SinglePartition
+    # exchange allowed is the <= num_partitions-row offsets prefix sum.
+    plan = _plan(QUERIES["vocab_stats"](spark, sf_dir))
+    assert "rangepartitioning" in plan
+    assert "BroadcastHashJoin" in plan
+    # the pre-fix shape: row_number windowed directly over the vocab-
+    # sized aggregate behind an Exchange SinglePartition feeding a Sort
+    # of the full stats table.  Detect it structurally: every Window in
+    # the plan must carry a partition spec (windowPartition col present).
+    for line in plan.splitlines():
+        ls = line.strip()
+        if ls.startswith("Window ") or ls.startswith("*Window "):
+            assert "_rank_pid" in ls or "windowspecdefinition(_rank" in ls
