@@ -437,20 +437,59 @@ def source_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 # -- customer RFM segmentation ----------------------------------------------
 RFM_TILES = 5
 
-
-def _rfm_oracle() -> str:
-    return f"""
-    WITH anchor AS (SELECT max(epoch_us(o_orderdate)) AS amax FROM orders),
-    base AS (
+# the DuckDB CTE for the per-customer rollup, shared by the exact query's
+# oracle and the approx twin's
+_RFM_BASE_SQL = """
       SELECT o_custkey AS custkey,
              CAST((amax - max(epoch_us(o_orderdate))) // 86400000000 AS BIGINT)
                AS recency_days,
              CAST(COUNT(*) AS BIGINT) AS frequency,
              CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
                AS monetary_cents
-      FROM orders CROSS JOIN anchor
+      FROM orders CROSS JOIN (SELECT max(epoch_us(o_orderdate)) AS amax
+                              FROM orders) anchor
       GROUP BY o_custkey, amax
-    ),
+"""
+
+
+def _rfm_base(o: DataFrame) -> DataFrame:
+    """Per-customer (recency_days, frequency, monetary_cents) rollup —
+    one orders shuffle, broadcast 1-row anchor; shared by customer_rfm
+    (exact ntile calibration) and customer_rfm_approx (production)."""
+    anchor = F.broadcast(
+        o.agg(
+            F.max(F.unix_micros(F.col("o_orderdate").cast("timestamp"))).alias(
+                "amax"
+            )
+        )
+    )
+    return (
+        o.select(
+            F.col("o_custkey").alias("custkey"),
+            F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("ous"),
+            F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+        .crossJoin(anchor)
+        .groupBy("custkey", "amax")
+        .agg(
+            F.max("ous").alias("last_us"),
+            F.count("*").cast("long").alias("frequency"),
+            F.sum("cents").cast("long").alias("monetary_cents"),
+        )
+        .select(
+            "custkey",
+            F.expr("(amax - last_us) div 86400000000L").cast("long").alias(
+                "recency_days"
+            ),
+            "frequency",
+            "monetary_cents",
+        )
+    )
+
+
+def _rfm_oracle() -> str:
+    return f"""
+    WITH base AS ({_RFM_BASE_SQL}),
     scored AS (
       SELECT *,
         CAST(ntile({RFM_TILES}) OVER (ORDER BY recency_days DESC, custkey) AS BIGINT) AS r_score,
@@ -476,35 +515,14 @@ def customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     One shuffle to the per-customer rollup; the three ntile windows sort
     (key, custkey) pairs only — two longs per customer, not the orders.
-    At 100 TB the tile boundaries come from an approx-quantile sketch
-    instead of a global sort (same note as quality_calibration_deciles).
+    They are still unpartitioned global sorts: at 100 TB (~10⁹
+    customers) the production path is customer_rfm_approx (sketch
+    boundaries + one conditional-aggregate pass, no global sort); this
+    exact formulation remains its calibration oracle, the
+    quality_calibration_deciles contract.
     """
     o = load_table(spark, sf_dir, "orders")
-    anchor = F.broadcast(
-        o.agg(F.max(F.unix_micros(F.col("o_orderdate").cast("timestamp"))).alias("amax"))
-    )
-    base = (
-        o.select(
-            F.col("o_custkey").alias("custkey"),
-            F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("ous"),
-            F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
-        )
-        .crossJoin(anchor)
-        .groupBy("custkey", "amax")
-        .agg(
-            F.max("ous").alias("last_us"),
-            F.count("*").cast("long").alias("frequency"),
-            F.sum("cents").cast("long").alias("monetary_cents"),
-        )
-        .select(
-            "custkey",
-            F.expr("(amax - last_us) div 86400000000L").cast("long").alias(
-                "recency_days"
-            ),
-            "frequency",
-            "monetary_cents",
-        )
-    )
+    base = _rfm_base(o)
     scored = (
         base.withColumn(
             "r_score",
@@ -1123,76 +1141,96 @@ def cdc_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 APPROX_HIST_ACC = 10_000
 
 
-def _approx_boundary_flags(
-    values: DataFrame, value_col: str, n_buckets: int, cache_values: bool = False
+def _approx_boundary_flags_multi(
+    values: DataFrame,
+    axis_cols: list[tuple[str, str]],
+    n_buckets: int,
+    cache_values: bool = False,
 ) -> DataFrame:
-    """(boundary, n_total, within_rank_bound) for the n_buckets-1 interior
-    approx_percentile boundaries of ``values[value_col]`` — the shared
-    plan shape of the approx-ntile twins: one sketch aggregate, one
-    broadcast of (n_buckets-1) scalars, one conditional-aggregate pass,
-    zero global sorts.
+    """(axis, boundary, n_total, within_rank_bound) for the n_buckets-1
+    interior approx_percentile boundaries of EACH ``(axis, value_col)``
+    in ``axis_cols`` — the shared plan shape of the approx-ntile twins:
+    ONE sketch aggregate computing every axis's boundary array + non-null
+    count, one broadcast of len(axis_cols)·(n_buckets-1) scalars, ONE
+    conditional-aggregate pass for all axes, zero global sorts.  n_total
+    is per-axis count(value) not count(*): the sketch and the lt/le
+    conditional counts all ignore NULLs, so the flag must rank over the
+    same population or it drifts FALSE on null-heavy inputs.
 
-    ``cache_values`` persists the narrow one-column projection between
-    the two passes.  Decision rule: set it when the values pipeline is
-    EXPENSIVE to recompute (quality scoring re-tokenizes the corpus —
-    measured 19.7 s/pass at the 100× fixture, so the uncached twin cost
-    2× that and lost to the exact query it replaces); leave it off when
-    values come straight off a pruned column scan (equidepth's cents —
-    re-scanning one parquet column is cheaper than store+read of a
-    corpus-sized cache)."""
+    ``cache_values`` persists the narrow projection between the two
+    passes.  Decision rule: set it when the values pipeline is EXPENSIVE
+    to recompute (quality scoring re-tokenizes the corpus — measured
+    19.7 s/pass at the 100× fixture, so the uncached twin cost 2× that
+    and lost to the exact query it replaces; customer_rfm_approx's
+    rollup re-shuffles orders); leave it off when values come straight
+    off a pruned column scan (equidepth's cents — re-scanning one
+    parquet column is cheaper than store+read of a corpus-sized cache).
+    """
     if cache_values:
         values = values.persist()
-    probs = [i / n_buckets for i in range(1, n_buckets)]
-    bounds = values.agg(
-        F.percentile_approx(
-            value_col,
-            F.array(*[F.lit(p) for p in probs]),
-            F.lit(APPROX_HIST_ACC),
-        ).alias("_bs"),
-        # count(value) not count(*): the sketch and the lt/le conditional
-        # counts below all ignore NULLs, so n_total must rank over the
-        # same population or the flag drifts FALSE on null-heavy inputs
-        # (e.g. quality NULL for whitespace-only docs)
-        F.count(F.col(value_col)).cast("long").alias("n_total"),
-    )
+    probs = F.array(*[F.lit(i / n_buckets) for i in range(1, n_buckets)])
+    bound_aggs = []
+    for ax, c in axis_cols:
+        bound_aggs.append(
+            F.percentile_approx(c, probs, F.lit(APPROX_HIST_ACC)).alias(f"_bs_{ax}")
+        )
+        bound_aggs.append(F.count(F.col(c)).cast("long").alias(f"_n_{ax}"))
+    bounds = values.agg(*bound_aggs)
     j = values.crossJoin(F.broadcast(bounds))
     aggs = []
-    for i in range(1, n_buckets):
-        b = F.element_at(F.col("_bs"), i)
-        aggs.append(
-            F.sum(F.when(F.col(value_col) < b, 1).otherwise(0))
-            .cast("long")
-            .alias(f"_lt{i}")
-        )
-        aggs.append(
-            F.sum(F.when(F.col(value_col) <= b, 1).otherwise(0))
-            .cast("long")
-            .alias(f"_le{i}")
-        )
-    g = j.groupBy("n_total").agg(*aggs)
+    for ax, c in axis_cols:
+        for i in range(1, n_buckets):
+            b = F.element_at(F.col(f"_bs_{ax}"), i)
+            aggs.append(
+                F.sum(F.when(F.col(c) < b, 1).otherwise(0))
+                .cast("long")
+                .alias(f"_lt_{ax}_{i}")
+            )
+            aggs.append(
+                F.sum(F.when(F.col(c) <= b, 1).otherwise(0))
+                .cast("long")
+                .alias(f"_le_{ax}_{i}")
+            )
+    n_cols = [f"_n_{ax}" for ax, _ in axis_cols]
+    g = j.groupBy(*n_cols).agg(*aggs)
     rows = g.select(
-        "n_total",
-        F.posexplode(
+        F.explode(
             F.array(
                 *[
                     F.struct(
-                        F.col(f"_lt{i}").alias("lt"), F.col(f"_le{i}").alias("le")
+                        F.lit(ax).alias("axis"),
+                        F.lit(i).cast("long").alias("b"),
+                        F.col(f"_n_{ax}").alias("n"),
+                        F.col(f"_lt_{ax}_{i}").alias("lt"),
+                        F.col(f"_le_{ax}_{i}").alias("le"),
                     )
+                    for ax, _ in axis_cols
                     for i in range(1, n_buckets)
                 ]
             )
-        ).alias("_idx", "_s"),
+        ).alias("_s"),
     )
-    target = (F.col("_idx") + 1) * F.col("n_total") / n_buckets
-    band = F.col("n_total") / 100.0 + 1
+    target = F.col("_s.b") * F.col("_s.n") / n_buckets
+    band = F.col("_s.n") / 100.0 + 1
     return rows.select(
-        (F.col("_idx") + 1).cast("long").alias("boundary"),
-        "n_total",
+        F.col("_s.axis").alias("axis"),
+        F.col("_s.b").alias("boundary"),
+        F.col("_s.n").alias("n_total"),
         (
             (F.col("_s.lt") + 1 <= target + band)
             & (F.col("_s.le") >= target - band)
         ).alias("within_rank_bound"),
     )
+
+
+def _approx_boundary_flags(
+    values: DataFrame, value_col: str, n_buckets: int, cache_values: bool = False
+) -> DataFrame:
+    """Single-axis view of :func:`_approx_boundary_flags_multi`:
+    (boundary, n_total, within_rank_bound)."""
+    return _approx_boundary_flags_multi(
+        values, [("v", value_col)], n_buckets, cache_values
+    ).drop("axis")
 
 
 @query(
@@ -1260,6 +1298,46 @@ def quality_calibration_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _approx_boundary_flags(qq, "qq", 10, cache_values=True)
+
+
+# the three RFM score axes; r_score ntiles DESCENDING recency, but the
+# DESC-order tile boundaries are the mirrored percentiles of the same
+# ascending distribution, so one ascending sketch serves all three axes
+RFM_AXES = [
+    ("recency", "recency_days"),
+    ("frequency", "frequency"),
+    ("monetary", "monetary_cents"),
+]
+
+
+def _rfm_approx_oracle() -> str:
+    axes = ", ".join(f"'{ax}'" for ax, _ in RFM_AXES)
+    return f"""
+    WITH base AS ({_RFM_BASE_SQL})
+    SELECT axis, CAST(boundary AS BIGINT) AS boundary,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM base) AS n_total,
+           TRUE AS within_rank_bound
+    FROM (SELECT unnest([{axes}]) AS axis)
+    CROSS JOIN (SELECT unnest(range(1, {RFM_TILES})) AS boundary)
+    WHERE EXISTS (SELECT 1 FROM base)
+    """
+
+
+@query("customer_rfm_approx", oracle=_rfm_approx_oracle())
+def customer_rfm_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production twin of customer_rfm: the {RFM_TILES}-tile boundaries of
+    all three RFM axes from ONE multi-column GK sketch aggregate + ONE
+    conditional-aggregate pass over the per-customer rollup — no global
+    sort anywhere (the exact query's three unpartitioned ntile windows
+    each funnel ~10⁹ customers through one task at TPC-H-100-TB; this
+    plan is two linear passes over a cached rollup).  Scores at 100 TB
+    are then a broadcast-boundaries comparison per row.  Output is the
+    per-(axis, boundary) rank-guarantee flag, deterministically TRUE for
+    any valid execution — the quality_calibration_approx contract; the
+    exact customer_rfm remains the calibration oracle."""
+    o = load_table(spark, sf_dir, "orders")
+    base = _rfm_base(o).select(*[c for _, c in RFM_AXES])
+    return _approx_boundary_flags_multi(base, RFM_AXES, RFM_TILES, cache_values=True)
 
 
 # -- batch gap sessionization (round 5) ---------------------------------------

@@ -90,6 +90,19 @@ ORACLES: dict[str, str] = {}
 #          naturally as oldest r4 rows; the last two r4 names the
 #          first-wave comment counted at slots 49-50 move just past the
 #          window and lead the next rotation).
+# Round-9 window (first 50), in order:
+#   1:     customer_rfm_approx — NEW this round (the exact query's
+#          approx-ntile production twin), never driver-run.
+#   2-3:   plan changed this round, fresh rows needed: token_zipf_fit
+#          (vocab cut by TakeOrdered before the rank window) and
+#          vocab_stats (zipf_rank now the two-phase distributed rank).
+#          Both bit-identical by construction — the fresh row proves it.
+#   4-38:  refill with the OLDEST remaining rows: the 35 entries whose
+#          newest driver row is r4 (the two the round-8 ledger promised
+#          would lead — q5_region_revenue, join_inner_enrich — first),
+#          in CORRECTNESS_r04 order.
+#   39-50: next-oldest: the first 12 r5-row entries in CORRECTNESS_r05
+#          order.  After this round the oldest remaining evidence is r5.
 # Names absent from the registry are ignored (a pytest guards against
 # typos).  Every registry entry, windowed or not, is parity-checked
 # in-repo against its DuckDB oracle at sf0.001
@@ -97,16 +110,72 @@ ORACLES: dict[str, str] = {}
 # the driver's sf0.01 each round (scripts/window_check.py all ->
 # measurements/parity_sf0.01_r0N.json).
 _FRONT: tuple[str, ...] = (
-    # -- round-8 window ------------------------------------------------
-    # 1-2: round-8 second-wave additions, never driver-run
+    # -- round-9 window ------------------------------------------------
+    # 1: new this round, never driver-run
+    "customer_rfm_approx",
+    # 2-3: plan changed this round (single-partition windows retired)
+    "token_zipf_fit",
+    "vocab_stats",
+    # 4-38: oldest remaining rows (r4, in CORRECTNESS_r04 order)
+    "q5_region_revenue",
+    "join_inner_enrich",
+    "join_left_null_extension",
+    "join_semi",
+    "join_anti",
+    "join_broadcast_dim",
+    "agg_distinct",
+    "agg_rollup",
+    "agg_cube",
+    "topk_orders",
+    "set_operations",
+    "window_rank_top3",
+    "window_lag_gap",
+    "window_running_sum",
+    "json_extract_props",
+    "asof_join_last_signup",
+    "range_join_value_buckets",
+    "q6_forecast_revenue",
+    "agg_grouping_sets",
+    "agg_percentiles",
+    "window_frames",
+    "array_functions",
+    "correlated_above_brand_avg",
+    "null_semantics",
+    "pivot_status_by_priority",
+    "unpivot_quality_metrics",
+    "q10_returned_item_revenue",
+    "q12_late_shipments",
+    "funnel_conversion",
+    "cohort_retention",
+    "q14_promo_revenue_share",
+    "q18_large_orders",
+    "agg_variance_stats",
+    "error_context_window",
+    "dedup_exact",
+    # 39-50: next-oldest rows (r5, in CORRECTNESS_r05 order)
+    "gopher_quality_filter",
+    "dsir_importance_weights",
+    "doc_shingle_novelty",
+    "ann_sq8_rerank_topk",
+    "zorder_layout_extents",
+    "stream_windowed_topk",
+    "repeated_ngram_mask",
+    "split_leakage_check",
+    "embedding_outlier_scores",
+    "join_key_skew_report",
+    "dedup_minhash_recall",
+    "hll_sketch_rollup",
+    # -- tail: previous (round-8) window order, then the older ledger
+    # blocks below (first occurrence wins in _ordered) ------------------
+    # 1-2: round-8 second-wave additions
     "dedup_ngram_containment",
     "interval_overlap_join",
-    # 3-4: round-8 first-wave additions, never driver-run
+    # 3-4: round-8 first-wave additions
     "dedup_ngram_sharded",
     "dedup_minhash_bucket_stats",
-    # 5: implementation changed this round (Hadoop FS listing + refusal)
+    # 5: implementation changed in round 8 (Hadoop FS listing + refusal)
     "dedup_incremental_stream",
-    # 4-36: oldest remaining rows (r3, in CORRECTNESS_r03 order)
+    # 6-38: oldest remaining rows at round 8 (r3, in CORRECTNESS_r03 order)
     "mm_resize_images",
     "source_mix_weights",
     "token_length_histogram",
@@ -140,7 +209,7 @@ _FRONT: tuple[str, ...] = (
     "event_transition_matrix",
     "dedup_incremental_minhash",
     "chunk_sliding_windows",
-    # 37-50: next-oldest rows (r4, in CORRECTNESS_r04 order)
+    # 39-50: next-oldest rows at round 8 (r4, in CORRECTNESS_r04 order)
     "dedup_minhash_lsh",
     "dedup_simhash",
     "pagerank_knn",

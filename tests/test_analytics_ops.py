@@ -526,3 +526,19 @@ def test_distributed_rank_empty_input(spark):
 
     df = spark.createDataFrame([], "a int, k string")
     assert distributed_rank(df, [F.desc("a"), F.asc("k")]).count() == 0
+
+
+def test_customer_rfm_approx_flags_and_axes(spark, sf_dir):
+    """Contract: one row per (axis, boundary) with within_rank_bound
+    deterministically TRUE, and n_total = exact customer count."""
+    from mapreduceproject_spark.plans import QUERIES
+
+    rows = QUERIES["customer_rfm_approx"](spark, sf_dir).collect()
+    n_cust = (
+        QUERIES["customer_rfm"](spark, sf_dir).select("custkey").distinct().count()
+    )
+    assert len(rows) == 3 * 4  # 3 axes x (RFM_TILES - 1) boundaries
+    assert {r["axis"] for r in rows} == {"recency", "frequency", "monetary"}
+    for r in rows:
+        assert r["within_rank_bound"] is True
+        assert r["n_total"] == n_cust

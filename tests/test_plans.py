@@ -532,3 +532,15 @@ def test_vocab_stats_rank_is_two_phase(spark, sf_dir):
         ls = line.strip()
         if ls.startswith("Window ") or ls.startswith("*Window "):
             assert "_rank_pid" in ls or "windowspecdefinition(_rank" in ls
+
+
+def test_customer_rfm_approx_no_global_sort(spark, sf_dir):
+    # the production RFM path must never funnel the per-customer rollup
+    # through a single task: no unpartitioned window (the exact twin's
+    # three ntile sorts) and no global Sort before an Exchange
+    # SinglePartition of the rollup — the only allowed plan is sketch
+    # aggregate + broadcast + conditional aggregate
+    plan = _plan(QUERIES["customer_rfm_approx"](spark, sf_dir))
+    assert "Window" not in plan
+    assert "ntile(" not in plan  # "ntile" alone matches perceNTILE_approx
+    assert "BroadcastExchange" in plan
