@@ -964,8 +964,11 @@ def _ngram_jaccard_prefix_light(
                 _stats["candidate_pairs"] = 0
             return _empty_pairs_frame(grams, "jaccard")
         if _stats is not None:
-            # metadata-only count on the just-written parquet — the
-            # sharded driver extrapolates total candidate mass from it
+            # cheap count on the just-written parquet (a real scan job —
+            # plain df.count() does NOT compile to the footer row-count
+            # shortcut — but over a 3-long-column file it's noise next
+            # to the verify join); the sharded driver extrapolates total
+            # candidate mass from it
             _stats["candidate_pairs"] = pairs.count()
     inter = (
         pairs.join(
@@ -1075,7 +1078,6 @@ def _ngram_jaccard_prefix_sharded(
                 F.pmod(F.xxhash64(F.col("id_a")), F.lit(shards))
                 != F.pmod(F.xxhash64(F.col("id_b")), F.lit(shards))
             )
-        res.write.mode("append").parquet(out_dir)
         if p == 0 and "candidate_pairs" in pass_stats:
             # CANDIDATE-MASS CHECKPOINT (round 8, no-silent-caps): the
             # diagonal pass covers 1/S^2 of the pair space, so its
@@ -1087,7 +1089,12 @@ def _ngram_jaccard_prefix_sharded(
             # two gram arrays through the verify join) - a property of
             # the corpus, not the plan.  The run proceeds as the caller
             # asked, but announces after ONE pass instead of after
-            # hours, and reports in-band.
+            # hours, and reports in-band.  Placement matters (round-9
+            # ADVICE fix): _ngram_jaccard_prefix_light materializes the
+            # candidate set and fills pass_stats EAGERLY, so announcing
+            # here — before res.write schedules pass 0's verify join
+            # over those candidates — warns before the most expensive
+            # stage of the pass, not after it has already been paid.
             est_total = pass_stats["candidate_pairs"] * shards * shards
             if plan_info is not None:
                 plan_info.update(
@@ -1104,6 +1111,7 @@ def _ngram_jaccard_prefix_sharded(
                     f"minhash/simhash first (proceeding as asked; "
                     f"machine-readable via plan_info)"
                 )
+        res.write.mode("append").parquet(out_dir)
         # finished-pass shuffle files are freed by ContextCleaner once
         # their RDDs are GC'd — nudge both collectors so pass p's scratch
         # is gone before pass p+1 peaks, keeping the (2/S) bound real;
