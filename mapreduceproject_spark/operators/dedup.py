@@ -558,6 +558,23 @@ NGRAM_MAX_SHARDS = 32
 # clears that routinely, one box does not).
 NGRAM_EXACT_CANDIDATE_CEILING = 2_000_000_000
 
+# Bucket cap the mass_policy="triage" escalation hands the char-minhash
+# candidate space (the SCALING.md production-cap measurement point);
+# callers can override via est_bucket_cap.
+NGRAM_TRIAGE_BUCKET_CAP = 256
+
+
+class _CandidateMassEscalation(Exception):
+    """Internal control flow: the sharded exact plan's pass-0 candidate
+    extrapolation crossed the caller's ceiling under
+    ``mass_policy="triage"`` — the driver catches this and routes to the
+    bounded-cost char-minhash triage instead (sharded scratch already
+    cleaned up by the raiser)."""
+
+    def __init__(self, pass0_pairs: int, est_total: int):
+        self.pass0_pairs, self.est_total = pass0_pairs, est_total
+        super().__init__(f"est {est_total:,} candidates > ceiling")
+
 
 def _ngram_scratch_mode(
     policy: str, need_bytes: int, free_bytes: int, headroom: float = 0.5
@@ -1001,6 +1018,8 @@ def _ngram_jaccard_prefix_sharded(
     shards: int,
     loss_observation=None,
     plan_info: dict | None = None,
+    mass_policy: str = "proceed",
+    mass_ceiling: int = NGRAM_EXACT_CANDIDATE_CEILING,
 ) -> DataFrame:
     """EXACT prefix-light dedup in S doc-sharded passes with BOUNDED
     per-pass scratch — the round-6 1000×-fixture closure: the single-pass
@@ -1101,7 +1120,17 @@ def _ngram_jaccard_prefix_sharded(
                     pass0_candidate_pairs=pass_stats["candidate_pairs"],
                     est_total_candidate_pairs=est_total,
                 )
-            if est_total > NGRAM_EXACT_CANDIDATE_CEILING:
+            if est_total > mass_ceiling and mass_policy == "triage":
+                # the caller opted into bounded-cost routing: abandon the
+                # exact sharded run HERE — before pass 0's verify join
+                # is ever scheduled — clean the scratch, and let the
+                # driver re-route to char-minhash triage + exact verify
+                shutil.rmtree(stage_dir, ignore_errors=True)
+                shutil.rmtree(out_dir, ignore_errors=True)
+                raise _CandidateMassEscalation(
+                    pass_stats["candidate_pairs"], est_total
+                )
+            if est_total > mass_ceiling:
                 print(
                     f"# ngram_jaccard_dedup[sharded]: pass 0 verified-"
                     f"candidate count {pass_stats['candidate_pairs']:,} "
@@ -1257,8 +1286,21 @@ def ngram_jaccard_dedup(
     shards: int | None = None,
     loss_observation=None,
     plan_info: dict | None = None,
+    mass_policy: str = "proceed",
+    mass_ceiling: int = NGRAM_EXACT_CANDIDATE_CEILING,
 ) -> DataFrame:
     """n-gram jaccard near-dup within (block_cols, |length diff| ≤ band).
+
+    ``mass_policy`` governs the sharded exact plan's candidate-mass
+    checkpoint (pass 0 extrapolates the whole job's verify mass):
+    "proceed" (default) announces past ``mass_ceiling`` and continues as
+    asked; "triage" — the explicit opt-in — abandons the exact run
+    before pass 0's verify join is scheduled and re-routes to the
+    bounded-cost char-minhash triage (est_bucket_cap or
+    {NGRAM_TRIAGE_BUCKET_CAP}) with exact verification of survivors.
+    Escalated output is bit-identical to est_candidates="char" at the
+    same cap (the ngram_jaccard_triage_recall gauge EARNS that), and
+    plan_info records the routing (``candidate_mass_escalated``).
 
     ``scratch_policy`` guards the exact path's shuffle scratch: "exact"
     always runs full PPJoin + exact verification; "estimate" runs the
@@ -1344,6 +1386,10 @@ def ngram_jaccard_dedup(
     if est_candidates not in ("prefix", "word", "char"):
         raise ValueError(
             f"est_candidates must be prefix|word|char, got {est_candidates!r}"
+        )
+    if mass_policy not in ("proceed", "triage"):
+        raise ValueError(
+            f"mass_policy must be proceed|triage, got {mass_policy!r}"
         )
     # spread: the char-ngram explode below is the dominant narrow stage
     base = spread_for_compute(df).select(
@@ -1447,17 +1493,62 @@ def ngram_jaccard_dedup(
                 loss_observed=loss_observation is not None,
                 light_scratch_exceeds=light_exceeds,
                 shards=resolved_shards,
+                candidate_mass_escalated=False,
             )
-        return _ngram_jaccard_prefix_sharded(
-            base,
-            block_cols,
-            length_band,
-            threshold,
-            n,
-            resolved_shards,
-            loss_observation=loss_observation,
-            plan_info=plan_info,
-        )
+        try:
+            return _ngram_jaccard_prefix_sharded(
+                base,
+                block_cols,
+                length_band,
+                threshold,
+                n,
+                resolved_shards,
+                loss_observation=loss_observation,
+                plan_info=plan_info,
+                mass_policy=mass_policy,
+                mass_ceiling=mass_ceiling,
+            )
+        except _CandidateMassEscalation as esc:
+            cap = (
+                est_bucket_cap
+                if est_bucket_cap is not None
+                else NGRAM_TRIAGE_BUCKET_CAP
+            )
+            print(
+                f"# ngram_jaccard_dedup[sharded]: pass 0 verified-"
+                f"candidate count {esc.pass0_pairs:,} implies "
+                f"~{esc.est_total:,} total > ceiling {mass_ceiling:,}; "
+                f"mass_policy='triage' — abandoning the exact sharded "
+                f"run (scratch cleaned) and routing to char-minhash "
+                f"triage with est_bucket_cap={cap} + exact verify of "
+                f"survivors; measured recall for this mode: "
+                f"ngram_jaccard_triage_recall (machine-readable via "
+                f"plan_info)"
+            )
+            if plan_info is not None:
+                plan_info.update(
+                    verify_mode="estimate",
+                    est_candidates="char",
+                    est_bucket_cap=cap,
+                    loss_observed=loss_observation is not None,
+                    shards=None,
+                    candidate_mass_escalated=True,
+                )
+            grams = (
+                char_ngram_rows(base, F.lower(F.col("_txt")), n, keep=["_id"])
+                .select("_id", hash60(F.col("g")).alias("h"))
+                .distinct()
+            )
+            return _ngram_jaccard_minhash_verify(
+                grams,
+                meta,
+                block_cols,
+                length_band,
+                threshold,
+                NGRAM_EST_HASHES,
+                max_bucket_size=cap,
+                loss_observation=loss_observation,
+            )
     grams = (
         char_ngram_rows(base, F.lower(F.col("_txt")), n, keep=["_id"])
         .select("_id", hash60(F.col("g")).alias("h"))

@@ -1137,7 +1137,9 @@ def _ngram_est_recall_oracle() -> str:
     """
 
 
-def _ngram_capped_recall_oracle() -> str:
+def _ngram_capped_recall_oracle(
+    cap: int = NGRAM_RECALL_CAP, extra_cols: str = ""
+) -> str:
     from mapreduceproject_spark.functions.hashing import duck_minhash_perm
 
     params = minhash_params(dd.NGRAM_EST_HASHES, 42)
@@ -1183,7 +1185,7 @@ def _ngram_capped_recall_oracle() -> str:
       SELECT id, hi, hv FROM (
         SELECT id, hi, hv, COUNT(*) OVER (PARTITION BY hi, hv) AS bs
         FROM buckets
-      ) WHERE bs <= {NGRAM_RECALL_CAP}
+      ) WHERE bs <= {cap}
     ),
     cand AS (
       SELECT DISTINCT a.id AS id_a, b.id AS id_b
@@ -1209,17 +1211,28 @@ def _ngram_capped_recall_oracle() -> str:
            CAST(COUNT(d.id_a) AS BIGINT) AS n_detected,
            CASE WHEN COUNT(*) > 0
                 THEN CAST(COUNT(d.id_a) AS BIGINT) / CAST(COUNT(*) AS BIGINT)
-                ELSE 0.0 END AS recall
+                ELSE 0.0 END AS recall{extra_cols}
     FROM truth t LEFT JOIN det d ON d.id_a = t.id_a AND d.id_b = t.id_b
     """
 
 
 def _ngram_recall_frame(
-    spark: SparkSession, sf_dir: str, est_candidates: str, cap: int | None
+    spark: SparkSession,
+    sf_dir: str,
+    est_candidates: str,
+    cap: int | None,
+    forced_triage_plan: dict | None = None,
 ) -> DataFrame:
     """Shared gauge body: exact truth over the deterministic sample vs
     the chosen fallback on the SAME sample, aggregated to (n_truth_pairs,
-    n_detected, recall)."""
+    n_detected, recall).
+
+    ``forced_triage_plan`` (a dict) switches the detected side to the
+    SHARDED EXACT plan with ``mass_policy="triage"`` and ``mass_ceiling=-1``
+    — escalation is then guaranteed to fire at pass 0, the run re-routes
+    to the char-minhash triage, and the dict receives the operator's
+    plan_info so the caller can surface ``candidate_mass_escalated``
+    in-band (the routing itself becomes oracle-checkable)."""
     docs = load_table(spark, sf_dir, "documents")
     sample = docs.filter(
         hash60(F.concat(F.col("text"), F.lit(NGRAM_RECALL_SALT))) % 100
@@ -1227,10 +1240,7 @@ def _ngram_recall_frame(
     )
 
     def run(policy: str):
-        return dd.ngram_jaccard_dedup(
-            sample,
-            "doc_id",
-            "text",
+        kwargs = dict(
             block_cols=["lang"],
             length_col="n_chars",
             n=NGRAM_N,
@@ -1240,9 +1250,17 @@ def _ngram_recall_frame(
             est_candidates=est_candidates,
             est_bucket_cap=cap,
         )
+        if policy == "sharded":
+            kwargs.update(
+                shards=2,
+                mass_policy="triage",
+                mass_ceiling=-1,
+                plan_info=forced_triage_plan,
+            )
+        return dd.ngram_jaccard_dedup(sample, "doc_id", "text", **kwargs)
 
     truth = run("exact").select("id_a", "id_b")
-    det = run("estimate").select(
+    det = run("sharded" if forced_triage_plan is not None else "estimate").select(
         F.col("id_a").alias("da"), F.col("id_b").alias("db")
     )
     joined = truth.join(
@@ -1294,6 +1312,42 @@ def ngram_jaccard_capped_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     aren't shared — the gauge costs ~2x one dedup pass over the
     sample."""
     return _ngram_recall_frame(spark, sf_dir, "char", NGRAM_RECALL_CAP)
+
+
+@query(
+    "ngram_jaccard_triage_recall",
+    oracle=_ngram_capped_recall_oracle(
+        cap=dd.NGRAM_TRIAGE_BUCKET_CAP,
+        extra_cols=",\n           TRUE AS escalated",
+    ),
+)
+def ngram_jaccard_triage_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall gauge for the mass_policy="triage" ESCALATION path (round
+    9): the sharded exact plan is launched with a forced ceiling so its
+    pass-0 candidate-mass checkpoint fires, abandons the exact run, and
+    re-routes to char-minhash triage (cap {dd.NGRAM_TRIAGE_BUCKET_CAP})
+    with exact verification of survivors.  The oracle replicates the
+    capped char pipeline at the triage cap AND pins escalated = TRUE —
+    so BOTH the routing decision and the routed mode's values are
+    earned end-to-end: if escalation fails to fire, the detected side
+    comes from the exact plan, n_detected exceeds the capped oracle's,
+    and the escalated literal (read from the operator's plan_info)
+    flips FALSE.
+
+    This is the measured answer to "what do I lose if the exact-regime
+    announcement routes me to triage at 100 TB": recall at the
+    production cap, on the same deterministic sample every gauge uses.
+    """
+    plan: dict = {}
+    frame = _ngram_recall_frame(
+        spark, sf_dir, "char", None, forced_triage_plan=plan
+    )
+    # plan_info fills driver-side at build time (the escalation happens
+    # eagerly inside the sharded driver), so the literal is already the
+    # real routing decision, not a placeholder
+    return frame.select(
+        "*", F.lit(bool(plan.get("candidate_mass_escalated"))).alias("escalated")
+    )
 
 
 # -- per-source duplication report (round 5) ---------------------------------

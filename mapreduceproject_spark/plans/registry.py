@@ -91,17 +91,19 @@ ORACLES: dict[str, str] = {}
 #          first-wave comment counted at slots 49-50 move just past the
 #          window and lead the next rotation).
 # Round-9 window (first 50), in order:
-#   1:     customer_rfm_approx — NEW this round (the exact query's
-#          approx-ntile production twin), never driver-run.
-#   2-3:   plan changed this round, fresh rows needed: token_zipf_fit
+#   1-2:   NEW this round, never driver-run: customer_rfm_approx (the
+#          exact query's approx-ntile production twin) and
+#          ngram_jaccard_triage_recall (the mass_policy="triage"
+#          escalation gauge — routing + routed-mode values).
+#   3-4:   plan changed this round, fresh rows needed: token_zipf_fit
 #          (vocab cut by TakeOrdered before the rank window) and
 #          vocab_stats (zipf_rank now the two-phase distributed rank).
 #          Both bit-identical by construction — the fresh row proves it.
-#   4-38:  refill with the OLDEST remaining rows: the 35 entries whose
+#   5-39:  refill with the OLDEST remaining rows: the 35 entries whose
 #          newest driver row is r4 (the two the round-8 ledger promised
 #          would lead — q5_region_revenue, join_inner_enrich — first),
 #          in CORRECTNESS_r04 order.
-#   39-50: next-oldest: the first 12 r5-row entries in CORRECTNESS_r05
+#   40-50: next-oldest: the first 11 r5-row entries in CORRECTNESS_r05
 #          order.  After this round the oldest remaining evidence is r5.
 # Names absent from the registry are ignored (a pytest guards against
 # typos).  Every registry entry, windowed or not, is parity-checked
@@ -111,12 +113,13 @@ ORACLES: dict[str, str] = {}
 # measurements/parity_sf0.01_r0N.json).
 _FRONT: tuple[str, ...] = (
     # -- round-9 window ------------------------------------------------
-    # 1: new this round, never driver-run
+    # 1-2: new this round, never driver-run
     "customer_rfm_approx",
-    # 2-3: plan changed this round (single-partition windows retired)
+    "ngram_jaccard_triage_recall",
+    # 3-4: plan changed this round (single-partition windows retired)
     "token_zipf_fit",
     "vocab_stats",
-    # 4-38: oldest remaining rows (r4, in CORRECTNESS_r04 order)
+    # 5-39: oldest remaining rows (r4, in CORRECTNESS_r04 order)
     "q5_region_revenue",
     "join_inner_enrich",
     "join_left_null_extension",
@@ -152,7 +155,7 @@ _FRONT: tuple[str, ...] = (
     "agg_variance_stats",
     "error_context_window",
     "dedup_exact",
-    # 39-50: next-oldest rows (r5, in CORRECTNESS_r05 order)
+    # 40-50: next-oldest rows (r5, in CORRECTNESS_r05 order)
     "gopher_quality_filter",
     "dsir_importance_weights",
     "doc_shingle_novelty",
@@ -164,7 +167,6 @@ _FRONT: tuple[str, ...] = (
     "embedding_outlier_scores",
     "join_key_skew_report",
     "dedup_minhash_recall",
-    "hll_sketch_rollup",
     # -- tail: previous (round-8) window order, then the older ledger
     # blocks below (first occurrence wins in _ordered) ------------------
     # 1-2: round-8 second-wave additions

@@ -734,3 +734,64 @@ def test_ngram_containment_matches_bruteforce(spark, sf_dir):
                 if c >= thr:
                     want.add((a, b, round(c, 9)))
     assert want and got == want
+
+
+def test_ngram_mass_triage_escalation_contract(spark, sf_dir):
+    """mass_policy="triage" (round 9): past the ceiling the sharded
+    exact run is abandoned at the pass-0 checkpoint (before its verify
+    join is scheduled) and re-routes to the char-minhash triage with
+    exact verify — output bit-equal to calling that mode directly at the
+    same cap, plan_info records the routing; the default "proceed"
+    keeps the exact output past the same ceiling; an unknown
+    mass_policy raises."""
+    import pytest
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    kw = dict(
+        block_cols=["lang"], length_col="n_chars", n=3, length_band=8,
+        threshold=0.55,
+    )
+
+    def pairs(df):
+        return {
+            (r["id_a"], r["id_b"], round(r["jaccard"], 9)) for r in df.collect()
+        }
+
+    direct = pairs(
+        dd.ngram_jaccard_dedup(
+            docs, "doc_id", "text", scratch_policy="estimate",
+            est_candidates="char", est_bucket_cap=dd.NGRAM_TRIAGE_BUCKET_CAP,
+            **kw,
+        )
+    )
+    info = {}
+    escalated = pairs(
+        dd.ngram_jaccard_dedup(
+            docs, "doc_id", "text", scratch_policy="sharded", shards=2,
+            mass_policy="triage", mass_ceiling=-1, plan_info=info, **kw,
+        )
+    )
+    assert escalated == direct and direct
+    assert info["candidate_mass_escalated"] is True
+    assert info["verify_mode"] == "estimate"
+    assert info["est_candidates"] == "char"
+    assert info["est_bucket_cap"] == dd.NGRAM_TRIAGE_BUCKET_CAP
+    assert info["est_total_candidate_pairs"] > -1  # checkpoint recorded
+
+    exact = pairs(
+        dd.ngram_jaccard_dedup(docs, "doc_id", "text", scratch_policy="exact", **kw)
+    )
+    info2 = {}
+    proceed = pairs(
+        dd.ngram_jaccard_dedup(
+            docs, "doc_id", "text", scratch_policy="sharded", shards=2,
+            mass_policy="proceed", mass_ceiling=-1, plan_info=info2, **kw,
+        )
+    )
+    assert proceed == exact
+    assert info2["candidate_mass_escalated"] is False
+
+    with pytest.raises(ValueError, match="mass_policy"):
+        dd.ngram_jaccard_dedup(
+            docs, "doc_id", "text", mass_policy="panic", **kw
+        )
