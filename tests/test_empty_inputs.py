@@ -92,6 +92,10 @@ REPRESENTATIVE = [
     # round-8 wave
     "dedup_ngram_containment",
     "interval_overlap_join",
+    # round-9 wave
+    "customer_rfm_approx",
+    "ngram_jaccard_triage_recall",
+    "vocab_stats",
 ]
 
 
