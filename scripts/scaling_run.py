@@ -84,6 +84,8 @@ TIER = [
     "token_pmi_bigrams",
     "source_token_entropy",
     "token_zipf_fit",
+    # round-9: the two-phase distributed rank (vocab-sized output)
+    "vocab_stats",
     # round-3 fourth wave
     "dedup_semantic",
     "dedup_incremental_minhash",
