@@ -908,3 +908,173 @@ def split_centroid_drift(
         )
         .orderBy("label")
     )
+
+
+def dim_correlation_top(
+    df: DataFrame,
+    vec_col: str,
+    dim: int,
+    top_k: int = 20,
+    chunk_rows: int = 16_384,
+) -> DataFrame:
+    """Top-``top_k`` most-correlated embedding dimension PAIRS — the
+    redundant-dimension report an embedding-table owner runs before
+    spending storage/compute on all D dims (a |corr| ≈ 1 pair means one
+    of the two carries no information; a block of them means the encoder
+    collapsed).  Complements embedding_dim_stats, which sees each
+    dimension alone and cannot catch cross-dimension collapse.
+
+    No analogue in the reference (its reducers are per-key counters,
+    /root/reference/src/reduce_exe_word_count.go); this is pairwise
+    statistics over array columns, which Spark has no built-in for.
+
+    Plan shape (the 100 TB design): per-partition Gram accumulation in an
+    Arrow ``mapInPandas`` kernel — each task reduces its whole partition
+    to ONE D×D upper-triangular partial (D(D+3)/2 + 1 rows: pair sums,
+    per-dim sums, a count row) — then a single tiny aggregate over
+    P·O(D²) partial rows and a broadcast assembly of the D-row moment
+    table onto the D(D-1)/2 pair rows.  Corpus bytes cross the Python
+    boundary once (Arrow-batched); NOTHING row-scaled is shuffled.  The
+    posexplode-pair alternative (n·D²/2 shuffle rows — ~2e15 at 1e12
+    vectors, D=64) is exactly what this kernel avoids.  At large D the
+    partial volume is P·D²/2 rows of longs; coalesce the scan or raise
+    ``chunk_rows`` before pointing it at D ≳ 2048.
+
+    Determinism (the functions/vectors contract): components floor-
+    quantize to 1e-6 longs IN the kernel (np float64 ops are the same
+    IEEE ops as F.floor(cast double * 1e6)); per-chunk int64 matmuls are
+    exact (asserted |q| < 2^22 and chunk ≤ 16384 ⇒ |Σ chunk| < 2^62) and
+    accumulate into arbitrary-precision Python ints, emitted as
+    decimal(38,0) — so every moment both engines see is the SAME exact
+    integer, and the one double expression per output row (mean / var /
+    corr) evaluates identically.  Zero-variance dims produce NULL corr
+    (nullif guard) and are excluded, not NaN-ordered; tiny negative
+    double var from the E[x²]−E[x]² form is clamped at 0 on both
+    engines (greatest) so sqrt never sees a negative.
+    """
+    import pandas as pd  # noqa: PLC0415 — Arrow kernel deps stay lazy
+
+    idx_i, idx_j = [], []
+    for a in range(dim):
+        for b in range(a, dim):
+            idx_i.append(a)
+            idx_j.append(b)
+
+    def gram_partial(batches):
+        import decimal
+
+        import numpy as np
+
+        n_rows = 0
+        sums = [0] * dim
+        gram = [0] * len(idx_i)
+        tri_i = np.asarray(idx_i, dtype=np.int64)
+        tri_j = np.asarray(idx_j, dtype=np.int64)
+        for pdf in batches:
+            vecs = pdf[vec_col]
+            for lo in range(0, len(vecs), chunk_rows):
+                chunk = vecs.iloc[lo : lo + chunk_rows]
+                m = np.stack(chunk.to_numpy()).astype(np.float64)
+                q = np.floor(m * 1_000_000.0).astype(np.int64)
+                # int64-exactness envelope: |q|<2^22, ≤16384 rows ⇒ the
+                # per-chunk dot of any dim pair stays below 2^62
+                if np.abs(q).max(initial=0) >= 1 << 22:
+                    raise ValueError(
+                        "dim_correlation_top: component magnitude past the "
+                        "int64-exact envelope (|x| >= ~4.19); re-scale the "
+                        "embedding column or lower chunk_rows"
+                    )
+                n_rows += q.shape[0]
+                g = q.T @ q  # D×D int64, exact inside the envelope
+                cs = q.sum(axis=0)
+                for d in range(dim):
+                    sums[d] += int(cs[d])
+                flat = g[tri_i, tri_j]
+                for t in range(len(gram)):
+                    gram[t] += int(flat[t])
+        out_i = [-1] + [d + 1 for d in range(dim)] + [int(a) + 1 for a in idx_i]
+        out_j = [-1] + [-1] * dim + [int(b) + 1 for b in idx_j]
+        out_v = [n_rows] + sums + gram
+        yield pd.DataFrame(
+            {
+                "i": pd.Series(out_i, dtype="int32"),
+                "j": pd.Series(out_j, dtype="int32"),
+                "v": [decimal.Decimal(x) for x in out_v],
+            }
+        )
+
+    vecs = df.select(F.col(vec_col)).where(
+        F.col(vec_col).isNotNull() & (F.size(vec_col) == dim)
+    )
+    partials = vecs.mapInPandas(gram_partial, "i int, j int, v decimal(38,0)")
+    # persist barrier: four branches (pair moments, per-dim moments, and
+    # the two 1-row count broadcasts) consume this D(D+3)/2+1-row
+    # aggregate — without it each branch would re-run the corpus-sized
+    # Arrow kernel (the repo's persist-without-unpersist lifecycle: the
+    # table is tiny and the session-scoped cache is dropped with the job)
+    moments = partials.groupBy("i", "j").agg(F.sum("v").alias("v")).persist()
+    # empty-partition partials still emit an n=0 count row (the kernel
+    # yields its zero matrix unconditionally); n > 0 turns an empty
+    # corpus into an empty result instead of 0/0 NaN correlations —
+    # matching the oracle, whose grouped CTEs vanish on empty input
+    n_row = moments.where(
+        (F.col("i") == -1) & (F.col("j") == -1) & (F.col("v") > 0)
+    ).select(F.col("v").cast("long").alias("n"))
+    mean = F.col("s").cast("double") / F.col("n")
+    stats = (
+        moments.where((F.col("i") > 0) & (F.col("j") == -1))
+        .select(F.col("i").alias("dim"), F.col("v").alias("s"))
+        .join(
+            moments.where((F.col("i") > 0) & (F.col("i") == F.col("j"))).select(
+                F.col("i").alias("dim"), F.col("v").alias("g2")
+            ),
+            "dim",
+        )
+        .crossJoin(F.broadcast(n_row))
+        .select(
+            "dim",
+            mean.alias("mean"),
+            F.greatest(
+                F.col("g2").cast("double") / F.col("n") - mean * mean,
+                F.lit(0.0),
+            ).alias("var"),
+        )
+    )
+    pairs = (
+        moments.where((F.col("i") > 0) & (F.col("j") > F.col("i")))
+        .crossJoin(F.broadcast(n_row))
+        .join(
+            F.broadcast(
+                stats.select(
+                    F.col("dim").alias("i"),
+                    F.col("mean").alias("mean_i"),
+                    F.col("var").alias("var_i"),
+                )
+            ),
+            "i",
+        )
+        .join(
+            F.broadcast(
+                stats.select(
+                    F.col("dim").alias("j"),
+                    F.col("mean").alias("mean_j"),
+                    F.col("var").alias("var_j"),
+                )
+            ),
+            "j",
+        )
+    )
+    corr = (
+        F.col("v").cast("double") / F.col("n")
+        - F.col("mean_i") * F.col("mean_j")
+    ) / F.nullif(F.sqrt(F.col("var_i") * F.col("var_j")), F.lit(0.0))
+    return (
+        pairs.select(
+            F.col("i").cast("long").alias("dim_i"),
+            F.col("j").cast("long").alias("dim_j"),
+            corr.alias("corr"),
+        )
+        .where(F.col("corr").isNotNull())
+        .orderBy(F.abs(F.col("corr")).desc(), "dim_i", "dim_j")
+        .limit(top_k)
+    )

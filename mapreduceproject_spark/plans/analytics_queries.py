@@ -1488,3 +1488,166 @@ def interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.max("overlap").cast("long").alias("max_overlap_us"),
     )
+
+
+# -- frequent session paths (round 9) ------------------------------------------
+# The behavioral-mining layer over batch_sessionize's gaps-and-islands:
+# which event-type SEQUENCES do sessions actually follow?  Paths are
+# capped at the first PATH_MAX_EVENTS events per session (the cap is the
+# scale guard: without it an adversarial never-idle user makes one path
+# string corpus-sized).  Plan shape: the sessionize user_id exchange
+# carries all three window passes (lag → new-session flag, running sum →
+# session index, running max → session-start rank, all over the SAME
+# partitioning), the cap filter drops everything past rank 8 BEFORE any
+# rollup bytes move, then one (user, session) aggregate builds ≤8-element
+# paths and one path-keyed count feeds a TakeOrdered top-K — no global
+# sort, no collect, partial aggregation on every exchange.
+PATH_MAX_EVENTS, PATH_TOP_K = 8, 15
+
+
+def _session_path_oracle() -> str:
+    gap_us = SESSION_GAP_MIN * 60_000_000
+    return f"""
+    WITH ev AS (
+      SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events
+    ),
+    flagged AS (
+      SELECT *,
+             CASE WHEN lag(us) OVER w IS NULL
+                    OR us - lag(us) OVER w > {gap_us}
+                  THEN 1 ELSE 0 END AS is_new,
+             row_number() OVER w AS rn
+      FROM ev
+      WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+    ),
+    s AS (
+      SELECT *,
+             SUM(is_new) OVER wc AS session_idx,
+             MAX(CASE WHEN is_new = 1 THEN rn END) OVER wc AS start_rn
+      FROM flagged
+      WINDOW wc AS (PARTITION BY user_id ORDER BY us, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    p AS (
+      SELECT user_id, session_idx,
+             string_agg(event_type, '>' ORDER BY us, event_id) AS path
+      FROM s WHERE rn - start_rn < {PATH_MAX_EVENTS} GROUP BY 1, 2
+    )
+    SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions
+    FROM p GROUP BY 1
+    ORDER BY n_sessions DESC, path
+    LIMIT {PATH_TOP_K}
+    """
+
+
+@query("session_path_topk", oracle=_session_path_oracle())
+def session_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{PATH_TOP_K} most-frequent session paths: the '>'-joined
+    event-type sequence of each gap-session's first {PATH_MAX_EVENTS}
+    events, counted across all sessions.  See the module comment for the
+    one-natural-key-exchange plan shape and the path-length cap."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gap_us = SESSION_GAP_MIN * 60_000_000
+    lag_us = F.lag("us").over(w)
+    flagged = ev.withColumn(
+        "is_new",
+        F.when(lag_us.isNull() | ((F.col("us") - lag_us) > gap_us), 1).otherwise(0),
+    ).withColumn("rn", F.row_number().over(w))
+    s = flagged.withColumn("session_idx", F.sum("is_new").over(cum)).withColumn(
+        "start_rn",
+        F.max(F.when(F.col("is_new") == 1, F.col("rn"))).over(cum),
+    )
+    paths = (
+        s.where(F.col("rn") - F.col("start_rn") < PATH_MAX_EVENTS)
+        .groupBy("user_id", "session_idx")
+        .agg(
+            F.concat_ws(
+                ">",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("us", "event_id", "event_type"))
+                    ),
+                    lambda x: x.getField("event_type"),
+                ),
+            ).alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count("*").cast("long").alias("n_sessions"))
+        .orderBy(F.col("n_sessions").desc(), "path")
+        .limit(PATH_TOP_K)
+    )
+
+
+# -- OHLC time-bucket downsampling (round 9) ------------------------------------
+# The batch candle compactor: per (event_type, hour bucket), open / high /
+# low / close / volume over event values — the standard downsampling step
+# before charting or coarse-grained modeling, and the batch twin of the
+# streaming tumbling aggregates (streaming/jobs.py).  Plan shape: ONE
+# group-keyed exchange; open/close ride min/max over a (us, event_id,
+# cents) struct — lexicographic struct extrema are algebraic, so the
+# partial aggregate compacts every map task to one row per (type, bucket)
+# BEFORE the shuffle (the first/last-by-window alternative would exchange
+# every raw row twice).  Determinism: extrema keys are exact integer
+# (µs, id) pairs — no double enters an order; values sum as integer cents
+# (the attribution_last_touch discipline) and divide by 100 once per
+# OUTPUT row.
+OHLC_BUCKET_US = 3_600_000_000  # 1 hour
+
+
+def _ohlc_oracle() -> str:
+    return f"""
+    WITH e AS (
+      SELECT event_type,
+             epoch_us(ts) - epoch_us(ts) % {OHLC_BUCKET_US} AS bucket_us,
+             epoch_us(ts) AS us, event_id,
+             CAST(floor(value * 100) AS BIGINT) AS cents
+      FROM events
+    )
+    SELECT event_type,
+           CAST(bucket_us AS BIGINT) AS bucket_us,
+           CAST((min({{'us': us, 'id': event_id, 'c': cents}})).c AS DOUBLE) / 100.0 AS open,
+           CAST(max(cents) AS DOUBLE) / 100.0 AS high,
+           CAST(min(cents) AS DOUBLE) / 100.0 AS low,
+           CAST((max({{'us': us, 'id': event_id, 'c': cents}})).c AS DOUBLE) / 100.0 AS close,
+           CAST(SUM(cents) AS DOUBLE) / 100.0 AS volume,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM e GROUP BY 1, 2
+    """
+
+
+@query("events_ohlc_downsample", oracle=_ohlc_oracle())
+def events_ohlc_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(event_type, hour) OHLC downsample of event values: open /
+    high / low / close / volume / count, with open/close resolved by
+    exact (µs, event_id) struct extrema.  See the module comment for the
+    one-exchange algebraic plan shape."""
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        (us - us % OHLC_BUCKET_US).alias("bucket_us"),
+        us.alias("us"),
+        "event_id",
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    key = F.struct(
+        F.col("us").alias("us"),
+        F.col("event_id").alias("id"),
+        F.col("cents").alias("c"),
+    )
+    return e.groupBy("event_type", F.col("bucket_us").cast("long").alias("bucket_us")).agg(
+        (F.min(key).getField("c").cast("double") / 100.0).alias("open"),
+        (F.max("cents").cast("double") / 100.0).alias("high"),
+        (F.min("cents").cast("double") / 100.0).alias("low"),
+        (F.max(key).getField("c").cast("double") / 100.0).alias("close"),
+        (F.sum("cents").cast("double") / 100.0).alias("volume"),
+        F.count("*").cast("long").alias("n_events"),
+    )

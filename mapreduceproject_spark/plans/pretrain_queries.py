@@ -352,3 +352,76 @@ def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("mn").cast("double") / QUANT_SCALE).alias("min_v"),
         (F.col("mx").cast("double") / QUANT_SCALE).alias("max_v"),
     )
+
+
+# -- redundant-dimension report (round 9) --------------------------------------
+# The pairwise complement to embedding_dim_stats: top-K most-correlated
+# dimension PAIRS over the quantized components.  |corr| ≈ 1 pairs are
+# redundant storage/compute; blocks of them are encoder collapse.  The
+# Spark side is the operators/similarity.py::dim_correlation_top Arrow
+# Gram kernel (per-partition D×D partials, nothing row-scaled shuffled);
+# the oracle pays the n·D²/2 unnest blowup the kernel exists to avoid —
+# affordable at sf0.01 (500 × 2016 pair rows), which is exactly why the
+# oracle is the oracle and the kernel is the plan.
+REDUNDANT_DIMS_TOP = 20
+
+
+def _redundant_dims_oracle() -> str:
+    from mapreduceproject_spark.functions.vectors import duck_quantize
+    from mapreduceproject_spark.plans.similarity_queries import EMB_DIM
+
+    return f"""
+    WITH q AS (
+      SELECT {duck_quantize("embedding")} AS qv FROM embeddings
+      WHERE embedding IS NOT NULL AND len(embedding) = {EMB_DIM}
+    ),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM q),
+    s AS (
+      SELECT CAST(d AS BIGINT) AS dim,
+             SUM(CAST(qv[d] AS HUGEINT)) AS s,
+             SUM(CAST(qv[d] AS HUGEINT) * qv[d]) AS g2
+      FROM q, range(1, {EMB_DIM + 1}) t(d) GROUP BY 1
+    ),
+    stats AS (
+      SELECT dim,
+             CAST(s AS DOUBLE) / n AS mean,
+             greatest(
+               CAST(g2 AS DOUBLE) / n
+                 - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n),
+               0.0
+             ) AS var
+      FROM s, nn
+    ),
+    p AS (
+      SELECT CAST(i AS BIGINT) AS dim_i, CAST(j AS BIGINT) AS dim_j,
+             SUM(CAST(qv[i] AS HUGEINT) * qv[j]) AS g
+      FROM q, range(1, {EMB_DIM + 1}) t1(i), range(1, {EMB_DIM + 1}) t2(j)
+      WHERE i < j GROUP BY 1, 2
+    ),
+    c AS (
+      SELECT dim_i, dim_j,
+             (CAST(g AS DOUBLE) / n - si.mean * sj.mean)
+               / NULLIF(sqrt(si.var * sj.var), 0.0) AS corr
+      FROM p, nn
+      JOIN stats si ON si.dim = p.dim_i
+      JOIN stats sj ON sj.dim = p.dim_j
+    )
+    SELECT dim_i, dim_j, corr FROM c
+    WHERE corr IS NOT NULL
+    ORDER BY abs(corr) DESC, dim_i, dim_j
+    LIMIT {REDUNDANT_DIMS_TOP}
+    """
+
+
+@query("embedding_redundant_dims", oracle=_redundant_dims_oracle())
+def embedding_redundant_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{REDUNDANT_DIMS_TOP} most-correlated embedding dimension pairs
+    (Pearson corr over the micro-quantized components) — the
+    redundant-dimension / encoder-collapse gate.  See
+    operators/similarity.py::dim_correlation_top for the Arrow Gram-kernel
+    plan shape and the integer-exactness envelope."""
+    from mapreduceproject_spark.operators.similarity import dim_correlation_top
+    from mapreduceproject_spark.plans.similarity_queries import EMB_DIM
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return dim_correlation_top(emb, "embedding", EMB_DIM, REDUNDANT_DIMS_TOP)

@@ -91,20 +91,30 @@ ORACLES: dict[str, str] = {}
 #          first-wave comment counted at slots 49-50 move just past the
 #          window and lead the next rotation).
 # Round-9 window (first 50), in order:
-#   1-2:   NEW this round, never driver-run: customer_rfm_approx (the
-#          exact query's approx-ntile production twin) and
-#          ngram_jaccard_triage_recall (the mass_policy="triage"
-#          escalation gauge — routing + routed-mode values).
-#   3-4:   plan changed this round, fresh rows needed: token_zipf_fit
+#   1-2:   NEW this round (first wave), never driver-run:
+#          customer_rfm_approx (the exact query's approx-ntile
+#          production twin) and ngram_jaccard_triage_recall (the
+#          mass_policy="triage" escalation gauge — routing +
+#          routed-mode values).
+#   3-6:   NEW this round (second wave), never driver-run:
+#          embedding_redundant_dims (Arrow Gram-kernel dimension-pair
+#          correlations), session_path_topk (gap-session event paths),
+#          events_ohlc_downsample (struct-extrema candle rollup),
+#          stream_ohlc_downsample (its streaming twin, same oracle).
+#   7-8:   plan changed this round, fresh rows needed: token_zipf_fit
 #          (vocab cut by TakeOrdered before the rank window) and
 #          vocab_stats (zipf_rank now the two-phase distributed rank).
 #          Both bit-identical by construction — the fresh row proves it.
-#   5-39:  refill with the OLDEST remaining rows: the 35 entries whose
+#   9-43:  refill with the OLDEST remaining rows: the 35 entries whose
 #          newest driver row is r4 (the two the round-8 ledger promised
 #          would lead — q5_region_revenue, join_inner_enrich — first),
 #          in CORRECTNESS_r04 order.
-#   40-50: next-oldest: the first 11 r5-row entries in CORRECTNESS_r05
-#          order.  After this round the oldest remaining evidence is r5.
+#   44-50: next-oldest: the first 7 r5-row entries in CORRECTNESS_r05
+#          order (the four r5 names the first-wave comment counted at
+#          slots 47-50 — split_leakage_check, embedding_outlier_scores,
+#          join_key_skew_report, dedup_minhash_recall — move just past
+#          the window and lead the next rotation).  After this round the
+#          oldest remaining evidence is r5.
 # Names absent from the registry are ignored (a pytest guards against
 # typos).  Every registry entry, windowed or not, is parity-checked
 # in-repo against its DuckDB oracle at sf0.001
@@ -113,13 +123,18 @@ ORACLES: dict[str, str] = {}
 # measurements/parity_sf0.01_r0N.json).
 _FRONT: tuple[str, ...] = (
     # -- round-9 window ------------------------------------------------
-    # 1-2: new this round, never driver-run
+    # 1-2: new this round (first wave), never driver-run
     "customer_rfm_approx",
     "ngram_jaccard_triage_recall",
-    # 3-4: plan changed this round (single-partition windows retired)
+    # 3-6: new this round (second wave), never driver-run
+    "embedding_redundant_dims",
+    "session_path_topk",
+    "events_ohlc_downsample",
+    "stream_ohlc_downsample",
+    # 7-8: plan changed this round (single-partition windows retired)
     "token_zipf_fit",
     "vocab_stats",
-    # 5-39: oldest remaining rows (r4, in CORRECTNESS_r04 order)
+    # 9-43: oldest remaining rows (r4, in CORRECTNESS_r04 order)
     "q5_region_revenue",
     "join_inner_enrich",
     "join_left_null_extension",
@@ -155,7 +170,8 @@ _FRONT: tuple[str, ...] = (
     "agg_variance_stats",
     "error_context_window",
     "dedup_exact",
-    # 40-50: next-oldest rows (r5, in CORRECTNESS_r05 order)
+    # 44-50: next-oldest rows (r5, in CORRECTNESS_r05 order; the last
+    # four now sit just past the window and lead the next rotation)
     "gopher_quality_filter",
     "dsir_importance_weights",
     "doc_shingle_novelty",

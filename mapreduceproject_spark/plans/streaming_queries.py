@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from mapreduceproject_spark.plans.analytics_queries import _ohlc_oracle
 from mapreduceproject_spark.plans.registry import query
 from mapreduceproject_spark.sources.catalog import load_table
 from mapreduceproject_spark.streaming import jobs
@@ -53,6 +54,20 @@ def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = jobs.streaming_session(spark)
     ev = jobs.read_events_stream(s, sf_dir)
     return jobs.run_to_df(jobs.sliding_counts(ev), mode="complete")
+
+
+@query("stream_ohlc_downsample", oracle=_ohlc_oracle())
+def stream_ohlc_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The batch OHLC candle compactor (events_ohlc_downsample) run as a
+    REAL streaming query: 1-hour tumbling windows, open/close by exact
+    (µs, event_id, cents) struct extrema — ALGEBRAIC aggregates, so state
+    per (window, type) is one struct pair + three longs, bounded and
+    watermark-expirable.  The BATCH twin's oracle is shared verbatim —
+    twin-ness is the property under test (availableNow completion must
+    reproduce the batch result bit-for-bit, like stream_running_zscore)."""
+    s = jobs.streaming_session(spark)
+    ev = jobs.read_events_stream(s, sf_dir)
+    return jobs.run_to_df(jobs.ohlc_candles(ev), mode="complete")
 
 
 @query(

@@ -108,6 +108,44 @@ def sliding_counts(events: DataFrame) -> DataFrame:
     )
 
 
+def ohlc_candles(events: DataFrame) -> DataFrame:
+    """1-hour tumbling OHLC candles per event_type — the streaming twin of
+    plans/analytics_queries.py::events_ohlc_downsample (same column names,
+    same oracle): open/close resolved by min/max over an exact
+    (µs, event_id, cents) struct, which is ALGEBRAIC, so the streaming
+    state per (window, type) is one struct pair + three longs — bounded
+    state, watermark-expirable, no per-event buffering."""
+    us = F.unix_micros(F.col("ts"))
+    key = F.struct(
+        us.alias("us"),
+        F.col("event_id").alias("id"),
+        cents(F.col("value")).alias("c"),
+    )
+    c = cents(F.col("value"))
+    return (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.min(key).alias("o"),
+            F.max(c).alias("hi"),
+            F.min(c).alias("lo"),
+            F.max(key).alias("cl"),
+            F.sum(c).alias("vol"),
+            F.count("*").cast("long").alias("n_events"),
+        )
+        .select(
+            "event_type",
+            F.unix_micros(F.col("w.start")).alias("bucket_us"),
+            (F.col("o.c").cast("double") / 100.0).alias("open"),
+            (F.col("hi").cast("double") / 100.0).alias("high"),
+            (F.col("lo").cast("double") / 100.0).alias("low"),
+            (F.col("cl.c").cast("double") / 100.0).alias("close"),
+            (F.col("vol").cast("double") / 100.0).alias("volume"),
+            "n_events",
+        )
+    )
+
+
 def stream_dedup(events: DataFrame) -> DataFrame:
     """Streaming dropDuplicates on (user_id, event_type): one state row per
     key, emits first arrival — projected to the key so output order of

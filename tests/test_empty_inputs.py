@@ -96,6 +96,11 @@ REPRESENTATIVE = [
     "customer_rfm_approx",
     "ngram_jaccard_triage_recall",
     "vocab_stats",
+    # round-9 second wave
+    "embedding_redundant_dims",
+    "session_path_topk",
+    "events_ohlc_downsample",
+    "stream_ohlc_downsample",
 ]
 
 
@@ -121,7 +126,16 @@ def test_runs_on_empty_tables(spark, empty_sf_dir, name):
 
 
 @pytest.mark.parametrize(
-    "name", ["equidepth_histogram_approx", "quality_calibration_approx"]
+    "name",
+    [
+        "equidepth_histogram_approx",
+        "quality_calibration_approx",
+        # the Gram kernel yields its zero matrix even from empty
+        # partitions; the n > 0 gate must turn that into an empty result
+        # (not 0/0 NaN correlations) exactly like the oracle's grouped
+        # CTEs vanishing on empty input
+        "embedding_redundant_dims",
+    ],
 )
 def test_approx_twins_oracle_parity_on_empty(spark, empty_sf_dir, name):
     """Full oracle PARITY (not just no-crash) on 0-row tables: the Spark

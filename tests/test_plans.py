@@ -544,3 +544,55 @@ def test_customer_rfm_approx_no_global_sort(spark, sf_dir):
     assert "Window" not in plan
     assert "ntile(" not in plan  # "ntile" alone matches perceNTILE_approx
     assert "BroadcastExchange" in plan
+
+
+# -- round-9 second wave ------------------------------------------------------
+
+
+def test_redundant_dims_kernel_runs_once_and_broadcast_assembly(spark, sf_dir):
+    # the Arrow Gram kernel reduces each partition to one D×D partial;
+    # the persist barrier must make every downstream branch read the
+    # cached moments table (never re-run the corpus-sized kernel), the
+    # D-row stats tables must arrive by BROADCAST join, and the final
+    # cut must be TakeOrdered — no global sort, no row-scaled shuffle
+    df = QUERIES["embedding_redundant_dims"](spark, sf_dir)
+    plan = _plan(df)
+    assert "InMemoryTableScan" in plan  # persist barrier in place
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    # posexplode-pair anti-pattern: nothing row-scaled may shuffle; the
+    # only hash exchange is the tiny (i, j) moments aggregate
+    assert "posexplode" not in plan.lower()
+
+
+def test_session_path_two_natural_key_exchanges(spark, sf_dir):
+    # all three window passes (lag flag, running session index, running
+    # session-start rank) must ride ONE user_id exchange; the
+    # per-(user, session) path rollup reuses that partitioning (clustered
+    # distribution satisfied), so the only other exchange is the
+    # path-keyed count; the top-K is TakeOrdered, never a global sort
+    plan = _plan(QUERIES["session_path_topk"](spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    import re
+
+    for m in re.finditer(r"Sort \[[^\]]*\], (\w+),", plan):
+        assert m.group(1) == "false", f"global sort in plan: {m.group(0)}"
+
+
+def test_ohlc_single_exchange_partial_struct_extrema(spark, sf_dir):
+    # one (event_type, bucket) exchange with the struct min/max extrema
+    # partially aggregated map-side — every map task compacts to one row
+    # per group BEFORE the shuffle; no window, no join, no global sort
+    plan = _plan(QUERIES["events_ohlc_downsample"](spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "partial_min" in plan and "partial_max" in plan
+    assert "Window" not in plan
+    for op in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin"):
+        assert op not in plan
+    import re
+
+    for m in re.finditer(r"Sort \[[^\]]*\], (\w+),", plan):
+        assert m.group(1) == "false", f"global sort in plan: {m.group(0)}"

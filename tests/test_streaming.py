@@ -1060,3 +1060,16 @@ def test_incremental_stream_foreign_checkpoint_refused(spark, tmp_path):
         )
     # the committed generations were NOT overwritten by the refused run
     assert os.path.isdir(os.path.join(state, "buckets", "ingest=b1"))
+
+
+def test_stream_ohlc_bit_equal_to_batch_twin(spark, sf_dir):
+    """The streaming candle query at availableNow completion must
+    reproduce the batch events_ohlc_downsample result BIT-FOR-BIT — the
+    finite-source ≡ batch contract the shared oracle encodes, asserted
+    engine-side too (column names, values, and row multiset)."""
+    got_df = QUERIES["stream_ohlc_downsample"](spark, sf_dir)
+    want_df = QUERIES["events_ohlc_downsample"](spark, sf_dir)
+    assert sorted(got_df.columns) == sorted(want_df.columns)
+    got = {tuple(r) for r in got_df.select(*sorted(got_df.columns)).collect()}
+    want = {tuple(r) for r in want_df.select(*sorted(want_df.columns)).collect()}
+    assert got == want
