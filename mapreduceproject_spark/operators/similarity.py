@@ -1078,3 +1078,215 @@ def dim_correlation_top(
         .orderBy(F.abs(F.col("corr")).desc(), "dim_i", "dim_j")
         .limit(top_k)
     )
+
+
+def _pq_subvectors(df: DataFrame, id_col: str, vec_col: str, m_sub: int, sub_dim: int) -> DataFrame:
+    """(id, m, sq): quantized sub-vector m = components [m·sub_dim+1 ..
+    (m+1)·sub_dim] — re-derived from the scan per consumer (the kmeans
+    contract: the corpus never persists in exploded form)."""
+    q = quantize(F.col(vec_col))
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(m_sub - 1)),
+                lambda m: F.slice(q, m * sub_dim + 1, sub_dim),
+            )
+        ).alias("m", "sq"),
+    )
+
+
+def _pq_l2(a, b):
+    """Exact integer squared L2 between quantized sub-vectors: terms are
+    ≤ (2·1.2e6)² · sub_dim ≈ 5e13 at the vectors contract's magnitudes —
+    int64 with headroom."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + t,
+    )
+
+
+def pq_codebooks(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    m_sub: int = 8,
+    k_code: int = 16,
+    iterations: int = 2,
+) -> DataFrame:
+    """Product-quantization codebooks: an independent k_code-centroid
+    k-means per sub-space m (dim/m_sub components each), all m_sub
+    trainings riding the SAME jobs — one (m, cid)-keyed Lloyd pass per
+    iteration instead of m_sub separate runs.
+
+    Determinism is the kmeans_quantized contract restated per sub-space:
+    seeds are the sub-vectors of ids < k_code; assignment is exact-int
+    squared L2 with (dist, cid) struct-min tie-break; means divide exact
+    long sums ONCE to double and re-quantize (floor ·1e6).  A cluster
+    that loses all members vanishes — identical on both engines.
+
+    Scale shape: per iteration the corpus is scanned once (n·m_sub
+    sub-vector rows, never persisted), assignment is a broadcast join on
+    m + an ALGEBRAIC struct-min groupBy (partial map-side, the exchange
+    carries n·m_sub two-int rows), and the means aggregate exchanges
+    only (m_sub·k_code·sub_dim)-keyed partials.  Centroid state is
+    m_sub·k_code·sub_dim longs (4 KB at 8×16×8) — broadcast-trivial.
+
+    Returns (m, cid, cq: array<long>).
+    """
+    sub_dim = dim // m_sub
+    sv = _pq_subvectors(corpus, id_col, vec_col, m_sub, sub_dim)
+    cents = sv.where(F.col("id") < k_code).select(
+        "m", F.col("id").cast("int").alias("cid"), F.col("sq").alias("cq")
+    )
+    for _ in range(iterations):
+        asg = _pq_assign(sv, cents)
+        sums = (
+            asg.select("m", "cid", F.posexplode("sq").alias("d", "qd"))
+            .groupBy("m", "cid", "d")
+            .agg(F.sum("qd").alias("s"), F.count("*").alias("n"))
+        )
+        # exact long sum / n once to double, re-quantize — the kmeans
+        # mean discipline (sum of ±1.2e6 terms wraps long only past
+        # ~7.7e12 members per (m, cid) — SCALING known-cliff #5)
+        mean = F.col("s").cast("double") / F.col("n") / 1_000_000.0
+        cents = (
+            sums.withColumn("mq", F.floor(mean * 1_000_000.0).cast("long"))
+            .groupBy("m", "cid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("d", "mq"))),
+                    lambda x: x.getField("mq"),
+                ).alias("cq")
+            )
+        )
+    return cents
+
+
+def _pq_assign(sv: DataFrame, cents: DataFrame) -> DataFrame:
+    """(id, m, sq, cid): nearest codebook entry per sub-vector — broadcast
+    join on m, exact-int L2², algebraic (dist, cid) struct-min."""
+    scored = sv.join(F.broadcast(cents), "m").select(
+        "id",
+        "m",
+        "sq",
+        F.struct(
+            _pq_l2(F.col("sq"), F.col("cq")).alias("dist"),
+            F.col("cid").alias("cid"),
+        ).alias("cand"),
+    )
+    best = scored.groupBy("id", "m").agg(
+        F.min("cand").getField("cid").alias("cid"),
+        F.first("sq").alias("sq"),
+    )
+    return best
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_id_col: str,
+    query_vec_col: str,
+    dim: int,
+    m_sub: int = 8,
+    k_code: int = 16,
+    iterations: int = 2,
+    k: int = 5,
+) -> DataFrame:
+    """Product-quantization ANN with asymmetric distance computation
+    (Jégou et al., PAMI'11): corpus vectors compress to m_sub codebook
+    codes (m_sub·log2(k_code) bits — 4 B/vector at 8×16 vs 256 B raw,
+    the 64× memory cut that makes billion-vector search fit RAM); each
+    query scores a vector by summing m_sub LUT entries
+    dot(q_m, centroid[m, code_m(x)]) instead of a dim-length dot.
+
+    No analogue in the reference (its only lookup is exact filename →
+    replica set); this is the BASELINE.json similarity-search north star's
+    compressed tier, completing brute/LSH/IVF/SQ8 with the codebook
+    family.
+
+    Scale shape: training is pq_codebooks (corpus never moves); encoding
+    is one id-keyed exchange of n·m_sub two-int rows collapsed to an
+    m_sub-int code array per vector; scoring BROADCASTS the per-query
+    LUTs (NQ·m_sub·k_code longs) over the code table and computes each
+    of the n·NQ scores as m_sub codegen array lookups — zero shuffle
+    until the per-query top-k window.  Determinism: every LUT entry is
+    an exact integer dot of quantized vectors; the single double division
+    happens once per output row; ties break on neighbor_id.
+
+    Output: (query_id, neighbor_id, score, rank) — score is the ADC
+    inner-product approximation in original units (÷ SCALE²).
+    """
+    sub_dim = dim // m_sub
+    cents = pq_codebooks(corpus, id_col, vec_col, dim, m_sub, k_code, iterations)
+    codes = (
+        _pq_assign(_pq_subvectors(corpus, id_col, vec_col, m_sub, sub_dim), cents)
+        .groupBy("id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("m", "cid"))),
+                lambda x: x.getField("cid"),
+            ).alias("codes")
+        )
+    )
+    qsv = _pq_subvectors(queries, query_id_col, query_vec_col, m_sub, sub_dim)
+    lut = (
+        qsv.join(F.broadcast(cents), "m")
+        .select(
+            F.col("id").alias("query_id"),
+            (F.col("m") * k_code + F.col("cid")).alias("slot"),
+            F.aggregate(
+                F.zip_with(F.col("sq"), F.col("cq"), lambda x, y: x * y),
+                F.lit(0).cast("long"),
+                lambda acc, t: acc + t,
+            ).alias("dot"),
+        )
+        .groupBy("query_id")
+        .agg(
+            # keyed MAP, not a positional array: a codebook cluster that
+            # lost every member vanishes from cents, and positional
+            # indexing would silently shift every later slot — map keys
+            # stay correct under any surviving-centroid subset
+            F.map_from_entries(F.collect_list(F.struct("slot", "dot"))).alias(
+                "lut"
+            )
+        )
+    )
+    k_lit = F.lit(k_code)
+    scored = (
+        codes.crossJoin(F.broadcast(lut))
+        .where(F.col("id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("id").alias("neighbor_id"),
+            (
+                F.aggregate(
+                    F.zip_with(
+                        F.col("codes"),
+                        F.sequence(F.lit(0), F.lit(m_sub - 1)),
+                        lambda c, m: F.element_at(
+                            F.col("lut"), (m * k_lit + c).cast("int")
+                        ),
+                    ),
+                    F.lit(0).cast("long"),
+                    lambda acc, t: acc + t,
+                ).cast("double")
+                / (1_000_000.0 * 1_000_000.0)
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "score",
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )

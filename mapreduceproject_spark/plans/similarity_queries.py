@@ -267,7 +267,9 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "ann_ivf_recall",
     oracle=f"""
-    SELECT CAST(COUNT(ivf.neighbor_id) AS DOUBLE) / COUNT(*) AS recall_at_k,
+    SELECT CASE WHEN COUNT(*) > 0
+                THEN CAST(COUNT(ivf.neighbor_id) AS DOUBLE) / COUNT(*)
+                ELSE 0.0 END AS recall_at_k,
            COUNT(*) AS n_truth_pairs
     FROM ({_bruteforce_oracle()}) bf
     LEFT JOIN ({_ivf_oracle()}) ivf
@@ -303,7 +305,11 @@ def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         "left",
     )
     return joined.agg(
-        (F.count("an").cast("double") / F.count("*")).alias("recall_at_k"),
+        F.when(
+            F.count("*") > 0, F.count("an").cast("double") / F.count("*")
+        )
+        .otherwise(F.lit(0.0))
+        .alias("recall_at_k"),
         F.count("*").alias("n_truth_pairs"),
     )
 
@@ -415,7 +421,9 @@ def ann_hyperplane_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "ann_lsh_recall",
     oracle=f"""
-    SELECT CAST(COUNT(lsh.neighbor_id) AS DOUBLE) / COUNT(*) AS recall_at_k,
+    SELECT CASE WHEN COUNT(*) > 0
+                THEN CAST(COUNT(lsh.neighbor_id) AS DOUBLE) / COUNT(*)
+                ELSE 0.0 END AS recall_at_k,
            COUNT(*) AS n_truth_pairs
     FROM ({_bruteforce_oracle()}) bf
     LEFT JOIN ({_hyperplane_multi_oracle()}) lsh
@@ -453,7 +461,11 @@ def ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         "left",
     )
     return joined.agg(
-        (F.count("an").cast("double") / F.count("*")).alias("recall_at_k"),
+        F.when(
+            F.count("*") > 0, F.count("an").cast("double") / F.count("*")
+        )
+        .otherwise(F.lit(0.0))
+        .alias("recall_at_k"),
         F.count("*").alias("n_truth_pairs"),
     )
 
@@ -1004,3 +1016,169 @@ def knn_bfs_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     seeds = emb.select("vec_id").filter(F.col("vec_id") < BFS_SEEDS)
     out = bfs_hops(edges, seeds, "vec_id", max_hops=BFS_HOPS)
     return out.select("seed", F.col("vid").alias("vec_id"), "dist")
+
+
+# -- product quantization (round 9) -------------------------------------------
+# The compressed ANN tier completing brute/LSH/IVF/SQ8: corpus vectors
+# become PQ_M codebook codes (PQ_M·log2(PQ_K) bits = 4 B/vector at 8×16
+# vs 256 B raw — the memory cut that makes billion-vector search fit
+# executor RAM), queries score by summing PQ_M LUT entries (asymmetric
+# distance computation, Jégou et al. PAMI'11).  The oracle unrolls the
+# per-subspace Lloyd trainings as one (m, cid)-keyed CTE chain — the
+# kmeans_cte_chain pattern with a subspace dimension.
+PQ_M, PQ_K, PQ_ITERS = 8, 16, 2
+
+
+def _pq_cte_chain() -> str:
+    from mapreduceproject_spark.functions.vectors import QUANT_SCALE
+
+    sd = EMB_DIM // PQ_M
+
+    def l2(a: str, b: str) -> str:
+        return (
+            f"list_aggregate(list_transform(range(1, {sd + 1}), "
+            f"i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])), 'sum')"
+        )
+
+    parts = [
+        f"""qv AS (
+      SELECT vec_id AS id,
+             {duck_quantize("CAST(embedding AS DOUBLE[])")} AS q
+      FROM embeddings
+    ),
+    sv AS (
+      SELECT id, m, list_slice(q, m * {sd} + 1, (m + 1) * {sd}) AS sq
+      FROM qv, range(0, {PQ_M}) t(m)
+    ),
+    c0 AS (
+      SELECT m, id AS cid, sq AS cq FROM sv WHERE id < {PQ_K}
+    )"""
+    ]
+    for i in range(PQ_ITERS + 1):
+        parts.append(
+            f"""a{i} AS (
+      SELECT id, m, sq, cid FROM (
+        SELECT sv.id, sv.m, sv.sq, c.cid,
+               row_number() OVER (
+                 PARTITION BY sv.id, sv.m
+                 ORDER BY {l2("sv.sq", "c.cq")} ASC, c.cid ASC) AS rn
+        FROM sv JOIN c{i} AS c ON sv.m = c.m) WHERE rn = 1
+    )"""
+        )
+        if i < PQ_ITERS:
+            parts.append(
+                f"""u{i} AS (
+      SELECT m, cid, d,
+             CAST(SUM(sq[d]) AS DOUBLE) / COUNT(*) / {QUANT_SCALE} AS mean
+      FROM a{i}, range(1, {sd + 1}) t(d)
+      GROUP BY 1, 2, 3
+    ),
+    c{i + 1} AS (
+      SELECT m, cid,
+             list(CAST(floor(mean * {QUANT_SCALE}) AS BIGINT) ORDER BY d) AS cq
+      FROM u{i} GROUP BY 1, 2
+    )"""
+            )
+    parts.append(
+        f"""lut AS (
+      SELECT sv.id AS qid, sv.m, c.cid,
+             list_aggregate(list_transform(range(1, {sd + 1}),
+                            i -> sv.sq[i] * c.cq[i]), 'sum') AS dot
+      FROM sv JOIN c{PQ_ITERS} AS c ON sv.m = c.m
+      WHERE sv.id < {NUM_QUERIES}
+    ),
+    sc AS (
+      SELECT l.qid AS query_id, a.id AS neighbor_id, SUM(dot) AS s
+      FROM a{PQ_ITERS} AS a JOIN lut l ON l.m = a.m AND l.cid = a.cid
+      WHERE a.id != l.qid GROUP BY 1, 2
+    )"""
+    )
+    return ",\n    ".join(parts)
+
+
+def _pq_oracle() -> str:
+    from mapreduceproject_spark.functions.vectors import QUANT_SCALE
+
+    return f"""
+    WITH {_pq_cte_chain()}
+    SELECT query_id, neighbor_id,
+           CAST(s AS DOUBLE) / ({QUANT_SCALE}.0 * {QUANT_SCALE}.0) AS score,
+           CAST(rn AS BIGINT) AS rank
+    FROM (SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY s DESC, neighbor_id) AS rn
+          FROM sc)
+    WHERE rn <= {TOP_K}
+    """
+
+
+@query("ann_pq_topk", oracle=_pq_oracle())
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN: per-subspace codebooks ({PQ_M}×{PQ_K},
+    {PQ_ITERS} Lloyd iterations), corpus compressed to {PQ_M} codes per
+    vector, queries scored by asymmetric LUT sums — see
+    operators/similarity.py::pq_topk for the broadcast/zero-shuffle
+    scoring shape and the compression arithmetic."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim.pq_topk(
+        emb,
+        emb.filter(F.col("vec_id") < NUM_QUERIES),
+        "vec_id",
+        "embedding",
+        "vec_id",
+        "embedding",
+        dim=EMB_DIM,
+        m_sub=PQ_M,
+        k_code=PQ_K,
+        iterations=PQ_ITERS,
+        k=TOP_K,
+    )
+
+
+@query(
+    "ann_pq_recall",
+    oracle=f"""
+    SELECT CASE WHEN COUNT(*) > 0
+                THEN CAST(COUNT(pq.neighbor_id) AS DOUBLE) / COUNT(*)
+                ELSE 0.0 END AS recall_at_k,
+           COUNT(*) AS n_truth_pairs
+    FROM ({_bruteforce_oracle()}) bf
+    LEFT JOIN ({_pq_oracle()}) pq
+      ON pq.query_id = bf.query_id AND pq.neighbor_id = bf.neighbor_id
+    """,
+)
+def ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@{TOP_K} of PQ-ADC against brute-force ground truth — the
+    quality gauge every approximate operator ships (the ann_ivf_recall
+    contract): the number that decides PQ_M/PQ_K before trading exact
+    vectors for 4-byte codes at corpus scale."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < NUM_QUERIES)
+    truth = sim.brute_force_topk(
+        emb, queries_df, "vec_id", "embedding", "vec_id", "embedding", k=TOP_K
+    ).select("query_id", "neighbor_id")
+    approx = sim.pq_topk(
+        emb,
+        queries_df,
+        "vec_id",
+        "embedding",
+        "vec_id",
+        "embedding",
+        dim=EMB_DIM,
+        m_sub=PQ_M,
+        k_code=PQ_K,
+        iterations=PQ_ITERS,
+        k=TOP_K,
+    ).select(F.col("query_id").alias("aq"), F.col("neighbor_id").alias("an"))
+    joined = truth.join(
+        approx,
+        (F.col("query_id") == F.col("aq")) & (F.col("neighbor_id") == F.col("an")),
+        "left",
+    )
+    return joined.agg(
+        F.when(
+            F.count("*") > 0, F.count("an").cast("double") / F.count("*")
+        )
+        .otherwise(F.lit(0.0))
+        .alias("recall_at_k"),
+        F.count("*").alias("n_truth_pairs"),
+    )

@@ -101,6 +101,12 @@ REPRESENTATIVE = [
     "session_path_topk",
     "events_ohlc_downsample",
     "stream_ohlc_downsample",
+    "ann_pq_topk",
+    "ann_pq_recall",
+    # the PQ gauge's empty-input crash (ANSI double/0) was latent in the
+    # two older recall gauges too — covered now
+    "ann_ivf_recall",
+    "ann_lsh_recall",
 ]
 
 

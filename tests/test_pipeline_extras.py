@@ -820,3 +820,84 @@ def test_lsh_probe_depth_supersets_candidates(spark, sf_dir):
     assert set(b1) <= set(b2)
     for qid, c in b1.items():
         assert b2[qid] >= c - 1e-12, qid
+
+
+def test_pq_degenerate_codebook_scores_exact_dots(spark, sf_dir):
+    """Exactness pin for the PQ pipeline: with k_code >= n and zero Lloyd
+    iterations every vector is its own (distance-0) codebook entry in
+    every subspace, so the ADC score must equal the EXACT quantized inner
+    product — encoding, LUT build, and slot lookup all verified against
+    first-principles dots in one assertion."""
+    from mapreduceproject_spark.functions.vectors import quantize
+    from mapreduceproject_spark.operators.similarity import pq_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n = emb.count()
+    queries = emb.filter(F.col("vec_id") < 4)
+    got = pq_topk(
+        emb, queries, "vec_id", "embedding", "vec_id", "embedding",
+        dim=64, m_sub=8, k_code=n, iterations=0, k=5,
+    )
+    q = emb.select(
+        F.col("vec_id").alias("query_id"), quantize(F.col("embedding")).alias("qq")
+    ).filter(F.col("query_id") < 4)
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"), quantize(F.col("embedding")).alias("cq")
+    )
+    exact = (
+        got.join(q, "query_id").join(c, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            "score",
+            (
+                F.aggregate(
+                    F.zip_with(F.col("qq"), F.col("cq"), lambda x, y: x * y),
+                    F.lit(0).cast("long"),
+                    lambda a, t: a + t,
+                ).cast("double")
+                / 1e12
+            ).alias("want"),
+        )
+        .collect()
+    )
+    assert len(exact) == 4 * 5
+    for r in exact:
+        assert r["score"] == r["want"], (r["query_id"], r["neighbor_id"])
+
+
+def test_pq_vanished_cluster_slots_still_lookup_correctly(spark):
+    """The LUT is a slot-keyed MAP, not a positional array: force a
+    codebook cluster to lose every member (two far groups, a seed inside
+    the far group captures everything near it) and assert scoring still
+    completes with every score matching a surviving centroid's dot — a
+    positional LUT would shift every slot after the vanished one."""
+    import pyspark.sql.types as T
+
+    from mapreduceproject_spark.operators.similarity import pq_codebooks, pq_topk
+
+    # 2-dim vectors, 1 subspace of dim 2, 3 seeds: seeds 0 and 1 coincide,
+    # so seed 1's cluster empties after one Lloyd update (ties -> cid 0)
+    rows = [
+        (0, [0.0, 0.0]),
+        (1, [0.0, 0.0]),
+        (2, [10.0, 10.0]),
+        (3, [10.1, 10.1]),
+        (4, [0.2, 0.2]),
+    ]
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+        ]
+    )
+    df = spark.createDataFrame(rows, schema)
+    cents = pq_codebooks(df, "vec_id", "embedding", dim=2, m_sub=1, k_code=3, iterations=1)
+    surviving = {r["cid"] for r in cents.collect()}
+    assert 1 not in surviving  # the duplicate seed's cluster vanished
+    out = pq_topk(
+        df, df.filter(F.col("vec_id") == 0), "vec_id", "embedding",
+        "vec_id", "embedding", dim=2, m_sub=1, k_code=3, iterations=1, k=4,
+    ).collect()
+    assert len(out) == 4  # every non-self vector scored, none dropped
+    assert all(r["score"] is not None for r in out)

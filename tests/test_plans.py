@@ -596,3 +596,18 @@ def test_ohlc_single_exchange_partial_struct_extrema(spark, sf_dir):
 
     for m in re.finditer(r"Sort \[[^\]]*\], (\w+),", plan):
         assert m.group(1) == "false", f"global sort in plan: {m.group(0)}"
+
+
+def test_pq_topk_broadcast_scoring_no_cartesian_no_global_sort(spark, sf_dir):
+    # PQ scoring must broadcast the per-query LUT maps over the code
+    # table (the brute_force_topk shape at O(m_sub) per pair); training
+    # joins broadcast the tiny codebooks; nothing may plan a cartesian
+    # or a global sort, and the only window is the per-query top-k
+    plan = _plan(QUERIES["ann_pq_topk"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan or "BuildRight, Cross" in plan
+    assert "BroadcastHashJoin" in plan
+    import re
+
+    for m in re.finditer(r"Sort \[[^\]]*\], (\w+),", plan):
+        assert m.group(1) == "false", f"global sort in plan: {m.group(0)}"
