@@ -66,9 +66,17 @@ def build(spark) -> None:
         _write_chunked(reps, str(FIX / f"chunk{c}.parquet"))
 
 
-def _timed(fn, runs: int = 2) -> tuple[float, object]:
+def _timed(spark, fn, runs: int = 2) -> tuple[float, object]:
+    """Warm min-of-N with the SPARK cache cleared before every run:
+    dim_correlation_top persists its moments table internally, and
+    Spark's CacheManager matches rebuilt identical plans to the live
+    cache entry — without clearCache() run 2 would time a 2145-row
+    cache read (0.24 s at n=5M) instead of the corpus kernel (44.9 s).
+    What stays warm across runs — deliberately — is the JVM, the Python
+    workers, and the OS page cache holding the parquet bytes."""
     best, out = float("inf"), None
     for _ in range(runs):
+        spark.catalog.clearCache()
         t0 = time.monotonic()
         out = fn()
         best = min(best, time.monotonic() - t0)
@@ -81,7 +89,7 @@ def kernel_point(spark, n_chunks: int) -> dict:
     paths = [str(FIX / f"chunk{c}.parquet") for c in range(n_chunks)]
     df = spark.read.parquet(*paths)
     sec, rows = _timed(
-        lambda: dim_correlation_top(df, "embedding", DIM, TOP_K).collect()
+        spark, lambda: dim_correlation_top(df, "embedding", DIM, TOP_K).collect()
     )
     return {
         "n_vectors": n_chunks * REPLICAS_PER_CHUNK * 2000,
@@ -102,7 +110,7 @@ def naive_point(spark, n_vectors: int) -> dict:
 
     df = (
         spark.read.parquet(str(FIX / "chunk0.parquet"))
-        .limit(n_vectors)
+        .where(F.col("vec_id") < n_vectors)
         .select(F.col("vec_id"), quantize(F.col("embedding")).alias("q"))
     )
     comp = df.select(
@@ -123,7 +131,7 @@ def naive_point(spark, n_vectors: int) -> dict:
         )
         return pairs.count()
 
-    sec, n_groups = _timed(run, runs=1)  # single pass — this is the SLOW arm
+    sec, n_groups = _timed(spark, run, runs=1)  # single pass — the SLOW arm
     return {
         "n_vectors": n_vectors,
         "seconds_cold1": round(sec, 2),
@@ -135,6 +143,15 @@ def main() -> None:
     from mapreduceproject_spark.session import get_spark
 
     spark = get_spark()
+    # bench.py's session warmup: JVM + codegen + one tiny mapInPandas
+    # round-trip so N-worker Python startup (a session-wide one-time
+    # cost) isn't billed to whichever timed point runs first — without
+    # it the first point swings 3x between runs (measured 2.97 s vs
+    # 10.55 s for the same 100k kernel)
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    spark.range(128).repartition(32).mapInPandas(
+        lambda it: it, schema="id long"
+    ).write.format("noop").mode("overwrite").save()
     if not FIX.exists():
         print("building fixture ...", flush=True)
         t0 = time.monotonic()
@@ -145,11 +162,19 @@ def main() -> None:
 
     res: dict = {"dim": DIM, "top_k": TOP_K}
     # kernel at the naive arm's n first (same-n comparison), then decades
+    from pyspark.sql import functions as F
+
     from mapreduceproject_spark.operators.similarity import dim_correlation_top
 
-    small = spark.read.parquet(str(FIX / "chunk0.parquet")).limit(NAIVE_N)
+    # filter, NOT limit: GlobalLimit collapses the upstream kernel to a
+    # single task (measured 11.4 s for 100k vs 6.85 s for the full 1M);
+    # chunk0's vec_ids are contiguous 0..999999, so a predicate keeps
+    # the scan partition-parallel at the reduced n
+    small = spark.read.parquet(str(FIX / "chunk0.parquet")).where(
+        F.col("vec_id") < NAIVE_N
+    )
     sec, rows = _timed(
-        lambda: dim_correlation_top(small, "embedding", DIM, TOP_K).collect()
+        spark, lambda: dim_correlation_top(small, "embedding", DIM, TOP_K).collect()
     )
     res["kernel_100k"] = {
         "n_vectors": NAIVE_N,
@@ -160,6 +185,13 @@ def main() -> None:
 
     res["naive_100k"] = naive_point(spark, NAIVE_N)
     print("naive_100k", res["naive_100k"], flush=True)
+
+    # second naive point: at 100k the naive plan hides behind map-side
+    # partial aggregation (its 2·10⁸ joined pair rows collapse to 2016
+    # groups before the shuffle) — what grows is the self-join's n·2D-row
+    # exchange + the n·D²/2 join-output work, so the decade step exposes it
+    res["naive_1m"] = naive_point(spark, 10 * NAIVE_N)
+    print("naive_1m", res["naive_1m"], flush=True)
 
     res["kernel_1m"] = kernel_point(spark, 1)
     print("kernel_1m", res["kernel_1m"], flush=True)
