@@ -368,3 +368,74 @@ def bfs_hops(edges: DataFrame, seeds: DataFrame, id_col: str, max_hops: int = 4)
         reached = reached.unionByName(new)
         frontier = new
     return reached
+
+
+def label_propagation(
+    nodes: DataFrame,
+    edges: DataFrame,
+    id_col: str,
+    rounds: int = 3,
+) -> DataFrame:
+    """Synchronous label propagation (Raghavan et al. 2007) over the
+    undirected closure of ``edges``: every vertex starts as its own
+    community; each round it adopts the most common community among its
+    neighbors AND itself (ties → lowest community id).  The self-vote is
+    load-bearing: pure-neighbor synchronous updates oscillate on any
+    bipartite structure (a 2-cycle swaps labels every round — caught by
+    pytest before the self-vote landed), while including the current
+    label breaks every swap tie toward convergence and keeps isolated
+    vertices labeled for free.  Fixed ``rounds`` + deterministic ties
+    remove update-order dependence and make the run oracle-replicable —
+    the pagerank/BFS unrolled-iteration contract.  Unlike connected components (operators/dedup.py's
+    alternating star), LPA respects DENSITY: a thin bridge between two
+    dense kNN neighborhoods does not merge them, which is what a
+    corpus-curation user wants from "group these embeddings".
+
+    Scale shape: the symmetrized edge list is checkpointed once (the
+    bfs_hops rule — it is consumed every round); each round is one
+    src-keyed join (labels onto edges) + one (dst, community) count +
+    one ALGEBRAIC struct-min argmax per dst + one left join back to the
+    label table — all natural-key exchanges of two-long rows, never
+    corpus², per-round volume E + V.  Label state is one long per
+    vertex.  Output: (``id_col``, community).
+    """
+    und = (
+        edges.select("src", "dst")
+        .unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    labels = nodes.select(
+        F.col(id_col).alias("vid"), F.col(id_col).cast("long").alias("community")
+    )
+    for _ in range(rounds):
+        votes = (
+            und.join(labels, und["src"] == labels["vid"])
+            .select("dst", "community")
+            .unionByName(
+                labels.select(F.col("vid").alias("dst"), "community")
+            )
+        )
+        tally = votes.groupBy("dst", "community").agg(
+            F.count("*").cast("long").alias("n")
+        )
+        best = tally.groupBy("dst").agg(
+            # struct-min argmax: most votes first (negated count), then
+            # lowest community id — exact longs, engine-identical
+            F.min(F.struct((-F.col("n")).alias("neg"), F.col("community")))
+            .getField("community")
+            .alias("new_community")
+        )
+        labels = (
+            labels.join(best, labels["vid"] == best["dst"], "left")
+            .select(
+                "vid",
+                F.coalesce(F.col("new_community"), F.col("community")).alias(
+                    "community"
+                ),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return labels.select(F.col("vid").alias(id_col), "community")

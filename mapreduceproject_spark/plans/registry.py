@@ -96,28 +96,28 @@ ORACLES: dict[str, str] = {}
 #          production twin) and ngram_jaccard_triage_recall (the
 #          mass_policy="triage" escalation gauge — routing +
 #          routed-mode values).
-#   3-8:   NEW this round (second wave), never driver-run:
+#   3-9:   NEW this round (second wave), never driver-run:
 #          embedding_redundant_dims (Arrow Gram-kernel dimension-pair
 #          correlations), session_path_topk (gap-session event paths),
 #          events_ohlc_downsample (struct-extrema candle rollup),
 #          stream_ohlc_downsample (its streaming twin, same oracle),
-#          ann_pq_topk (product-quantization ADC ANN) and
-#          ann_pq_recall (its brute-force recall gauge).
-#   9-10:  plan changed this round, fresh rows needed: token_zipf_fit
+#          ann_pq_topk (product-quantization ADC ANN),
+#          ann_pq_recall (its brute-force recall gauge), and
+#          knn_label_communities (self-voting label propagation).
+#   10-11: plan changed this round, fresh rows needed: token_zipf_fit
 #          (vocab cut by TakeOrdered before the rank window) and
 #          vocab_stats (zipf_rank now the two-phase distributed rank).
 #          Both bit-identical by construction — the fresh row proves it.
-#   11-45: refill with the OLDEST remaining rows: the 35 entries whose
+#   12-46: refill with the OLDEST remaining rows: the 35 entries whose
 #          newest driver row is r4 (the two the round-8 ledger promised
 #          would lead — q5_region_revenue, join_inner_enrich — first),
 #          in CORRECTNESS_r04 order.
-#   46-50: next-oldest: the first 5 r5-row entries in CORRECTNESS_r05
-#          order (the six r5 names after them — repeated_ngram_mask,
-#          split_leakage_check, embedding_outlier_scores,
-#          join_key_skew_report, dedup_minhash_recall, and the one the
-#          first-wave comment already displaced — move just past the
-#          window and lead the next rotation).  After this round the
-#          oldest remaining evidence is r5.
+#   47-50: next-oldest: the first 4 r5-row entries in CORRECTNESS_r05
+#          order (the seven r5 names after them — ann_sq8_rerank_topk's
+#          successors in the list: zorder_layout_extents onward through
+#          dedup_minhash_recall — move just past the window and lead the
+#          next rotation).  After this round the oldest remaining
+#          evidence is r5.
 # Names absent from the registry are ignored (a pytest guards against
 # typos).  Every registry entry, windowed or not, is parity-checked
 # in-repo against its DuckDB oracle at sf0.001
@@ -136,10 +136,11 @@ _FRONT: tuple[str, ...] = (
     "stream_ohlc_downsample",
     "ann_pq_topk",
     "ann_pq_recall",
-    # 9-10: plan changed this round (single-partition windows retired)
+    "knn_label_communities",
+    # 10-11: plan changed this round (single-partition windows retired)
     "token_zipf_fit",
     "vocab_stats",
-    # 11-45: oldest remaining rows (r4, in CORRECTNESS_r04 order)
+    # 12-46: oldest remaining rows (r4, in CORRECTNESS_r04 order)
     "q5_region_revenue",
     "join_inner_enrich",
     "join_left_null_extension",
@@ -175,8 +176,8 @@ _FRONT: tuple[str, ...] = (
     "agg_variance_stats",
     "error_context_window",
     "dedup_exact",
-    # 46-50: next-oldest rows (r5, in CORRECTNESS_r05 order; the last
-    # six now sit just past the window and lead the next rotation)
+    # 47-50: next-oldest rows (r5, in CORRECTNESS_r05 order; the last
+    # seven now sit just past the window and lead the next rotation)
     "gopher_quality_filter",
     "dsir_importance_weights",
     "doc_shingle_novelty",

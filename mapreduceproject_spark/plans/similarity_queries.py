@@ -1182,3 +1182,70 @@ def ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("recall_at_k"),
         F.count("*").alias("n_truth_pairs"),
     )
+
+
+# -- label-propagation communities over the kNN graph (round 9) ---------------
+# The density-respecting complement to dedup_clusters' connected
+# components: a thin bridge between two dense embedding neighborhoods
+# does not merge them.  Fixed synchronous rounds + deterministic ties
+# (most votes, then lowest community id) — the unrolled-iteration
+# contract pagerank/BFS established, so the oracle replays the exact
+# recurrence.
+LPA_ROUNDS = 3
+
+
+def _lpa_oracle() -> str:
+    # MATERIALIZED is load-bearing: each round references l{i} twice
+    # (vote join + self-vote union) and DuckDB inlines plain CTEs, so the
+    # edge pipeline would re-evaluate ~2^rounds times — measured 4.5 s ->
+    # 0.2 s at sf0.001 from this one keyword
+    parts = [
+        f"""{_knn_edges_ctes(PR_K)},
+    und AS MATERIALIZED (
+      SELECT DISTINCT src, dst FROM (
+        SELECT src, dst FROM edges
+        UNION ALL
+        SELECT dst AS src, src AS dst FROM edges)
+    ),
+    l0 AS MATERIALIZED (SELECT id AS vid, CAST(id AS BIGINT) AS community FROM v)"""
+    ]
+    for i in range(LPA_ROUNDS):
+        parts.append(
+            f"""t{i} AS MATERIALIZED (
+      SELECT vid, community, CAST(COUNT(*) AS BIGINT) AS n FROM (
+        SELECT u.dst AS vid, l.community
+        FROM und u JOIN l{i} l ON l.vid = u.src
+        UNION ALL
+        SELECT vid, community FROM l{i}) GROUP BY 1, 2
+    ),
+    b{i} AS MATERIALIZED (
+      SELECT vid, community AS new_community FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY vid ORDER BY n DESC, community) AS rn
+        FROM t{i}) WHERE rn = 1
+    ),
+    l{i + 1} AS MATERIALIZED (
+      SELECT l.vid, COALESCE(b.new_community, l.community) AS community
+      FROM l{i} l LEFT JOIN b{i} b USING (vid)
+    )"""
+        )
+    body = ",\n    ".join(parts)
+    return f"""
+    {_QUANT_CTE},
+    {body}
+    SELECT vid AS vec_id, community FROM l{LPA_ROUNDS}
+    """
+
+
+@query("knn_label_communities", oracle=_lpa_oracle())
+def knn_label_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-propagation communities ({LPA_ROUNDS} synchronous rounds,
+    deterministic ties) over the same top-{PR_K} cosine kNN graph
+    PageRank ranks — density-respecting embedding grouping for corpus
+    curation; see operators/graph.py::label_propagation for the
+    per-round natural-key exchange shape."""
+    from mapreduceproject_spark.operators.graph import knn_edges_ivf, label_propagation
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    edges = knn_edges_ivf(emb, "vec_id", "embedding", num_centroids="auto", k=PR_K)
+    return label_propagation(emb, edges, "vec_id", rounds=LPA_ROUNDS)

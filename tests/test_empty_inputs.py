@@ -107,6 +107,7 @@ REPRESENTATIVE = [
     # two older recall gauges too — covered now
     "ann_ivf_recall",
     "ann_lsh_recall",
+    "knn_label_communities",
 ]
 
 

@@ -901,3 +901,38 @@ def test_pq_vanished_cluster_slots_still_lookup_correctly(spark):
     ).collect()
     assert len(out) == 4  # every non-self vector scored, none dropped
     assert all(r["score"] is not None for r in out)
+
+
+def test_label_propagation_hand_graph(spark):
+    """Hand truth on a barbell: two triangles joined by one bridge edge.
+    Connected components would merge everything; LPA must keep the two
+    dense triangles as separate communities (the density-respecting
+    property the query documents), labeled by each side's lowest id."""
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (0, 2), (3, 4), (4, 5), (3, 5), (2, 3)],
+        "src long, dst long",
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(6)], "vec_id long")
+    from mapreduceproject_spark.operators.graph import label_propagation
+
+    got = {
+        r["vec_id"]: r["community"]
+        for r in label_propagation(nodes, edges, "vec_id", rounds=3).collect()
+    }
+    left = {got[0], got[1], got[2]}
+    right = {got[3], got[4], got[5]}
+    assert len(left) == 1 and len(right) == 1, got
+    assert left != right, f"bridge merged the triangles: {got}"
+
+
+def test_label_propagation_isolated_keeps_own_label(spark):
+    edges = spark.createDataFrame([(0, 1)], "src long, dst long")
+    nodes = spark.createDataFrame([(0,), (1,), (7,)], "vec_id long")
+    from mapreduceproject_spark.operators.graph import label_propagation
+
+    got = {
+        r["vec_id"]: r["community"]
+        for r in label_propagation(nodes, edges, "vec_id", rounds=2).collect()
+    }
+    assert got[7] == 7  # no neighbors -> keeps itself
+    assert got[0] == got[1] == 0  # symmetrized pair converges to min id

@@ -611,3 +611,15 @@ def test_pq_topk_broadcast_scoring_no_cartesian_no_global_sort(spark, sf_dir):
 
     for m in re.finditer(r"Sort \[[^\]]*\], (\w+),", plan):
         assert m.group(1) == "false", f"global sort in plan: {m.group(0)}"
+
+
+def test_label_propagation_natural_key_exchanges_only(spark, sf_dir):
+    # every LPA round is a src-keyed join + (dst, community) count +
+    # algebraic struct-min argmax + a vid-keyed left join — natural-key
+    # exchanges of two-long rows; no cartesian, no global sort
+    plan = _plan(QUERIES["knn_label_communities"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    import re
+
+    for m in re.finditer(r"Sort \[[^\]]*\], (\w+),", plan):
+        assert m.group(1) == "false", f"global sort in plan: {m.group(0)}"
