@@ -987,6 +987,15 @@ def _ngram_jaccard_prefix_light(
             # to the verify join); the sharded driver extrapolates total
             # candidate mass from it
             _stats["candidate_pairs"] = pairs.count()
+    elif _stats is not None:
+        # unstaged pass (adaptive staging skipped the parquet round-trip)
+        # still prices its candidate mass in-band: persist the candidate
+        # set — it feeds the verify join anyway — and count it, so the
+        # announce still lands BEFORE the verify join is scheduled
+        pairs = pairs.persist()
+        if _persist_registry is not None:
+            _persist_registry.append(pairs)
+        _stats["candidate_pairs"] = pairs.count()
     inter = (
         pairs.join(
             arrs.select(F.col("_id").alias("id_a"), F.col("hs").alias("ha")), "id_a"
@@ -1020,6 +1029,7 @@ def _ngram_jaccard_prefix_sharded(
     plan_info: dict | None = None,
     mass_policy: str = "proceed",
     mass_ceiling: int = NGRAM_EXACT_CANDIDATE_CEILING,
+    scratch_headroom: float = 0.5,
 ) -> DataFrame:
     """EXACT prefix-light dedup in S doc-sharded passes with BOUNDED
     per-pass scratch — the round-6 1000×-fixture closure: the single-pass
@@ -1028,6 +1038,27 @@ def _ngram_jaccard_prefix_sharded(
     of S + S(S-1)/2 passes over ≤ 2/S of the corpus, so the union of
     per-pass exact results IS the exact result and no pass needs more
     than (2/S)·corpus scratch.
+
+    PASS STAGING IS ADAPTIVE (round 10): the sub-job split inside each
+    pass (hot-df stage job, 4 chunked array-build jobs, candidate-set
+    materialization — ~3 parquet round-trips/pass on top of the pass
+    union write) exists to cap the DISK peak when a pass's ~48 B/char
+    scratch threatens the volume; when the estimated per-pass need
+    (2/S·chars·48) clears both the {NGRAM_SCRATCH_FLOOR_BYTES>>30} GiB
+    floor and ``scratch_headroom`` of free scratch space, each pass runs
+    as ONE job with an in-memory persist instead.  Motivation is
+    measured, not stylistic: the staged form's wall-clock TRIPLED on a
+    host reboot (r8 fold 15.6-22.8 s vs 44-70 s post-reboot,
+    measurements/{{sharded_host_drift_r09,ab_sharded_r10}}.json — the
+    interleaved A/B pinned the whole delta on the HOST's page-cache
+    state, ratio r9/r8 median 0.98) because every staged round-trip
+    rides the page cache when warm and raw disk when cold.  Fewer
+    round-trips = less host-state sensitivity at small scale; the
+    bounded-disk form engages exactly when the model says a pass could
+    fill the volume (the property the 1000× fixture tests).  The
+    candidate-mass checkpoint is preserved in BOTH forms (unstaged
+    passes persist+count the candidate set — same in-band announce
+    before the verify join is scheduled).
 
     Pass layout: docs get shard = xxhash64(_id) mod S (a pure function of
     the id — no extra state).  Diagonal pass (i,i) emits within-shard-i
@@ -1066,6 +1097,20 @@ def _ngram_jaccard_prefix_sharded(
     passes = [(i, i) for i in range(shards)] + [
         (i, j) for i in range(shards) for j in range(i + 1, shards)
     ]
+    # adaptive staging decision: one cheap length-column scan + a free-
+    # space probe (the same policy inputs ngram_jaccard_dedup's auto
+    # resolver reads) — never data to the driver
+    est_chars = int(base.agg(F.sum(F.col("_len").cast("long"))).first()[0] or 0)
+    free = shutil.disk_usage(local_dir).free
+    per_pass_need = (2 * est_chars // shards) * NGRAM_LIGHT_SCRATCH_BYTES_PER_CHAR
+    stage_passes = per_pass_need > NGRAM_SCRATCH_FLOOR_BYTES and (
+        per_pass_need > free * scratch_headroom
+    )
+    if plan_info is not None:
+        plan_info.update(
+            pass_staging=stage_passes,
+            per_pass_scratch_est_bytes=per_pass_need,
+        )
     for p, (i, j) in enumerate(passes):
         sub = tagged.filter(F.col("_shard").isin([i, j]))
         grams = (
@@ -1076,9 +1121,12 @@ def _ngram_jaccard_prefix_sharded(
         meta = sub.select("_id", *[F.col(c) for c in block_cols], "_len")
         # per-pass stage dir: the sub-job split inside prefix-light is
         # what keeps the pass's disk peak at one exchange, not the sum
-        # of all of them (see _stage_materialize / the round-8 fix note)
-        stage_dir = f"{out_dir}-stage"
+        # of all of them (see _stage_materialize / the round-8 fix note);
+        # engaged only when the per-pass scratch model says the volume
+        # is actually at risk (adaptive staging, docstring above)
+        stage_dir = f"{out_dir}-stage" if stage_passes else None
         pass_stats: dict = {}
+        pass_persists: list = []
         res = _ngram_jaccard_prefix_light(
             grams,
             meta,
@@ -1086,6 +1134,7 @@ def _ngram_jaccard_prefix_sharded(
             length_band,
             threshold,
             loss_observation=loss_observation if p == 0 else None,
+            _persist_registry=pass_persists,
             _stage_dir=stage_dir,
             _stats=pass_stats if p == 0 else None,
         )
@@ -1125,7 +1174,10 @@ def _ngram_jaccard_prefix_sharded(
                 # exact sharded run HERE — before pass 0's verify join
                 # is ever scheduled — clean the scratch, and let the
                 # driver re-route to char-minhash triage + exact verify
-                shutil.rmtree(stage_dir, ignore_errors=True)
+                for frame in pass_persists:
+                    frame.unpersist()
+                if stage_dir is not None:
+                    shutil.rmtree(stage_dir, ignore_errors=True)
                 shutil.rmtree(out_dir, ignore_errors=True)
                 raise _CandidateMassEscalation(
                     pass_stats["candidate_pairs"], est_total
@@ -1144,11 +1196,15 @@ def _ngram_jaccard_prefix_sharded(
         # finished-pass shuffle files are freed by ContextCleaner once
         # their RDDs are GC'd — nudge both collectors so pass p's scratch
         # is gone before pass p+1 peaks, keeping the (2/S) bound real;
-        # the stage dir's parquet scratch is deleted outright
+        # the stage dir's parquet scratch is deleted outright and
+        # unstaged passes drop their in-memory persists
+        for frame in pass_persists:
+            frame.unpersist()
         del res, grams, sub
         gc.collect()
         spark._jvm.System.gc()
-        shutil.rmtree(stage_dir, ignore_errors=True)
+        if stage_dir is not None:
+            shutil.rmtree(stage_dir, ignore_errors=True)
     # a fully duplicate-free corpus can leave zero part files (every pass
     # empty) — return the typed empty frame instead of a schema-inference
     # error; out_dir is on spark.local.dir, driver-local by definition
@@ -1507,6 +1563,7 @@ def ngram_jaccard_dedup(
                 plan_info=plan_info,
                 mass_policy=mass_policy,
                 mass_ceiling=mass_ceiling,
+                scratch_headroom=scratch_headroom,
             )
         except _CandidateMassEscalation as esc:
             cap = (
