@@ -375,6 +375,7 @@ def label_propagation(
     edges: DataFrame,
     id_col: str,
     rounds: int = 3,
+    plan_info: dict | None = None,
 ) -> DataFrame:
     """Synchronous label propagation (Raghavan et al. 2007) over the
     undirected closure of ``edges``: every vertex starts as its own
@@ -398,7 +399,24 @@ def label_propagation(
     label table — all natural-key exchanges of two-long rows, never
     corpus², per-round volume E + V.  Label state is one long per
     vertex.  Output: (``id_col``, community).
+
+    CONVERGENCE GAUGE (round-10; every approximate operator ships a
+    measured number): when ``plan_info`` is given, each round attaches a
+    ``DataFrame.observe`` counting labels that CHANGED that round, and
+    the per-round checkpoint turns EAGER so the metric fires as the
+    round materializes (a LAZY checkpoint swallows CollectMetrics — the
+    observation event reports null once the plan reads the checkpointed
+    RDD; measured, not theorized).  Gauge mode therefore runs the same
+    per-round jobs the caller's action would run, just up front.
+    ``plan_info["lpa_labels_changed"]`` holds per-round Observation
+    objects whose ``.get["labels_changed"]`` is available as soon as
+    this function returns; a tail of zeros means the fixed round budget
+    converged, a non-zero tail means raise ``rounds`` (the
+    dedup.py:plan_info in-band-reporting discipline).  The registered
+    ``knn_community_modularity`` query is the quality half of the pair:
+    an exact-integer modularity score over the final labels.
     """
+    from pyspark.sql import Observation
     und = (
         edges.select("src", "dst")
         .unionByName(
@@ -410,7 +428,10 @@ def label_propagation(
     labels = nodes.select(
         F.col(id_col).alias("vid"), F.col(id_col).cast("long").alias("community")
     )
-    for _ in range(rounds):
+    observations: list = []
+    if plan_info is not None:
+        plan_info["lpa_labels_changed"] = observations
+    for _round in range(rounds):
         votes = (
             und.join(labels, und["src"] == labels["vid"])
             .select("dst", "community")
@@ -428,14 +449,113 @@ def label_propagation(
             .getField("community")
             .alias("new_community")
         )
-        labels = (
-            labels.join(best, labels["vid"] == best["dst"], "left")
-            .select(
-                "vid",
-                F.coalesce(F.col("new_community"), F.col("community")).alias(
-                    "community"
-                ),
+        joined = labels.join(best, labels["vid"] == best["dst"], "left").select(
+            "vid",
+            F.col("community").alias("_prev"),
+            F.coalesce(F.col("new_community"), F.col("community")).alias(
+                "community"
+            ),
+        )
+        if plan_info is not None:
+            obs = Observation(f"lpa_round_{_round}")
+            joined = joined.observe(
+                obs,
+                F.sum(
+                    (F.col("community") != F.col("_prev")).cast("long")
+                ).alias("labels_changed"),
             )
-            .localCheckpoint(eager=False)
+            observations.append(obs)
+        labels = joined.select("vid", "community").localCheckpoint(
+            eager=plan_info is not None
         )
     return labels.select(F.col("vid").alias(id_col), "community")
+
+
+def community_modularity(
+    labels: DataFrame,
+    edges: DataFrame,
+    id_col: str,
+    community_col: str = "community",
+) -> DataFrame:
+    """Newman modularity of a community assignment over the undirected
+    closure of ``edges`` — the quality gauge for
+    :func:`label_propagation` (round-10: LPA joins the "every
+    approximate operator ships a measured number" family; a fixed-round
+    community run with no score is a result you can't compare across
+    parameter choices).
+
+    Q = Σ_c [ e_c/m − (deg_c / 2m)² ] over communities c, computed in
+    the DOUBLED representation (every undirected edge appears in both
+    directions, M2 = 2m, W = 2·Σe_c):
+
+        Q = (W·M2 − Σ_c deg_c²) / M2²
+
+    Exactness discipline (the knn_triangle_census oracle pattern): W,
+    M2, and every deg_c are exact longs; the numerator's products and
+    the Σdeg_c² sum run in decimal(38,0) (deg_c ≤ M2, so terms stay
+    under 1e24 even at 10¹² edges — far inside 38 digits, where long
+    arithmetic would wrap); ONE double conversion of the exact integer
+    numerator, then two double divisions, token-identical in the oracle
+    SQL.  Plan shape: one symmetrize+distinct, a src-keyed degree count,
+    two label joins (natural keys), and three 1-row aggregates
+    crossJoined — nothing corpus².
+
+    Output: 1 row (n_vertices, n_communities, n_edges_und, modularity).
+    """
+    und = (
+        edges.select("src", "dst")
+        .unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    lab = labels.select(
+        F.col(id_col).alias("vid"), F.col(community_col).alias("community")
+    )
+    nstats = lab.agg(
+        F.count("*").cast("long").alias("n_vertices"),
+        F.countDistinct("community").cast("long").alias("n_communities"),
+    )
+    m2 = und.agg(F.count("*").cast("long").alias("n_edges_und"))
+    deg = und.groupBy("src").agg(F.count("*").cast("long").alias("d"))
+    dcsq = (
+        deg.join(lab, deg["src"] == lab["vid"])
+        .groupBy("community")
+        .agg(F.sum("d").cast("decimal(38,0)").alias("dc"))
+        .agg(F.sum(F.col("dc") * F.col("dc")).alias("sumd2"))
+    )
+    within = (
+        und.join(
+            lab.select(F.col("vid").alias("src"), F.col("community").alias("ca")),
+            "src",
+        )
+        .join(
+            lab.select(F.col("vid").alias("dst"), F.col("community").alias("cb")),
+            "dst",
+        )
+        .agg(F.sum((F.col("ca") == F.col("cb")).cast("long")).alias("within_und"))
+    )
+    num = (
+        F.col("within_und").cast("decimal(38,0)")
+        * F.col("n_edges_und").cast("decimal(38,0)")
+        - F.col("sumd2")
+    )
+    return (
+        nstats.crossJoin(m2)
+        .crossJoin(within)
+        .crossJoin(dcsq)
+        .select(
+            "n_vertices",
+            "n_communities",
+            "n_edges_und",
+            F.when(
+                F.col("n_edges_und") > 0,
+                num.cast("double")
+                / F.col("n_edges_und").cast("double")
+                / F.col("n_edges_und").cast("double"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("modularity"),
+        )
+    )

@@ -460,6 +460,58 @@ def _quantized_side(
     )
 
 
+def partition_topk_prune(
+    scored: DataFrame,
+    key_col: str,
+    order_col: str,
+    tie_col: str,
+    k: int,
+) -> DataFrame:
+    """Per-PARTITION top-k pruning before a per-key window — the round-9
+    verdict's ANN top-k retirement: every scoring plan here used to end
+    with ``Window.partitionBy(query_id)`` + row_number over ALL n·NQ
+    scored rows, i.e. NQ tasks each sorting n rows ("the stage you'd see
+    first in the UI" at n=5M, SCALING.md).  This kernel keeps, per input
+    partition, only each key's best k rows under the (order DESC,
+    tie ASC) total order — so the window's exchange receives ≤ P·k·NQ
+    rows instead of n·NQ, and the sort-bottleneck moves from NQ tasks ×
+    O(n log n) to P embarrassingly-parallel heaps + a trivial final cut.
+
+    EXACTNESS: pruning only — any row in the GLOBAL top-k under a total
+    order is necessarily in its partition's top-k, so the downstream
+    window computes bit-identical ranks (pinned by pytest equality vs
+    the unpruned form on every caller).  ``tie_col`` must be non-null
+    and unique per key (neighbor ids are), making the order total;
+    pandas ``na_position='last'`` matches Spark's desc-nulls-last for
+    the one nullable column (``order_col``).
+
+    Arrow cost, honestly: the scored rows cross the Python boundary once
+    (3-4 narrow columns, batched) — at n·NQ = 40M that is seconds spread
+    over every core, versus an NQ-way sort of the same rows through one
+    exchange.  Payload columns beyond (key, order, tie) pass through
+    untouched (hard-negative labels ride along).
+    """
+    schema = scored.schema
+
+    def kernel(batches):
+        import pandas as pd
+
+        best = None
+        for pdf in batches:
+            cur = pd.concat([best, pdf], ignore_index=True) if best is not None else pdf
+            cur = cur.sort_values(
+                [key_col, order_col, tie_col],
+                ascending=[True, False, True],
+                na_position="last",
+                kind="mergesort",
+            )
+            best = cur.groupby(key_col, sort=False).head(k)
+        if best is not None and len(best):
+            yield best
+
+    return scored.mapInPandas(kernel, schema)
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -468,12 +520,16 @@ def brute_force_topk(
     query_id_col: str,
     query_vec_col: str,
     k: int = 5,
+    partial_topk: bool = True,
 ) -> DataFrame:
     """Exact cosine top-k neighbors per query vector.
 
     Output: (query_id, neighbor_id, cosine, rank), self-matches excluded.
     ``queries`` must be broadcast-small; the corpus scan is embarrassingly
-    parallel and the only shuffle is the per-query window top-k.  Both
+    parallel and the only shuffle is the per-query window top-k — whose
+    input is pre-pruned to ≤ P·k rows per query by
+    :func:`partition_topk_prune` (``partial_topk=False`` keeps the
+    original full-sort form, the pytest equality baseline).  Both
     sides are quantized once up front; each of the Q·n scored pairs then
     costs a single O(dim) integer dot product.
     """
@@ -495,6 +551,8 @@ def brute_force_topk(
             ).alias("cosine"),
         )
     )
+    if partial_topk:
+        scored = partition_topk_prune(scored, "query_id", "cosine", "neighbor_id", k)
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -513,6 +571,7 @@ def hard_negative_topk(
     query_vec_col: str,
     query_label_col: str,
     k: int = 5,
+    partial_topk: bool = True,
 ) -> DataFrame:
     """Top-k most-similar vectors with a DIFFERENT label per query —
     contrastive hard-negative mining (the pairs a metric-learning /
@@ -557,6 +616,8 @@ def hard_negative_topk(
             ).alias("cosine"),
         )
     )
+    if partial_topk:
+        scored = partition_topk_prune(scored, "query_id", "cosine", "neighbor_id", k)
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -583,6 +644,7 @@ def ivf_topk(
     nprobe: int = 4,
     k: int = 5,
     assign: str = "brute",
+    partial_topk: bool = True,
 ) -> DataFrame:
     """IVF-bucketed approximate top-k: probe the ``nprobe`` max-cosine cells.
 
@@ -636,6 +698,8 @@ def ivf_topk(
             ).alias("cosine"),
         )
     )
+    if partial_topk:
+        cand = partition_topk_prune(cand, "query_id", "cosine", "neighbor_id", k)
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
         cand.withColumn("rank", F.row_number().over(w))
@@ -954,6 +1018,18 @@ def dim_correlation_top(
     """
     import pandas as pd  # noqa: PLC0415 — Arrow kernel deps stay lazy
 
+    # the int64-exactness envelope is two-sided: |q| < 2^22 per component
+    # AND chunk_rows ≤ 2^19 so any pair's per-chunk dot stays under
+    # 2^19·(2^22)² = 2^63 — enforce the half the kernel can't see
+    # (round-9 ADVICE: the docstring advised raising chunk_rows with
+    # nothing stopping a caller from crossing the ceiling silently)
+    if chunk_rows > 1 << 19:
+        raise ValueError(
+            "dim_correlation_top: chunk_rows > 2^19 breaks the int64-exact "
+            "envelope (chunk_rows * (2^22)^2 must stay below 2^63); "
+            "coalesce the scan instead of raising chunk_rows past it"
+        )
+
     idx_i, idx_j = [], []
     for a in range(dim):
         for b in range(a, dim):
@@ -975,6 +1051,18 @@ def dim_correlation_top(
             for lo in range(0, len(vecs), chunk_rows):
                 chunk = vecs.iloc[lo : lo + chunk_rows]
                 m = np.stack(chunk.to_numpy()).astype(np.float64)
+                # element-level NaN/Inf bypasses the row-level isNotNull
+                # filter AND the magnitude guard below (floor(NaN) casts
+                # to INT64_MIN, whose np.abs stays negative) — refuse it
+                # before it poisons the exact moment sums (round-9
+                # ADVICE; the oracle's NULL semantics never see such a
+                # value because DuckDB's floor(NULL) propagates)
+                if not np.isfinite(m).all():
+                    raise ValueError(
+                        "dim_correlation_top: non-finite embedding element "
+                        "(NaN/Inf/NULL) — clean the vector column first; "
+                        "exact integer moments cannot represent it"
+                    )
                 q = np.floor(m * 1_000_000.0).astype(np.int64)
                 # int64-exactness envelope: |q|<2^22, ≤16384 rows ⇒ the
                 # per-chunk dot of any dim pair stays below 2^62
@@ -1083,9 +1171,15 @@ def dim_correlation_top(
 def _pq_subvectors(df: DataFrame, id_col: str, vec_col: str, m_sub: int, sub_dim: int) -> DataFrame:
     """(id, m, sq): quantized sub-vector m = components [m·sub_dim+1 ..
     (m+1)·sub_dim] — re-derived from the scan per consumer (the kmeans
-    contract: the corpus never persists in exploded form)."""
+    contract: the corpus never persists in exploded form).  Null or
+    mis-sized embeddings are filtered here AND in the oracle's base CTE
+    (round-9 ADVICE: posexplode would drop such a row while the oracle's
+    cross join kept it with NULL sub-vectors — same clean-input contract
+    as dim_correlation_top, now enforced on both engines)."""
     q = quantize(F.col(vec_col))
-    return df.select(
+    return df.where(
+        F.col(vec_col).isNotNull() & (F.size(vec_col) == m_sub * sub_dim)
+    ).select(
         F.col(id_col).alias("id"),
         F.posexplode(
             F.transform(
@@ -1115,6 +1209,7 @@ def pq_codebooks(
     m_sub: int = 8,
     k_code: int = 16,
     iterations: int = 2,
+    assign: str = "arrow",
 ) -> DataFrame:
     """Product-quantization codebooks: an independent k_code-centroid
     k-means per sub-space m (dim/m_sub components each), all m_sub
@@ -1142,7 +1237,7 @@ def pq_codebooks(
         "m", F.col("id").cast("int").alias("cid"), F.col("sq").alias("cq")
     )
     for _ in range(iterations):
-        asg = _pq_assign(sv, cents)
+        asg = _pq_assign(sv, cents, assign)
         sums = (
             asg.select("m", "cid", F.posexplode("sq").alias("d", "qd"))
             .groupBy("m", "cid", "d")
@@ -1176,23 +1271,111 @@ def pq_codebooks(
     return cents
 
 
-def _pq_assign(sv: DataFrame, cents: DataFrame) -> DataFrame:
-    """(id, m, sq, cid): nearest codebook entry per sub-vector — broadcast
-    join on m, exact-int L2², algebraic (dist, cid) struct-min."""
-    scored = sv.join(F.broadcast(cents), "m").select(
-        "id",
-        "m",
-        "sq",
-        F.struct(
-            _pq_l2(F.col("sq"), F.col("cq")).alias("dist"),
-            F.col("cid").alias("cid"),
-        ).alias("cand"),
+def _pq_assign(sv: DataFrame, cents: DataFrame, assign: str = "arrow") -> DataFrame:
+    """(id, m, sq, cid): nearest codebook entry per sub-vector.
+
+    Two bit-identical forms (pytest pins the equality; exact integer L2²
+    with lowest-cid tie-break on both):
+
+    - ``assign="hof"`` — the oracle-shaped DataFrame form the PQ DuckDB
+      CTEs replay: broadcast join on m (k_code candidate rows per
+      sub-vector), higher-order-function L2², algebraic (dist, cid)
+      struct-min groupBy.  Correct, but the HOF expressions never enter
+      whole-stage codegen and the groupBy exchanges n·m_sub rows —
+      measured as THE superlinear tail in measurements/pq_scale.json
+      (6.22× cost for 5× vectors), named by SCALING.md round 9 as the
+      one non-codegen hot loop left in the ANN tier.
+    - ``assign="arrow"`` (default, the production path) — the codebook
+      (m_sub·k_code rows, ≤4096 gated — the clustering literal-gate
+      discipline) collects to numpy and each partition's sub-vectors
+      batch through ONE vectorized int64 distance matmul; argmin's
+      first-occurrence rule over ascending-cid rows IS the lowest-cid
+      tie-break.  Zero exchange (the HOF form's k_code-fold candidate
+      blowup and its groupBy both vanish) and the kernel is the
+      dim_correlation_top int64-envelope shape: (x−c)² ≤ 2^48·sub_dim
+      per entry, exact.
+    """
+    if assign == "hof":
+        scored = sv.join(F.broadcast(cents), "m").select(
+            "id",
+            "m",
+            "sq",
+            F.struct(
+                _pq_l2(F.col("sq"), F.col("cq")).alias("dist"),
+                F.col("cid").alias("cid"),
+            ).alias("cand"),
+        )
+        return scored.groupBy("id", "m").agg(
+            F.min("cand").getField("cid").alias("cid"),
+            F.first("sq").alias("sq"),
+        )
+    if assign != "arrow":
+        raise ValueError(f"unknown PQ assign mode {assign!r} (arrow|hof)")
+    return _pq_assign_arrow(sv, cents)
+
+
+def _pq_assign_arrow(sv: DataFrame, cents: DataFrame) -> DataFrame:
+    """Arrow mapInPandas form of :func:`_pq_assign` — see its docstring
+    for the contract and the measured motivation."""
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    rows = cents.collect()
+    if not rows:
+        # no codebook entries (empty corpus, or no seed ids < k_code):
+        # the HOF form's broadcast join against an empty side yields an
+        # empty frame — mirror that instead of KeyError-ing in the kernel
+        return sv.sparkSession.createDataFrame(
+            [],
+            StructType(list(sv.schema.fields) + [StructField("cid", IntegerType())]),
+        )
+    if len(rows) > 4096:
+        # the clustering-literal-gate discipline: the codebook is a
+        # driver payload here, so its size must be bounded INDEPENDENT
+        # of the corpus (m_sub·k_code is 128 at the 8×16 default)
+        raise ValueError(
+            f"pq assign=arrow: codebook has {len(rows)} entries (> 4096 "
+            "driver-payload gate); use assign='hof' for corpus-scaled "
+            "codebooks"
+        )
+    import numpy as np
+
+    by_m: dict[int, list] = {}
+    for r in rows:
+        by_m.setdefault(int(r["m"]), []).append((int(r["cid"]), r["cq"]))
+    packed = {
+        m: (
+            np.array([c for c, _ in sorted(v)], dtype=np.int32),
+            np.array([q for _, q in sorted(v)], dtype=np.int64),
+        )
+        for m, v in by_m.items()
+    }
+    out_schema = StructType(
+        list(sv.schema.fields) + [StructField("cid", IntegerType())]
     )
-    best = scored.groupBy("id", "m").agg(
-        F.min("cand").getField("cid").alias("cid"),
-        F.first("sq").alias("sq"),
-    )
-    return best
+
+    def kernel(batches):
+        import numpy as np  # noqa: PLC0415 — worker-side import
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ms = pdf["m"].to_numpy()
+            x = np.stack(pdf["sq"].to_numpy()).astype(np.int64)
+            cid_out = np.empty(len(pdf), dtype=np.int32)
+            for m in np.unique(ms):
+                cids, cb = packed[int(m)]
+                mask = ms == m
+                xm = x[mask]
+                # exact int64: (x−c)² ≤ (2^24)² = 2^48 per dim, ×sub_dim
+                # ≤ 2^51+ — far inside int64; argmin first-occurrence
+                # over ascending cid = the lowest-cid tie-break
+                d = ((xm[:, None, :] - cb[None, :, :]) ** 2).sum(axis=2)
+                cid_out[mask] = cids[np.argmin(d, axis=1)]
+            out = pdf.copy()
+            out["cid"] = cid_out
+            yield out
+
+    return sv.mapInPandas(kernel, out_schema)
 
 
 def pq_topk(
@@ -1207,6 +1390,8 @@ def pq_topk(
     k_code: int = 16,
     iterations: int = 2,
     k: int = 5,
+    assign: str = "arrow",
+    partial_topk: bool = True,
 ) -> DataFrame:
     """Product-quantization ANN with asymmetric distance computation
     (Jégou et al., PAMI'11): corpus vectors compress to m_sub codebook
@@ -1233,9 +1418,13 @@ def pq_topk(
     inner-product approximation in original units (÷ SCALE²).
     """
     sub_dim = dim // m_sub
-    cents = pq_codebooks(corpus, id_col, vec_col, dim, m_sub, k_code, iterations)
+    cents = pq_codebooks(
+        corpus, id_col, vec_col, dim, m_sub, k_code, iterations, assign
+    )
     codes = (
-        _pq_assign(_pq_subvectors(corpus, id_col, vec_col, m_sub, sub_dim), cents)
+        _pq_assign(
+            _pq_subvectors(corpus, id_col, vec_col, m_sub, sub_dim), cents, assign
+        )
         .groupBy("id")
         .agg(
             F.transform(
@@ -1290,6 +1479,8 @@ def pq_topk(
             ).alias("score"),
         )
     )
+    if partial_topk:
+        scored = partition_topk_prune(scored, "query_id", "score", "neighbor_id", k)
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))

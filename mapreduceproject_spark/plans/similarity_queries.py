@@ -1045,6 +1045,7 @@ def _pq_cte_chain() -> str:
       SELECT vec_id AS id,
              {duck_quantize("CAST(embedding AS DOUBLE[])")} AS q
       FROM embeddings
+      WHERE embedding IS NOT NULL AND len(embedding) = {EMB_DIM}
     ),
     sv AS (
       SELECT id, m, list_slice(q, m * {sd} + 1, (m + 1) * {sd}) AS sq
@@ -1194,7 +1195,7 @@ def ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 LPA_ROUNDS = 3
 
 
-def _lpa_oracle() -> str:
+def _lpa_cte_body() -> str:
     # MATERIALIZED is load-bearing: each round references l{i} twice
     # (vote join + self-vote union) and DuckDB inlines plain CTEs, so the
     # edge pipeline would re-evaluate ~2^rounds times — measured 4.5 s ->
@@ -1229,11 +1230,55 @@ def _lpa_oracle() -> str:
       FROM l{i} l LEFT JOIN b{i} b USING (vid)
     )"""
         )
-    body = ",\n    ".join(parts)
+    return ",\n    ".join(parts)
+
+
+def _lpa_oracle() -> str:
     return f"""
     {_QUANT_CTE},
-    {body}
+    {_lpa_cte_body()}
     SELECT vid AS vec_id, community FROM l{LPA_ROUNDS}
+    """
+
+
+def _modularity_oracle() -> str:
+    # the exact-integer modularity formula community_modularity
+    # documents: Q = (W·M2 − Σdeg_c²)/M2² in the doubled representation,
+    # HUGEINT products (DuckDB's decimal(38,0)-class integer), one
+    # double conversion of the exact numerator, two double divisions —
+    # token-matched to the Spark expression tree
+    final = f"l{LPA_ROUNDS}"
+    return f"""
+    {_QUANT_CTE},
+    {_lpa_cte_body()},
+    deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS d FROM und GROUP BY 1),
+    dcsq AS (
+      SELECT CAST(SUM(CAST(dc AS HUGEINT) * CAST(dc AS HUGEINT)) AS HUGEINT)
+               AS sumd2
+      FROM (SELECT l.community, CAST(SUM(deg.d) AS HUGEINT) AS dc
+            FROM deg JOIN {final} l ON l.vid = deg.src GROUP BY 1)
+    ),
+    w AS (
+      SELECT CAST(SUM(CASE WHEN a.community = b.community THEN 1 ELSE 0 END)
+                  AS BIGINT) AS within_und
+      FROM und u
+      JOIN {final} a ON a.vid = u.src
+      JOIN {final} b ON b.vid = u.dst
+    ),
+    m2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges_und FROM und),
+    ns AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_vertices,
+             CAST(COUNT(DISTINCT community) AS BIGINT) AS n_communities
+      FROM {final}
+    )
+    SELECT n_vertices, n_communities, n_edges_und,
+           CASE WHEN n_edges_und > 0
+                THEN CAST(CAST(within_und AS HUGEINT) * n_edges_und - sumd2
+                          AS DOUBLE)
+                     / CAST(n_edges_und AS DOUBLE)
+                     / CAST(n_edges_und AS DOUBLE)
+                ELSE 0.0 END AS modularity
+    FROM ns, m2, w, dcsq
     """
 
 
@@ -1249,3 +1294,27 @@ def knn_label_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     edges = knn_edges_ivf(emb, "vec_id", "embedding", num_centroids="auto", k=PR_K)
     return label_propagation(emb, edges, "vec_id", rounds=LPA_ROUNDS)
+
+
+@query("knn_community_modularity", oracle=_modularity_oracle())
+def knn_community_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the {LPA_ROUNDS}-round LPA communities over
+    the same kNN graph — the quality gauge knn_label_communities was
+    missing (round-9 verdict #4): LPA is the one approximate operator
+    that shipped without a measured number, and modularity is the
+    standard score that decides whether a fixed round budget produced
+    real density structure (Q ≈ 0 = no better than random).  Exact
+    integer edge/degree counts, one double division — see
+    operators/graph.py::community_modularity.  The convergence half of
+    the gauge pair is in-band: label_propagation(plan_info=...) observes
+    per-round labels-changed counts (pytest-pinned)."""
+    from mapreduceproject_spark.operators.graph import (
+        community_modularity,
+        knn_edges_ivf,
+        label_propagation,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    edges = knn_edges_ivf(emb, "vec_id", "embedding", num_centroids="auto", k=PR_K)
+    labels = label_propagation(emb, edges, "vec_id", rounds=LPA_ROUNDS)
+    return community_modularity(labels, edges, "vec_id")
