@@ -262,3 +262,86 @@ def shingle_novelty(
             .alias("novelty_bp"),
         )
     )
+
+
+NB_BUCKETS = 2048
+
+
+def nb_quality_scores(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    stopwords: tuple[str, ...],
+    *,
+    num_buckets: int = NB_BUCKETS,
+) -> DataFrame:
+    """Hashed-unigram Naive-Bayes quality score per document — the
+    LEARNED complement to :func:`gopher_doc_flags` (round-10; the
+    fastText-style public recipe: train a cheap linear classifier on
+    rule-based teacher labels, then score everything, including the
+    documents near the rule boundary where the binary rules carry no
+    gradient).
+
+    Training happens IN-PLAN: the teacher label is the Gopher keep/drop
+    verdict, per-class token counts accumulate per hashed bucket
+    (``hash60(token) % num_buckets``), and each bucket's add-one
+    log-count ratio ``llr(b) = ln((hi_b+1)/(HI+B)) − ln((lo_b+1)/(LO+B))``
+    is micro-quantized to int64 exactly as :func:`dsir_weights`' λ —
+    so a document's score ``Σ_b cnt(d,b)·⌊1e6·llr(b)⌋`` is an exact
+    integer, order-independent at any parallelism.
+
+    Plan shape (the dsir_weights discipline): the corpus is tokenized
+    once into a persisted per-(doc, bucket) count table; class counts
+    and the ≤``num_buckets``-row llr table derive from that aggregate
+    (never the raw token stream) and broadcast back over it.  Two
+    natural-key shuffles total; the teacher flags ride a doc-keyed join
+    of integer-arithmetic rule comparisons.
+
+    Returns (``id_col``, teacher_kept, n_tokens, llr_micro).
+    """
+    flags = gopher_doc_flags(df.select(id_col, text_col), id_col, text_col, stopwords)
+    labels = flags.select(id_col, F.col("kept").alias("_is_hi"))
+    feats = token_rows(
+        df.select(id_col, text_col), F.lower(F.col(text_col)), [id_col]
+    ).select(id_col, (hash60(F.col("tok")) % num_buckets).alias("bucket"))
+    per_doc = (
+        feats.groupBy(id_col, "bucket")
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .join(labels, id_col)
+        .persist()
+    )
+    bcnt = per_doc.groupBy("bucket").agg(
+        F.sum(F.when(F.col("_is_hi"), F.col("cnt")).otherwise(F.lit(0))).alias(
+            "hi_b"
+        ),
+        F.sum(F.when(~F.col("_is_hi"), F.col("cnt")).otherwise(F.lit(0))).alias(
+            "lo_b"
+        ),
+    )
+    totals = bcnt.agg(F.sum("hi_b").alias("hi_t"), F.sum("lo_b").alias("lo_t"))
+    lam = bcnt.crossJoin(F.broadcast(totals)).select(
+        "bucket",
+        F.floor(
+            1_000_000
+            * (
+                F.log((F.col("hi_b") + 1) / (F.col("hi_t") + num_buckets))
+                - F.log((F.col("lo_b") + 1) / (F.col("lo_t") + num_buckets))
+            )
+        )
+        .cast("long")
+        .alias("llr_b"),
+    )
+    return (
+        per_doc.join(F.broadcast(lam), "bucket")
+        .groupBy(id_col, "_is_hi")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_tokens"),
+            F.sum(F.col("cnt") * F.col("llr_b")).cast("long").alias("llr_micro"),
+        )
+        .select(
+            id_col,
+            F.col("_is_hi").alias("teacher_kept"),
+            "n_tokens",
+            "llr_micro",
+        )
+    )

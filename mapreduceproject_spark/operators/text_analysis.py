@@ -381,3 +381,107 @@ def bigram_lm_top(
     return top.withColumn("rnk", F.row_number().over(wt).cast("long")).select(
         "w1", "w2", "n_bigram", "n_head", "logp", "rnk"
     )
+
+
+# -- BPE-merge tokenizer training (round 10) ----------------------------------
+BPE_DELIM = "\x1f"  # symbol delimiter, stripped from tokens before encoding
+
+
+def _bpe_seq(w) -> F.Column:
+    # word -> '<D>a<D><D>b<D><D>c<D>': every symbol wrapped in single
+    # delimiters, DOUBLE delimiters as internal boundaries.  This makes
+    # the merge a plain left-to-right non-overlapping replace(): the
+    # pattern '<D>a<D><D>b<D>' consumes only the pair's own boundary
+    # characters, leaving one '<D>' on each side for the neighboring
+    # pairs — so [a,b,a,b] merges BOTH (a,b) occurrences in one pass,
+    # while [a,a,a] merges greedily left-to-right to [aa,a] (both
+    # pinned by the hand-truth pytest).
+    pre = F.regexp_replace(w, "(.)", BPE_DELIM + BPE_DELIM + "$1")
+    return F.concat(pre.substr(F.lit(2), F.length(pre)), F.lit(BPE_DELIM))
+
+
+def bpe_merge_table(df: DataFrame, text_col: str, rounds: int = 3) -> DataFrame:
+    """First ``rounds`` byte-pair-encoding merges (Sennrich et al.,
+    ACL'16) over the corpus vocabulary — tokenizer training as a
+    DataFrame op.
+
+    Output: (merge_round, lhs, rhs, pair_count), the merge table in
+    learned order.  Determinism: exact long pair counts; ties break
+    lexicographically on (lhs, rhs); the merge application is a single
+    non-overlapping left-to-right ``replace()`` whose greedy semantics
+    are identical in Spark and DuckDB (see :func:`_bpe_seq`).
+
+    100-TB shape: the corpus is touched ONCE (tokenize + word count,
+    one natural-key exchange with map-side partial aggregation); all
+    merge rounds run over the DISTINCT-WORD table (vocabulary-sized,
+    corpus-independent).  Per round: one vocab-scan pair tally
+    (map-side combined, (lhs,rhs)-keyed), one TakeOrdered(1) cut, one
+    broadcast-literal merge application — no corpus re-scan, no driver
+    collect (the 1-row best pair rides a broadcast crossJoin, the
+    kmeans distributed-carrier rule).  State is localCheckpointed per
+    round so round r+1 does not replay round r's tally lineage.
+    """
+    from mapreduceproject_spark.functions.textfn import token_rows
+
+    toks = token_rows(df.select(text_col), F.lower(F.col(text_col)), [])
+    wc = (
+        toks.select(F.replace(F.col("tok"), F.lit(BPE_DELIM), F.lit("")).alias("w"))
+        .where(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    state = wc.select(_bpe_seq(F.col("w")).alias("s"), "cnt")
+    merges = []
+    for r in range(rounds):
+        core = F.col("s").substr(F.lit(2), F.length("s") - 2)
+        arr = F.split(core, BPE_DELIM + BPE_DELIM)
+        prs = (
+            state.select("cnt", arr.alias("a"))
+            .where(F.size("a") >= 2)
+            .select(
+                "cnt",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(a) - 1), "
+                        "i -> struct(element_at(a, i) AS lhs, "
+                        "element_at(a, i + 1) AS rhs))"
+                    )
+                ).alias("p"),
+            )
+        )
+        tally = prs.groupBy(
+            F.col("p.lhs").alias("lhs"), F.col("p.rhs").alias("rhs")
+        ).agg(F.sum("cnt").cast("long").alias("pair_count"))
+        best = (
+            tally.orderBy(F.desc("pair_count"), "lhs", "rhs")
+            .limit(1)
+            .select(
+                F.lit(r + 1).cast("long").alias("merge_round"),
+                "lhs",
+                "rhs",
+                "pair_count",
+            )
+            .localCheckpoint(eager=False)
+        )
+        merges.append(best)
+        pat = F.concat(
+            F.lit(BPE_DELIM),
+            F.col("_ml"),
+            F.lit(BPE_DELIM + BPE_DELIM),
+            F.col("_mr"),
+            F.lit(BPE_DELIM),
+        )
+        rep = F.concat(F.lit(BPE_DELIM), F.col("_ml"), F.col("_mr"), F.lit(BPE_DELIM))
+        state = (
+            state.crossJoin(
+                F.broadcast(
+                    best.select(F.col("lhs").alias("_ml"), F.col("rhs").alias("_mr"))
+                )
+            )
+            .select(F.replace(F.col("s"), pat, rep).alias("s"), "cnt")
+            .localCheckpoint(eager=False)
+        )
+    out = merges[0]
+    for m in merges[1:]:
+        out = out.unionByName(m)
+    return out.orderBy("merge_round")

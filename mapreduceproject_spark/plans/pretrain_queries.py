@@ -425,3 +425,87 @@ def embedding_redundant_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return dim_correlation_top(emb, "embedding", EMB_DIM, REDUNDANT_DIMS_TOP)
+
+
+# -- Naive-Bayes quality classifier (round 10) --------------------------------
+NB_TOP_N = 50
+
+
+def _nb_oracle() -> str:
+    stoplist = ", ".join(f"'{s}'" for s in STOPWORDS)
+    toks = duck_tokens("text")
+    b = q.NB_BUCKETS
+    return f"""
+    WITH m AS (
+      SELECT doc_id,
+             len(toks) AS n_words,
+             COALESCE(CAST(list_aggregate(list_transform(toks, t -> CAST(length(t) AS BIGINT)), 'sum') AS BIGINT), 0) AS sum_len,
+             len(list_filter(toks, t -> contains(t, '#') OR contains(t, '...'))) AS n_symbol,
+             len(list_filter([{stoplist}],
+                 s -> list_contains(list_transform(toks, t -> lower(t)), s))) AS stop_hits
+      FROM (SELECT doc_id, {toks} AS toks FROM documents)
+    ),
+    kept AS (
+      SELECT doc_id,
+             (NOT (n_words < {q.GOPHER_MIN_WORDS} OR n_words > {q.GOPHER_MAX_WORDS})
+              AND NOT (sum_len < {q.GOPHER_MIN_MEAN_WORD_LEN} * n_words
+                       OR sum_len > {q.GOPHER_MAX_MEAN_WORD_LEN} * n_words)
+              AND NOT (n_symbol * 100 > {q.GOPHER_MAX_SYMBOL_RATIO_PCT} * n_words)
+              AND NOT (stop_hits < {q.GOPHER_MIN_STOPWORD_HITS})) AS is_hi
+      FROM m
+    ),
+    feats AS (
+      SELECT doc_id AS id, ({duck_hash60("tok")}) % {b} AS bucket
+      FROM {duck_token_rows("lower(text)", "doc_id")}
+    ),
+    pdb AS (
+      SELECT f.id, k.is_hi, f.bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM feats f JOIN kept k ON k.doc_id = f.id GROUP BY 1, 2, 3
+    ),
+    bc AS (
+      SELECT bucket,
+             SUM(CASE WHEN is_hi THEN cnt ELSE 0 END) AS hi_b,
+             SUM(CASE WHEN NOT is_hi THEN cnt ELSE 0 END) AS lo_b
+      FROM pdb GROUP BY 1
+    ),
+    tot AS (SELECT SUM(hi_b) AS hi_t, SUM(lo_b) AS lo_t FROM bc),
+    lam AS (
+      SELECT bucket,
+             CAST(floor(1000000 * (ln((hi_b + 1) / (hi_t + {b}))
+                                   - ln((lo_b + 1) / (lo_t + {b})))) AS BIGINT)
+               AS llr_b
+      FROM bc, tot
+    ),
+    sc AS (
+      SELECT id AS doc_id, is_hi AS teacher_kept,
+             CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+             CAST(SUM(cnt * llr_b) AS BIGINT) AS llr_micro
+      FROM pdb JOIN lam USING (bucket) GROUP BY 1, 2
+    )
+    SELECT CAST(rnk AS BIGINT) AS rnk, doc_id, teacher_kept, n_tokens, llr_micro
+    FROM (SELECT *, row_number() OVER (ORDER BY llr_micro DESC, doc_id) AS rnk
+          FROM sc)
+    WHERE rnk <= {NB_TOP_N}
+    """
+
+
+@query("nb_quality_score", oracle=_nb_oracle())
+def nb_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{NB_TOP_N} documents by hashed-unigram Naive-Bayes quality
+    score, trained in-plan on the Gopher rule verdict — the learned
+    quality scorer the round-9 verdict listed as the remaining public-
+    recipe curation stage (rule teacher → linear student; exact integer
+    log-count-ratio sums, the dsir_weights micro-quantization).  The
+    teacher label rides along so the calibration pytest can tabulate
+    score-sign vs rule-verdict agreement (operators/quality.py::
+    nb_quality_scores).  Top-N via TakeOrdered + residual {NB_TOP_N}-row
+    rank window — the dsir_importance_weights distributed-cut rule."""
+    docs = load_table(spark, sf_dir, "documents")
+    sc = q.nb_quality_scores(docs, "doc_id", "text", STOPWORDS)
+    win = Window.orderBy(F.desc("llr_micro"), F.asc("doc_id"))
+    return (
+        sc.orderBy(F.desc("llr_micro"), F.asc("doc_id"))
+        .limit(NB_TOP_N)
+        .withColumn("rnk", F.row_number().over(win).cast("long"))
+        .select("rnk", "doc_id", "teacher_kept", "n_tokens", "llr_micro")
+    )

@@ -535,3 +535,93 @@ def bigram_surprisal_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ta.bigram_surprisal(
         load_table(spark, sf_dir, "documents"), "doc_id", "text", add_k=BIGRAM_ADD_K
     )
+
+
+# -- BPE-merge tokenizer training (round 10) ----------------------------------
+# The tokenizer-training stage every LLM pipeline runs (Sennrich et al.,
+# ACL'16 byte-pair encoding): count adjacent symbol pairs over the
+# corpus vocabulary, merge the most frequent pair everywhere, repeat.
+# Unrolled to a fixed round count with deterministic ties (highest
+# count, then lexicographic pair) — the kmeans_cte_chain / pagerank
+# unrolled-iteration contract, so the DuckDB oracle replays the exact
+# recurrence.
+BPE_ROUNDS = 3
+
+
+def _bpe_oracle() -> str:
+    d = "chr(31)"
+    dd = f"{d} || {d}"
+    parts = [
+        f"""wc AS MATERIALIZED (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+        SELECT replace(unnest({_LTOKS}), chr(31), '') AS w FROM documents)
+      WHERE w <> '' GROUP BY 1
+    ),
+    s0 AS MATERIALIZED (
+      SELECT substr(regexp_replace(w, '(.)', {dd} || '\\1', 'g'), 2) || {d} AS s,
+             cnt
+      FROM wc
+    )"""
+    ]
+    for r in range(BPE_ROUNDS):
+        parts.append(
+            f"""p{r} AS (
+      SELECT lhs, rhs, CAST(SUM(cnt) AS BIGINT) AS pair_count FROM (
+        SELECT a[CAST(i AS INT)] AS lhs, a[CAST(i AS INT) + 1] AS rhs, cnt
+        FROM (SELECT a, cnt, unnest(range(1, len(a))) AS i
+              FROM (SELECT string_split(substr(s, 2, length(s) - 2), {dd}) AS a,
+                           cnt
+                    FROM s{r})))
+      GROUP BY 1, 2
+    ),
+    b{r} AS MATERIALIZED (
+      SELECT CAST({r + 1} AS BIGINT) AS merge_round, lhs, rhs, pair_count
+      FROM p{r} ORDER BY pair_count DESC, lhs, rhs LIMIT 1
+    ),
+    s{r + 1} AS MATERIALIZED (
+      SELECT replace(s, {d} || b.lhs || {dd} || b.rhs || {d},
+                        {d} || b.lhs || b.rhs || {d}) AS s,
+             cnt
+      FROM s{r}, b{r} b
+    )"""
+        )
+    body = ",\n    ".join(parts)
+    union = " UNION ALL ".join(
+        f"SELECT * FROM b{r}" for r in range(BPE_ROUNDS)
+    )
+    return f"""
+    WITH {body}
+    SELECT merge_round, lhs, rhs, pair_count FROM ({union})
+    ORDER BY merge_round
+    """
+
+
+@query("bpe_merge_topk", oracle=_bpe_oracle())
+def bpe_merge_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First {BPE_ROUNDS} byte-pair-encoding merges over the corpus
+    vocabulary — tokenizer training as a query (the last classic
+    MapReduce-shaped text op on the round-9 verdict's missing list).
+
+    Output: (merge_round, lhs, rhs, pair_count) — the merge table, in
+    the order a BPE trainer would learn it.  Determinism: exact long
+    pair counts; ties break lexicographically on (lhs, rhs); the merge
+    application is a single non-overlapping left-to-right replace()
+    whose greedy semantics are identical in Spark and DuckDB (see
+    _bpe_seq_spark for the double-delimiter encoding that makes this
+    true, and the hand-truth pytest for the overlap cases).
+
+    100-TB shape: the corpus is touched ONCE (tokenize + word count —
+    one natural-key exchange with map-side partial aggregation); all
+    {BPE_ROUNDS} merge rounds run over the DISTINCT-WORD table
+    (vocabulary-sized, corpus-independent).  Per round: one vocab-scan
+    pair tally (map-side combined, (lhs,rhs)-keyed), one TakeOrdered(1)
+    cut, one broadcast-literal merge application — no corpus re-scan,
+    no driver collect (the 1-row best pair rides a broadcast crossJoin,
+    the kmeans distributed-carrier rule).  State is localCheckpointed
+    per round so round r+1 does not replay round r's tally lineage.
+    Core: operators/text_analysis.py::bpe_merge_table (hand-truth
+    pytest exercises it on overlap corpora directly).
+    """
+    return ta.bpe_merge_table(
+        load_table(spark, sf_dir, "documents"), "text", rounds=BPE_ROUNDS
+    )
