@@ -118,6 +118,12 @@ ORACLES: dict[str, str] = {}
 #          dedup_minhash_recall — move just past the window and lead the
 #          next rotation).  After this round the oldest remaining
 #          evidence is r5.
+# Round-10 window (first 50): see the inline comments in _FRONT below —
+#   3 new queries (bpe_merge_topk, nb_quality_score,
+#   knn_community_modularity), 10 plan-changed ANN/LPA entries (the
+#   partition_topk_prune + Arrow-PQ-assignment round), then the 37
+#   oldest remaining rows (r5, in CORRECTNESS_r05 order); the five r5
+#   names after the cut lead the next rotation.
 # Names absent from the registry are ignored (a pytest guards against
 # typos).  Every registry entry, windowed or not, is parity-checked
 # in-repo against its DuckDB oracle at sf0.001
@@ -125,193 +131,40 @@ ORACLES: dict[str, str] = {}
 # the driver's sf0.01 each round (scripts/window_check.py all ->
 # measurements/parity_sf0.01_r0N.json).
 _FRONT: tuple[str, ...] = (
-    # -- round-9 window ------------------------------------------------
-    # 1-2: new this round (first wave), never driver-run
-    "customer_rfm_approx",
-    "ngram_jaccard_triage_recall",
-    # 3-8: new this round (second wave), never driver-run
-    "embedding_redundant_dims",
-    "session_path_topk",
-    "events_ohlc_downsample",
-    "stream_ohlc_downsample",
+    # -- round-10 window -----------------------------------------------
+    # 1-3: NEW this round, never driver-run: bpe_merge_topk (unrolled
+    #      BPE tokenizer-training merges), nb_quality_score (hashed-
+    #      ngram Naive-Bayes quality classifier, Gopher-rule teacher),
+    #      knn_community_modularity (the LPA quality gauge).
+    "bpe_merge_topk",
+    "nb_quality_score",
+    "knn_community_modularity",
+    # 4-13: plan changed this round, fresh rows needed: the ANN tier
+    #      gained per-partition top-k pruning before every per-query
+    #      rank window (partition_topk_prune) and PQ switched to the
+    #      Arrow assignment kernel — bit-identical by construction
+    #      (pytest-pinned); label_propagation gained the labels-changed
+    #      observation plumbing; embedding_redundant_dims gained the
+    #      chunk_rows/non-finite envelope guards; _pq_subvectors now
+    #      filters null/mis-sized embeddings (oracle updated in step).
+    "ann_bruteforce_topk",
+    "ann_ivf_topk",
+    "ann_ivf_recall",
+    "ann_lsh_recall",
+    "ann_hard_negatives",
+    "hybrid_rrf_retrieval",
     "ann_pq_topk",
     "ann_pq_recall",
     "knn_label_communities",
-    # 10-11: plan changed this round (single-partition windows retired)
-    "token_zipf_fit",
-    "vocab_stats",
-    # 12-46: oldest remaining rows (r4, in CORRECTNESS_r04 order)
-    "q5_region_revenue",
-    "join_inner_enrich",
-    "join_left_null_extension",
-    "join_semi",
-    "join_anti",
-    "join_broadcast_dim",
-    "agg_distinct",
-    "agg_rollup",
-    "agg_cube",
-    "topk_orders",
-    "set_operations",
-    "window_rank_top3",
-    "window_lag_gap",
-    "window_running_sum",
-    "json_extract_props",
-    "asof_join_last_signup",
-    "range_join_value_buckets",
-    "q6_forecast_revenue",
-    "agg_grouping_sets",
-    "agg_percentiles",
-    "window_frames",
-    "array_functions",
-    "correlated_above_brand_avg",
-    "null_semantics",
-    "pivot_status_by_priority",
-    "unpivot_quality_metrics",
-    "q10_returned_item_revenue",
-    "q12_late_shipments",
-    "funnel_conversion",
-    "cohort_retention",
-    "q14_promo_revenue_share",
-    "q18_large_orders",
-    "agg_variance_stats",
-    "error_context_window",
-    "dedup_exact",
-    # 47-50: next-oldest rows (r5, in CORRECTNESS_r05 order; the last
-    # seven now sit just past the window and lead the next rotation)
-    "gopher_quality_filter",
-    "dsir_importance_weights",
-    "doc_shingle_novelty",
-    "ann_sq8_rerank_topk",
-    "zorder_layout_extents",
-    "stream_windowed_topk",
-    "repeated_ngram_mask",
-    "split_leakage_check",
-    "embedding_outlier_scores",
-    "join_key_skew_report",
-    "dedup_minhash_recall",
-    # -- tail: previous (round-8) window order, then the older ledger
-    # blocks below (first occurrence wins in _ordered) ------------------
-    # 1-2: round-8 second-wave additions
-    "dedup_ngram_containment",
-    "interval_overlap_join",
-    # 3-4: round-8 first-wave additions
-    "dedup_ngram_sharded",
-    "dedup_minhash_bucket_stats",
-    # 5: implementation changed in round 8 (Hadoop FS listing + refusal)
-    "dedup_incremental_stream",
-    # 6-38: oldest remaining rows at round 8 (r3, in CORRECTNESS_r03 order)
-    "mm_resize_images",
-    "source_mix_weights",
-    "token_length_histogram",
-    "training_interleave",
-    "pii_scan_redact",
-    "bigram_lm_top",
-    "ann_hyperplane_topk",
-    "data_profile",
-    "event_anomaly_zscore",
-    "dedup_keep_best",
-    "running_zscore",
-    "grouped_regression",
-    "corr_matrix",
-    "table_checksums",
-    "ann_ivf_topk",
-    "ann_ivf_recall",
-    "stream_running_zscore",
-    "market_basket_lift",
-    "ewma_user_values",
-    "mad_robust_stats",
-    "quality_calibration_deciles",
-    "token_pmi_bigrams",
-    "source_token_entropy",
-    "customer_rfm",
-    "orders_mom_growth",
-    "token_zipf_fit",
-    "cross_source_shingle_overlap",
-    "equidepth_histogram",
-    "attribution_last_touch",
-    "skyline_price_size",
-    "event_transition_matrix",
-    "dedup_incremental_minhash",
-    "chunk_sliding_windows",
-    # 39-50: next-oldest rows at round 8 (r4, in CORRECTNESS_r04 order)
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "pagerank_knn",
-    "knn_triangle_census",
-    "knn_degree_hist",
-    "heavy_hitters",
-    "dedup_ngram_jaccard",
-    "word_count",
-    "inverted_index",
-    "maple_juice_word_count",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_region_revenue",
-    "join_inner_enrich",
-    # -- tail: previous (round-6/7) window order, then the older ledger
-    # blocks below (first occurrence wins in _ordered) ------------------
-    # 1-3: round-5 late additions, never driver-verified
-    "batch_sessionize",
-    "embedding_dim_stats",
-    "dedup_source_report",
-    # 4-6: round-6 algorithm changes / additions
-    "ngram_jaccard_est_recall",
-    "ngram_jaccard_capped_recall",
-    "dedup_incremental_stream",
-    # 7-50: the r2-row tail, oldest-first
-    "q4_order_priority",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_profit",
-    "q13_customer_distribution",
-    "q15_top_supplier",
-    "q17_small_quantity_revenue",
-    "q21_waiting_suppliers",
-    "text_repetition_metrics",
-    "decontam_ngram_overlap",
-    "pack_token_shards",
-    "stratified_sample_stats",
-    "source_quality_rollup",
-    "stream_stream_join",
-    "agg_approx_percentile",
-    "window_distribution",
-    "ann_bruteforce_topk",
-    "ann_filtered_topk",
-    "text_token_stats",
-    "text_quality_scores",
-    "text_fingerprints",
-    "text_langid_ngram",
-    "text_tfidf_top_terms",
-    "pipeline_clean_corpus",
-    "sample_hash_split",
-    "text_normalize",
-    "vocab_stats",
-    "mm_decode_stats",
-    "mm_frame_sample",
-    "mm_audio_chunks",
-    "mm_feature_extract",
-    "stream_tumbling_counts",
-    "stream_sliding_counts",
-    "stream_dedup_events",
-    "session_window_stats",
-    "stream_static_join",
-    # 42-50 (+ slot 51): next-oldest (r3-row) entries, registration order
-    "join_full_outer",
-    "scd2_intervals",
-    "q19_disjunctive_revenue",
-    "q22_dormant_customers",
-    "dedup_clusters",
-    "dedup_incremental",
-    "cdc_chunk_dedup",
-    "bm25_search",
-    "bigram_lm_top",
-    # -- tail: previous (round-5) window order, then r3/r4-fresh entries
-    # in registration order --
-    # r5 window 1-26: round-4 additions (r5 driver rows)
-    "gopher_quality_filter",
-    "dsir_importance_weights",
-    "doc_shingle_novelty",
-    "ann_sq8_rerank_topk",
+    "embedding_redundant_dims",
+    # 14-50: refill with the OLDEST remaining rows: the 45 entries whose
+    #      newest driver row is r5 (everything else holds r7+), in their
+    #      CORRECTNESS_r05 order, minus the three already re-queued in
+    #      the plan-changed block (ann_lsh_recall, ann_hard_negatives,
+    #      hybrid_rrf_retrieval).  37 fit; the five after the cut
+    #      (q20_concentrated_suppliers, dedup_span_exact,
+    #      text_unigram_logprob, curation_funnel_report,
+    #      agg_approx_distinct) lead the next rotation.
     "zorder_layout_extents",
     "stream_windowed_topk",
     "repeated_ngram_mask",
@@ -327,78 +180,28 @@ _FRONT: tuple[str, ...] = (
     "ab_test_welch",
     "bootstrap_ci_poisson",
     "stream_upsert_latest",
-    "ann_hard_negatives",
-    "hybrid_rrf_retrieval",
     "seasonal_residual_outliers",
     "budget_top_p_selection",
     "bigram_surprisal_filter",
     "knn_bfs_reach",
     "embedding_split_drift",
-    # 27-31: the r1-row one-expression wrappers
     "grep",
     "line_count",
     "kv_swap",
     "scalar_functions",
     "date_functions",
-    # 32-36: new round-5 queries
-    "ngram_jaccard_est_recall",
     "equidepth_histogram_approx",
     "quality_calibration_approx",
     "psi_distribution_drift",
     "stratified_fixed_k_sample",
-    # 37-40: algorithm/default changed this round
-    "ann_lsh_recall",
     "kmeans_embeddings",
     "dedup_semantic",
     "dedup_embedding_cosine",
-    # 41-50: oldest remaining rows (r2, in CORRECTNESS_r02 order)
     "dedup_edit_distance",
     "events_gap_fill",
     "q2_min_cost_supplier",
     "q11_important_stock",
     "q16_parts_supplier_diversity",
-    "q20_concentrated_suppliers",
-    "dedup_span_exact",
-    "text_unigram_logprob",
-    "curation_funnel_report",
-    "agg_approx_distinct",
-    # -- tail: remaining r2-row entries oldest-first (lead round 6) --
-    "q4_order_priority",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_profit",
-    "q13_customer_distribution",
-    "q15_top_supplier",
-    "q17_small_quantity_revenue",
-    "q21_waiting_suppliers",
-    "text_repetition_metrics",
-    "decontam_ngram_overlap",
-    "pack_token_shards",
-    "stratified_sample_stats",
-    "source_quality_rollup",
-    "stream_stream_join",
-    "agg_approx_percentile",
-    "window_distribution",
-    "ann_bruteforce_topk",
-    "ann_filtered_topk",
-    "text_token_stats",
-    "text_quality_scores",
-    "text_fingerprints",
-    "text_langid_ngram",
-    "text_tfidf_top_terms",
-    "pipeline_clean_corpus",
-    "sample_hash_split",
-    "text_normalize",
-    "vocab_stats",
-    "mm_decode_stats",
-    "mm_frame_sample",
-    "mm_audio_chunks",
-    "mm_feature_extract",
-    "stream_tumbling_counts",
-    "stream_sliding_counts",
-    "stream_dedup_events",
-    "session_window_stats",
-    "stream_static_join",
 )
 
 

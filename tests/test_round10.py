@@ -1,0 +1,251 @@
+"""Round-10 suites: per-partition ANN top-k pruning (bit-equality +
+plan gates), Arrow PQ assignment ≡ HOF form, LPA convergence gauge +
+modularity hand-truth, BPE merge hand-truth (overlap semantics), and
+the NB quality classifier's calibration table."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mapreduceproject_spark.operators import quality as q
+from mapreduceproject_spark.operators import similarity as sim
+from mapreduceproject_spark.operators import text_analysis as ta
+from mapreduceproject_spark.operators.graph import (
+    community_modularity,
+    label_propagation,
+)
+from mapreduceproject_spark.plans import QUERIES
+from mapreduceproject_spark.sources.catalog import load_table
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+# -- per-partition top-k pruning ----------------------------------------------
+
+
+def test_brute_force_topk_prune_bit_equal(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 4)
+    a = sim.brute_force_topk(
+        emb, qs, "vec_id", "embedding", "vec_id", "embedding", k=5
+    )
+    b = sim.brute_force_topk(
+        emb, qs, "vec_id", "embedding", "vec_id", "embedding", k=5,
+        partial_topk=False,
+    )
+    assert _rows(a) == _rows(b)
+
+
+def test_hard_negative_topk_prune_bit_equal(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "label", (F.col("vec_id") % 3).cast("long")
+    )
+    qs = emb.filter(F.col("vec_id") < 4)
+    args = (emb, qs, "vec_id", "embedding", "label", "vec_id", "embedding", "label")
+    a = sim.hard_negative_topk(*args, k=5)
+    b = sim.hard_negative_topk(*args, k=5, partial_topk=False)
+    assert _rows(a) == _rows(b)
+
+
+def test_ivf_topk_prune_bit_equal(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 4)
+    args = (emb, qs, "vec_id", "embedding", "vec_id", "embedding")
+    a = sim.ivf_topk(*args, num_centroids=16, nprobe=4, k=5)
+    b = sim.ivf_topk(*args, num_centroids=16, nprobe=4, k=5, partial_topk=False)
+    assert _rows(a) == _rows(b)
+
+
+def test_pq_topk_prune_bit_equal(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 4)
+    args = (emb, qs, "vec_id", "embedding", "vec_id", "embedding")
+    a = sim.pq_topk(*args, dim=64, k=5)
+    b = sim.pq_topk(*args, dim=64, k=5, partial_topk=False)
+    assert _rows(a) == _rows(b)
+
+
+def test_ann_final_window_input_pruned(spark, sf_dir):
+    # plan gate (round-9 verdict #3): the per-query rank window's input
+    # must be the per-partition top-k kernel's output (≤ P·k·NQ rows),
+    # never the raw n·NQ scored stream.  In the physical tree the
+    # Window is the PARENT of the pruning MapInPandas, so it prints
+    # first.
+    for name in ("ann_bruteforce_topk", "ann_pq_topk", "ann_hard_negatives"):
+        if name not in QUERIES:
+            continue
+        plan = _plan(QUERIES[name](spark, sf_dir))
+        assert "MapInPandas" in plan, name
+        assert "Window" in plan, name
+        assert plan.index("Window") < plan.index("MapInPandas"), name
+
+
+def test_partition_topk_prune_keeps_per_key_duplicates_straight(spark):
+    # two keys interleaved across partitions; ties on the order column
+    # resolved by the tie column — global result must match the plain
+    # window cut regardless of partitioning
+    rows = [
+        (k, float(v % 3), k * 100 + v) for k in (1, 2) for v in range(40)
+    ]
+    df = spark.createDataFrame(rows, "qid int, score double, nid long").repartition(7)
+    pruned = sim.partition_topk_prune(df, "qid", "score", "nid", 4)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("nid"))
+    expect = (
+        df.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 4)
+        .drop("rn")
+    )
+    got = (
+        pruned.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 4)
+        .drop("rn")
+    )
+    assert _rows(got) == _rows(expect)
+
+
+# -- Arrow PQ assignment -------------------------------------------------------
+
+
+def test_pq_assign_arrow_equals_hof(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 4)
+    args = (emb, qs, "vec_id", "embedding", "vec_id", "embedding")
+    a = sim.pq_topk(*args, dim=64, k=5, assign="arrow")
+    b = sim.pq_topk(*args, dim=64, k=5, assign="hof")
+    assert _rows(a) == _rows(b)
+
+
+def test_pq_codebooks_arrow_equals_hof(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = sim.pq_codebooks(emb, "vec_id", "embedding", 64, assign="arrow")
+    b = sim.pq_codebooks(emb, "vec_id", "embedding", 64, assign="hof")
+    assert _rows(a.select("m", "cid", F.to_json("cq"))) == _rows(
+        b.select("m", "cid", F.to_json("cq"))
+    )
+
+
+# -- LPA gauges ----------------------------------------------------------------
+
+
+def test_lpa_labels_changed_observation(spark):
+    # barbell: two triangles joined by one bridge edge.  Round 1 settles
+    # each triangle onto its lowest id (and the bridge pulls 3 toward
+    # 0's side exactly once); later rounds go quiet — the observed
+    # labels-changed sequence must be in-band, monotone to zero, and
+    # zero in the final round (converged within the fixed budget).
+    nodes = spark.createDataFrame([(i,) for i in range(6)], "vid long")
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (0, 2), (3, 4), (4, 5), (3, 5), (2, 3)],
+        "src long, dst long",
+    )
+    info: dict = {}
+    labels = label_propagation(nodes, edges, "vid", rounds=3, plan_info=info)
+    labels.collect()
+    obs = info["lpa_labels_changed"]
+    assert len(obs) == 3
+    changed = [o.get["labels_changed"] for o in obs]
+    assert changed[0] > 0
+    assert changed[-1] == 0
+    # the density contract: the bridge must NOT merge the two triangles
+    comms = {r["vid"]: r["community"] for r in labels.collect()}
+    assert comms[0] == comms[1] == comms[2]
+    assert comms[3] == comms[4] == comms[5]
+    assert comms[0] != comms[5]
+
+
+def test_community_modularity_hand_truth(spark):
+    # two disjoint triangles, perfect 2-community split:
+    # M2 = 12, W = 12, deg_c = 6 each ->
+    # Q = (12*12 - 2*36) / 144 = 0.5 exactly
+    labels = spark.createDataFrame(
+        [(0, 0), (1, 0), (2, 0), (3, 3), (4, 3), (5, 3)], "vid long, community long"
+    )
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (0, 2), (3, 4), (4, 5), (3, 5)], "src long, dst long"
+    )
+    row = community_modularity(labels, edges, "vid").collect()[0]
+    assert row["n_vertices"] == 6
+    assert row["n_communities"] == 2
+    assert row["n_edges_und"] == 12
+    assert row["modularity"] == 0.5
+
+
+def test_community_modularity_single_community_is_zero(spark):
+    # everything in one community: Q = (W*M2 - M2^2)/M2^2 = 0 when the
+    # graph is fully within-community
+    labels = spark.createDataFrame([(i, 7) for i in range(4)], "vid long, community long")
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 0)], "src long, dst long"
+    )
+    row = community_modularity(labels, edges, "vid").collect()[0]
+    assert row["modularity"] == 0.0
+
+
+# -- BPE merges ----------------------------------------------------------------
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+
+
+def test_bpe_merge_hand_truth(spark):
+    # tokens: 'aaa' x2, 'ab' x3
+    # r1 pairs: (a,a) 2x2=4, (a,b) 3 -> merge (a,a); greedy: aaa -> [aa,a]
+    # r2 pairs: (aa,a) 2, (a,b) 3 -> merge (a,b)
+    # r3 pairs: (aa,a) 2 -> merge (aa,a)
+    out = ta.bpe_merge_table(_docs(spark, ["aaa aaa", "ab ab ab"]), "text")
+    assert _rows(out) == [
+        (1, "a", "a", 4),
+        (2, "a", "b", 3),
+        (3, "aa", "a", 2),
+    ]
+
+
+def test_bpe_merge_overlap_both_occurrences_merge(spark):
+    # 'abab' x3: r1 (a,b) 6 vs (b,a) 3 -> merge (a,b); BOTH occurrences
+    # must merge in one pass ([a,b,a,b] -> [ab,ab]), so r2 sees
+    # (ab,ab) 3.  r3 has no pairs left -> only 2 merge rows.
+    out = ta.bpe_merge_table(_docs(spark, ["abab abab abab"]), "text")
+    assert _rows(out) == [
+        (1, "a", "b", 6),
+        (2, "ab", "ab", 3),
+    ]
+
+
+def test_bpe_merge_tie_breaks_lexicographic(spark):
+    # 'xy' and 'xz' once each: both pairs count 1 -> (x,y) wins the tie
+    out = ta.bpe_merge_table(_docs(spark, ["xy xz"]), "text", rounds=1)
+    assert _rows(out) == [(1, "x", "y", 1)]
+
+
+# -- NB quality classifier ------------------------------------------------------
+
+
+def test_nb_quality_calibration_table(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    sc = q.nb_quality_scores(docs, "doc_id", "text", ta.STOPWORDS)
+    cal = (
+        sc.groupBy("teacher_kept")
+        .agg(
+            F.count("*").alias("n"),
+            (F.sum("llr_micro") / F.sum("n_tokens")).alias("mean_llr_per_tok"),
+        )
+        .collect()
+    )
+    by_label = {r["teacher_kept"]: r for r in cal}
+    # both classes must exist at sf0.001 and the learned score must
+    # separate them in the teacher's direction (kept docs score higher
+    # per token than dropped docs) — the calibration table the verdict
+    # asked the pytest to pin
+    assert set(by_label) == {True, False}
+    assert (
+        by_label[True]["mean_llr_per_tok"] > by_label[False]["mean_llr_per_tok"]
+    )
