@@ -1410,7 +1410,9 @@ def pq_topk(
     m_sub-int code array per vector; scoring BROADCASTS the per-query
     LUTs (NQ·m_sub·k_code longs) over the code table and computes each
     of the n·NQ scores as m_sub codegen array lookups — zero shuffle
-    until the per-query top-k window.  Determinism: every LUT entry is
+    until the per-query top-k window, whose input is pre-pruned to
+    ≤ P·k·NQ rows by :func:`partition_topk_prune` (round 10; the NQ-task
+    full sort SCALING.md flagged is retired).  Determinism: every LUT entry is
     an exact integer dot of quantized vectors; the single double division
     happens once per output row; ties break on neighbor_id.
 
