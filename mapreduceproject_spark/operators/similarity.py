@@ -320,6 +320,7 @@ def hyperplane_lsh_topk(
     k: int = 5,
     num_tables: int = 1,
     probe_bits: int = 1,
+    partial_topk: bool = True,
 ) -> DataFrame:
     """Random-hyperplane LSH top-k: candidates share the query's signature
     bucket or any ≤``probe_bits``-bit-flip neighbor (multi-probe), then
@@ -415,6 +416,8 @@ def hyperplane_lsh_topk(
     # within one table no dedup is needed: the probe masks are distinct,
     # so the probed buckets are distinct and a corpus vector's single
     # signature matches at most one probe per query
+    if partial_topk:
+        cand = partition_topk_prune(cand, "query_id", "cosine", "neighbor_id", k)
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
         cand.withColumn("rank", F.row_number().over(w))
@@ -488,7 +491,11 @@ def partition_topk_prune(
     Arrow cost, honestly: the scored rows cross the Python boundary once
     (3-4 narrow columns, batched) — at n·NQ = 40M that is seconds spread
     over every core, versus an NQ-way sort of the same rows through one
-    exchange.  Payload columns beyond (key, order, tie) pass through
+    exchange.  Precondition: key cardinality must be bounded (the ANN
+    contract's broadcast-small query set) — the kernel's running state
+    is keys·k rows per partition, so a corpus-scaled key column would
+    hold keys·k rows in pandas memory per task; use a plain window for
+    that shape.  Payload columns beyond (key, order, tie) pass through
     untouched (hard-negative labels ride along).
     """
     schema = scored.schema
@@ -718,6 +725,7 @@ def sq8_rerank_topk(
     dim: int,
     k: int = 5,
     rerank_factor: int = 4,
+    narrow_rerank: bool = True,
 ) -> DataFrame:
     """Scalar-quantized (SQ8) ANN with exact rerank.
 
@@ -732,11 +740,23 @@ def sq8_rerank_topk(
     agg expressions — no explode, no per-dim shuffle rows), the 1-row
     stats frame broadcasts into the coding projection, candidate scoring
     is an embarrassingly-parallel broadcast crossJoin (queries are the
-    small side), and the only shuffles are the two per-query window
-    top-Ns.  Determinism: code construction uses the same IEEE double
-    expression tree as the DuckDB oracle, so codes — and therefore
-    candidate sets — are bit-identical; the rerank reuses the
-    quantized-integer cosine every other ANN query pins.
+    small side).  With ``narrow_rerank`` (default, round 10) the
+    adot candidate cut runs on NARROW (query_id, neighbor_id, adot)
+    rows — per-partition pruned to ≤ P·rf·k by
+    :func:`partition_topk_prune`, then the residual window — and the
+    ≤ NQ·rf·k surviving ids broadcast back onto the coded table to fetch
+    vectors for the exact rerank.  The retired shape dragged BOTH
+    quantized vector arrays of every scored pair through the NQ-task
+    adot sort (n·NQ array-carrying rows into one window exchange — the
+    heaviest remaining ANN window after the round-10 pruning pass);
+    the rejoin costs one extra broadcast-join scan of the persisted
+    coded table, a linear pass with no shuffle.  Determinism: code
+    construction uses the same IEEE double expression tree as the DuckDB
+    oracle, so codes — and therefore candidate sets — are bit-identical;
+    the adot cut keeps its (adot DESC, neighbor_id ASC) total order; the
+    rerank reuses the quantized-integer cosine every other ANN query
+    pins.  ``narrow_rerank=False`` keeps the retired shape as the pytest
+    equality baseline.
     """
     e = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     stats = F.broadcast(
@@ -782,14 +802,7 @@ def sq8_rerank_topk(
         )
 
     cc = coded(corpus, id_col, vec_col, "neighbor_id")
-    qc = F.broadcast(
-        coded(queries, query_id_col, query_vec_col, "query_id").select(
-            "query_id",
-            F.col("_q").alias("_qq"),
-            F.col("_n2").alias("_qn2"),
-            F.col("_c").alias("_qc"),
-        )
-    )
+    qfull = coded(queries, query_id_col, query_vec_col, "query_id")
     adot = F.aggregate(
         F.zip_with(F.col("_qc"), F.col("_c"), lambda x, y: x * y),
         F.lit(0).cast("long"),
@@ -798,13 +811,53 @@ def sq8_rerank_topk(
     wa = Window.partitionBy("query_id").orderBy(
         F.desc("adot"), F.asc("neighbor_id")
     )
-    cand = (
-        cc.crossJoin(qc)
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "_qq", "_qn2", "neighbor_id", "_q", "_n2", adot.alias("adot"))
-        .withColumn("rn", F.row_number().over(wa))
-        .filter(F.col("rn") <= rerank_factor * k)
-    )
+    if narrow_rerank:
+        qcodes = F.broadcast(
+            qfull.select("query_id", F.col("_c").alias("_qc"))
+        )
+        narrow = (
+            cc.crossJoin(qcodes)
+            .filter(F.col("neighbor_id") != F.col("query_id"))
+            .select("query_id", "neighbor_id", adot.alias("adot"))
+        )
+        narrow = partition_topk_prune(
+            narrow, "query_id", "adot", "neighbor_id", rerank_factor * k
+        )
+        cand_ids = (
+            narrow.withColumn("rn", F.row_number().over(wa))
+            .filter(F.col("rn") <= rerank_factor * k)
+            .select("query_id", "neighbor_id")
+        )
+        cand = (
+            F.broadcast(cand_ids)
+            .join(cc.select("neighbor_id", "_q", "_n2"), "neighbor_id")
+            .join(
+                F.broadcast(
+                    qfull.select(
+                        "query_id",
+                        F.col("_q").alias("_qq"),
+                        F.col("_n2").alias("_qn2"),
+                    )
+                ),
+                "query_id",
+            )
+        )
+    else:
+        qc = F.broadcast(
+            qfull.select(
+                "query_id",
+                F.col("_q").alias("_qq"),
+                F.col("_n2").alias("_qn2"),
+                F.col("_c").alias("_qc"),
+            )
+        )
+        cand = (
+            cc.crossJoin(qc)
+            .filter(F.col("neighbor_id") != F.col("query_id"))
+            .select("query_id", "_qq", "_qn2", "neighbor_id", "_q", "_n2", adot.alias("adot"))
+            .withColumn("rn", F.row_number().over(wa))
+            .filter(F.col("rn") <= rerank_factor * k)
+        )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
         cand.select(

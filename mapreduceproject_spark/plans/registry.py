@@ -157,14 +157,25 @@ _FRONT: tuple[str, ...] = (
     "ann_pq_recall",
     "knn_label_communities",
     "embedding_redundant_dims",
-    # 14-50: refill with the OLDEST remaining rows: the 45 entries whose
+    # 14-16: plan changed (round-10 second wave): sq8's adot candidate
+    #      cut moved to narrow pruned rows + broadcast vector rejoin
+    #      (narrow_rerank); hyperplane and filtered ANN gained the same
+    #      per-partition prune before their rank windows.  Bit-identical
+    #      (pytest equality baselines kept behind flags).
+    "ann_sq8_rerank_topk",
+    "ann_filtered_topk",
+    "ann_hyperplane_topk",
+    # 17-50: refill with the OLDEST remaining rows: the 45 entries whose
     #      newest driver row is r5 (everything else holds r7+), in their
     #      CORRECTNESS_r05 order, minus the three already re-queued in
     #      the plan-changed block (ann_lsh_recall, ann_hard_negatives,
-    #      hybrid_rrf_retrieval).  37 fit; the five after the cut
-    #      (q20_concentrated_suppliers, dedup_span_exact,
-    #      text_unigram_logprob, curation_funnel_report,
-    #      agg_approx_distinct) lead the next rotation.
+    #      hybrid_rrf_retrieval).  34 fit; the eight after the cut
+    #      (q2_min_cost_supplier, q11_important_stock,
+    #      q16_parts_supplier_diversity, q20_concentrated_suppliers,
+    #      dedup_span_exact, text_unigram_logprob,
+    #      curation_funnel_report, agg_approx_distinct) lead the
+    #      next rotation (three were displaced by the second-wave
+    #      plan-changed block).
     "zorder_layout_extents",
     "stream_windowed_topk",
     "repeated_ngram_mask",
@@ -199,9 +210,6 @@ _FRONT: tuple[str, ...] = (
     "dedup_embedding_cosine",
     "dedup_edit_distance",
     "events_gap_fill",
-    "q2_min_cost_supplier",
-    "q11_important_stock",
-    "q16_parts_supplier_diversity",
 )
 
 

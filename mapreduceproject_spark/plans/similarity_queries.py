@@ -170,6 +170,9 @@ def ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cosine"),
         )
     )
+    # per-partition top-k prune before the per-query rank window (the
+    # round-10 ANN discipline — operators/similarity.py)
+    scored = sim.partition_topk_prune(scored, "query_id", "cosine", "neighbor_id", TOP_K)
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rnk", F.row_number().over(w))

@@ -249,3 +249,38 @@ def test_nb_quality_calibration_table(spark, sf_dir):
     assert (
         by_label[True]["mean_llr_per_tok"] > by_label[False]["mean_llr_per_tok"]
     )
+
+
+# -- second wave: sq8 narrow rerank + hyperplane/filtered pruning --------------
+
+
+def test_sq8_narrow_rerank_bit_equal(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 4)
+    args = (emb, qs, "vec_id", "embedding", "vec_id", "embedding")
+    a = sim.sq8_rerank_topk(*args, dim=64, k=5)
+    b = sim.sq8_rerank_topk(*args, dim=64, k=5, narrow_rerank=False)
+    assert _rows(a) == _rows(b)
+
+
+def test_hyperplane_topk_prune_bit_equal(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 4)
+    args = (emb, qs, "vec_id", "embedding", "vec_id", "embedding")
+    # num_tables=2 exercises the cross-table max-collapse before the cut
+    a = sim.hyperplane_lsh_topk(*args, num_bits=6, k=5, num_tables=2, probe_bits=1)
+    b = sim.hyperplane_lsh_topk(
+        *args, num_bits=6, k=5, num_tables=2, probe_bits=1, partial_topk=False
+    )
+    assert _rows(a) == _rows(b)
+
+
+def test_second_wave_final_windows_pruned(spark, sf_dir):
+    # same gate as test_ann_final_window_input_pruned, extended to the
+    # three remaining ANN windows (sq8's heaviest window — the adot cut —
+    # now runs on narrow pruned rows; filtered and hyperplane prune
+    # before their rank windows)
+    for name in ("ann_sq8_rerank_topk", "ann_filtered_topk", "ann_hyperplane_topk"):
+        plan = _plan(QUERIES[name](spark, sf_dir))
+        assert "MapInPandas" in plan, name
+        assert plan.index("Window") < plan.index("MapInPandas"), name
