@@ -544,6 +544,16 @@ NGRAM_SCRATCH_FLOOR_BYTES = 4 << 30
 # this is <1 GB/node across 100 executors.
 NGRAM_LIGHT_SCRATCH_BYTES_PER_CHAR = 48
 
+# How much MORE than the 48 B/char light model an UNSTAGED sharded pass
+# can peak on disk: one job keeps every exchange's shuffle files alive
+# simultaneously and the per-doc array collect pays an external-sort
+# spill on top (round-8 measurement: ~170 B/gram in that sort alone —
+# ~3.5× the model; rounded up).  The adaptive staging decision in
+# _ngram_jaccard_prefix_sharded compares THIS amplified estimate to the
+# scratch budget; the sub-job split it enables is exactly what brings a
+# staged pass back down to the bare model.
+NGRAM_UNSTAGED_PEAK_FACTOR = 4
+
 
 # Doc-sharding pass-count ceiling: S shards cost S + S(S-1)/2 passes and
 # ~S× the single-pass compute, so past this the right tool is a cluster
@@ -1043,10 +1053,13 @@ def _ngram_jaccard_prefix_sharded(
     pass (hot-df stage job, 4 chunked array-build jobs, candidate-set
     materialization — ~3 parquet round-trips/pass on top of the pass
     union write) exists to cap the DISK peak when a pass's ~48 B/char
-    scratch threatens the volume; when the estimated per-pass need
-    (2/S·chars·48) clears both the {NGRAM_SCRATCH_FLOOR_BYTES>>30} GiB
-    floor and ``scratch_headroom`` of free scratch space, each pass runs
-    as ONE job with an in-memory persist instead.  Motivation is
+    scratch threatens the volume; when the estimated UNSTAGED peak —
+    the per-pass light model (2/S·chars·48 B) amplified by
+    ``NGRAM_UNSTAGED_PEAK_FACTOR`` (one job holds every exchange's
+    shuffle files at once plus the collect's external-sort spill) —
+    clears both the {NGRAM_SCRATCH_FLOOR_BYTES>>30} GiB floor and
+    ``scratch_headroom`` of free scratch space, each pass runs as ONE
+    job with an in-memory persist instead.  Motivation is
     measured, not stylistic: the staged form's wall-clock TRIPLED on a
     host reboot (r8 fold 15.6-22.8 s vs 44-70 s post-reboot,
     measurements/{{sharded_host_drift_r09,ab_sharded_r10}}.json — the
@@ -1099,12 +1112,22 @@ def _ngram_jaccard_prefix_sharded(
     ]
     # adaptive staging decision: one cheap length-column scan + a free-
     # space probe (the same policy inputs ngram_jaccard_dedup's auto
-    # resolver reads) — never data to the driver
+    # resolver reads) — never data to the driver.  The comparison uses
+    # the UNSTAGED peak, which is ~4× the 48 B/char light model: an
+    # unstaged pass keeps every exchange's shuffle files alive until the
+    # job ends AND pays the array collect's external-sort spill
+    # (measured ~170 B/gram in round 8 — the quarter-corpus pass that
+    # overflowed the volume inside its first sub-job).  The sub-job
+    # split is what makes the 48 B model valid, so the decision must be
+    # made against the amplified estimate; comparing the bare model to
+    # the budget would NEVER stage (shards are chosen so the bare
+    # per-pass model fits the budget by construction).
     est_chars = int(base.agg(F.sum(F.col("_len").cast("long"))).first()[0] or 0)
     free = shutil.disk_usage(local_dir).free
     per_pass_need = (2 * est_chars // shards) * NGRAM_LIGHT_SCRATCH_BYTES_PER_CHAR
-    stage_passes = per_pass_need > NGRAM_SCRATCH_FLOOR_BYTES and (
-        per_pass_need > free * scratch_headroom
+    unstaged_peak = per_pass_need * NGRAM_UNSTAGED_PEAK_FACTOR
+    stage_passes = unstaged_peak > NGRAM_SCRATCH_FLOOR_BYTES and (
+        unstaged_peak > free * scratch_headroom
     )
     if plan_info is not None:
         plan_info.update(
