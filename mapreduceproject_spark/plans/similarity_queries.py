@@ -1318,6 +1318,12 @@ def knn_community_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    edges = knn_edges_ivf(emb, "vec_id", "embedding", num_centroids="auto", k=PR_K)
+    # checkpoint the kNN edge build ONCE: both consumers (LPA's
+    # symmetrized closure and the modularity joins) otherwise replay the
+    # full IVF edge pipeline from the scan — the bfs_hops shared-input
+    # rule
+    edges = knn_edges_ivf(
+        emb, "vec_id", "embedding", num_centroids="auto", k=PR_K
+    ).localCheckpoint(eager=False)
     labels = label_propagation(emb, edges, "vec_id", rounds=LPA_ROUNDS)
     return community_modularity(labels, edges, "vec_id")
