@@ -1,0 +1,38 @@
+"""Dump .explain('formatted') for registry queries to plans/r10/ files.
+
+Usage: python scripts/explain_dump.py name1,name2,... suffix [sf_dir]
+
+Writes plans/r10/<name>_<suffix>.txt per query (suffix: before|after).
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def main() -> None:
+    names = [n for n in sys.argv[1].split(",") if n]
+    suffix = sys.argv[2]
+    sf_dir = sys.argv[3] if len(sys.argv) > 3 else "/root/testdata/sf0.1"
+
+    from mapreduceproject_spark import plans
+    from mapreduceproject_spark.session import get_spark
+
+    out_dir = Path(__file__).resolve().parent.parent / "plans" / "r10"
+    out_dir.mkdir(parents=True, exist_ok=True)
+    spark = get_spark(app_name="explain_dump")
+    for name in names:
+        df = plans.QUERIES[name](spark, sf_dir)
+        txt = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+        (out_dir / f"{name}_{suffix}.txt").write_text(txt)
+        print(f"wrote plans/r10/{name}_{suffix}.txt ({len(txt)} chars)", flush=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
