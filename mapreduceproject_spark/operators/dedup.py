@@ -1134,7 +1134,7 @@ def _ngram_jaccard_prefix_sharded(
             pass_staging=stage_passes,
             per_pass_scratch_est_bytes=per_pass_need,
         )
-    for p, (i, j) in enumerate(passes):
+    def _build_pass(p: int, i: int, j: int):
         sub = tagged.filter(F.col("_shard").isin([i, j]))
         grams = (
             char_ngram_rows(sub, F.lower(F.col("_txt")), n, keep=["_id"])
@@ -1147,7 +1147,7 @@ def _ngram_jaccard_prefix_sharded(
         # of all of them (see _stage_materialize / the round-8 fix note);
         # engaged only when the per-pass scratch model says the volume
         # is actually at risk (adaptive staging, docstring above)
-        stage_dir = f"{out_dir}-stage" if stage_passes else None
+        stage_dir = f"{out_dir}-stage-p{p}" if stage_passes else None
         pass_stats: dict = {}
         pass_persists: list = []
         res = _ngram_jaccard_prefix_light(
@@ -1169,7 +1169,22 @@ def _ngram_jaccard_prefix_sharded(
                 F.pmod(F.xxhash64(F.col("id_a")), F.lit(shards))
                 != F.pmod(F.xxhash64(F.col("id_b")), F.lit(shards))
             )
-        if p == 0 and "candidate_pairs" in pass_stats:
+        return res, pass_stats, pass_persists, stage_dir
+
+    def _finish_pass(p: int, res, pass_persists, stage_dir) -> None:
+        # one result dir per pass (overwrite = idempotent), so passes can
+        # run concurrently without racing one directory's _temporary area
+        res.write.mode("overwrite").parquet(os.path.join(out_dir, f"p{p}"))
+        for frame in pass_persists:
+            frame.unpersist()
+        if stage_dir is not None:
+            shutil.rmtree(stage_dir, ignore_errors=True)
+
+    # --- pass 0 always runs alone: its candidate-mass checkpoint must be
+    # able to abort (mass_policy="triage") BEFORE any other pass's verify
+    # join is scheduled, and its loss observation must attach cleanly
+    p0_res, pass_stats, p0_persists, p0_stage = _build_pass(0, *passes[0])
+    if "candidate_pairs" in pass_stats:
             # CANDIDATE-MASS CHECKPOINT (round 8, no-silent-caps): the
             # diagonal pass covers 1/S^2 of the pair space, so its
             # measured candidate count extrapolates the whole job's
@@ -1186,54 +1201,81 @@ def _ngram_jaccard_prefix_sharded(
             # here — before res.write schedules pass 0's verify join
             # over those candidates — warns before the most expensive
             # stage of the pass, not after it has already been paid.
-            est_total = pass_stats["candidate_pairs"] * shards * shards
-            if plan_info is not None:
-                plan_info.update(
-                    pass0_candidate_pairs=pass_stats["candidate_pairs"],
-                    est_total_candidate_pairs=est_total,
-                )
-            if est_total > mass_ceiling and mass_policy == "triage":
-                # the caller opted into bounded-cost routing: abandon the
-                # exact sharded run HERE — before pass 0's verify join
-                # is ever scheduled — clean the scratch, and let the
-                # driver re-route to char-minhash triage + exact verify
-                for frame in pass_persists:
-                    frame.unpersist()
-                if stage_dir is not None:
-                    shutil.rmtree(stage_dir, ignore_errors=True)
-                shutil.rmtree(out_dir, ignore_errors=True)
-                raise _CandidateMassEscalation(
-                    pass_stats["candidate_pairs"], est_total
-                )
-            if est_total > mass_ceiling:
-                print(
-                    f"# ngram_jaccard_dedup[sharded]: pass 0 verified-"
-                    f"candidate count {pass_stats['candidate_pairs']:,} "
-                    f"implies ~{est_total:,} total - exact verification "
-                    f"at this duplication density is cluster-scale work "
-                    f"on any plan; consider est_candidates triage or "
-                    f"minhash/simhash first (proceeding as asked; "
-                    f"machine-readable via plan_info)"
-                )
-        res.write.mode("append").parquet(out_dir)
-        # finished-pass shuffle files are freed by ContextCleaner once
-        # their RDDs are GC'd — nudge both collectors so pass p's scratch
-        # is gone before pass p+1 peaks, keeping the (2/S) bound real;
-        # the stage dir's parquet scratch is deleted outright and
-        # unstaged passes drop their in-memory persists
-        for frame in pass_persists:
-            frame.unpersist()
-        del res, grams, sub
+        est_total = pass_stats["candidate_pairs"] * shards * shards
+        if plan_info is not None:
+            plan_info.update(
+                pass0_candidate_pairs=pass_stats["candidate_pairs"],
+                est_total_candidate_pairs=est_total,
+            )
+        if est_total > mass_ceiling and mass_policy == "triage":
+            # the caller opted into bounded-cost routing: abandon the
+            # exact sharded run HERE — before pass 0's verify join
+            # is ever scheduled — clean the scratch, and let the
+            # driver re-route to char-minhash triage + exact verify
+            for frame in p0_persists:
+                frame.unpersist()
+            if p0_stage is not None:
+                shutil.rmtree(p0_stage, ignore_errors=True)
+            shutil.rmtree(out_dir, ignore_errors=True)
+            raise _CandidateMassEscalation(
+                pass_stats["candidate_pairs"], est_total
+            )
+        if est_total > mass_ceiling:
+            print(
+                f"# ngram_jaccard_dedup[sharded]: pass 0 verified-"
+                f"candidate count {pass_stats['candidate_pairs']:,} "
+                f"implies ~{est_total:,} total - exact verification "
+                f"at this duplication density is cluster-scale work "
+                f"on any plan; consider est_candidates triage or "
+                f"minhash/simhash first (proceeding as asked; "
+                f"machine-readable via plan_info)"
+            )
+    _finish_pass(0, p0_res, p0_persists, p0_stage)
+    del p0_res
+    # --- remaining passes.  Staged (disk-constrained) mode keeps them
+    # STRICTLY SEQUENTIAL with a full GC nudge between passes — finished-
+    # pass shuffle files must be ContextCleaner-collected before the next
+    # pass peaks or the (2/S) scratch bound is fiction.  Unstaged mode
+    # (the model says scratch fits with headroom) runs up to 3 passes as
+    # concurrent jobs from a small thread pool instead (guide §2.6): the
+    # passes are independent, so the next pass's tasks back-fill cores
+    # freed by the current pass's straggler tail — measured 23.4 s → see
+    # OPTIMIZATION_r10.md — and the per-pass System.gc() pause (which
+    # exists only to keep the disk bound real) is skipped for the same
+    # reason it is safe to overlap: scratch is not the binding resource.
+    rest = list(enumerate(passes))[1:]
+    if stage_passes:
+        for p, (i, j) in rest:
+            res, _, persists, sdir = _build_pass(p, i, j)
+            _finish_pass(p, res, persists, sdir)
+            del res
+            gc.collect()
+            spark._jvm.System.gc()
+    elif rest:
+        from concurrent.futures import ThreadPoolExecutor
+
+        def _run(pij):
+            p, (i, j) = pij
+            res, _, persists, sdir = _build_pass(p, i, j)
+            _finish_pass(p, res, persists, sdir)
+
+        with ThreadPoolExecutor(max_workers=min(3, len(rest))) as pool:
+            # list() propagates the first worker exception, if any
+            list(pool.map(_run, rest))
         gc.collect()
-        spark._jvm.System.gc()
-        if stage_dir is not None:
-            shutil.rmtree(stage_dir, ignore_errors=True)
     # a fully duplicate-free corpus can leave zero part files (every pass
     # empty) — return the typed empty frame instead of a schema-inference
     # error; out_dir is on spark.local.dir, driver-local by definition
-    has_parts = os.path.isdir(out_dir) and any(
-        name.endswith(".parquet") for name in os.listdir(out_dir)
-    )
+    pass_dirs = [
+        os.path.join(out_dir, f"p{p}") for p in range(len(passes))
+    ]
+    live_dirs = [
+        d
+        for d in pass_dirs
+        if os.path.isdir(d)
+        and any(name.endswith(".parquet") for name in os.listdir(d))
+    ]
+    has_parts = bool(live_dirs)
     if not has_parts:
         from pyspark.sql.types import DoubleType, StructField, StructType
 
@@ -1248,7 +1290,7 @@ def _ngram_jaccard_prefix_sharded(
                 ]
             ),
         )
-    return spark.read.parquet(out_dir)
+    return spark.read.parquet(*live_dirs)
 
 
 def _ngram_jaccard_wordshingle_verify(
@@ -1485,6 +1527,7 @@ def ngram_jaccard_dedup(
     # partitioning.
     meta = base.select("_id", *[F.col(c) for c in block_cols], "_len")
     resolved_shards = shards
+    auto_fits = False  # set when "auto" reroutes exact→prefix-light (scratch fits)
     if scratch_policy == "auto" or (scratch_policy == "sharded" and shards is None):
         import shutil
 
@@ -1556,6 +1599,21 @@ def ngram_jaccard_dedup(
                     f"{est_candidates!r} fallback (machine-readable via "
                     f"plan_info/loss_observation)"
                 )
+            elif mode == "exact" and est_candidates == "prefix":
+                # round-10 optimization (guide §2.4, remove shuffles
+                # outright): prefix-light is EXACT — same PPJoin prefix
+                # theorem, output bit-identical to the window path
+                # (pytest-pinned, and ngram_jaccard_est_recall re-earns
+                # it every round) — with ONE gram-stream groupBy where
+                # the window path pays two full gram-stream sorts (df
+                # window over h + rank window over _id).  Measured 2.1×
+                # at sf0.1 (exact-window min 10.8 s vs prefix-light
+                # 5.1 s same-session).  "auto" therefore prefers it
+                # whenever the caller didn't pin a policy; the window
+                # path stays reachable via scratch_policy="exact" (the
+                # recall gauges' independently-structured truth side).
+                mode = "estimate"
+                auto_fits = True
     else:
         mode = _ngram_scratch_mode(scratch_policy, 0, 0)
         light_exceeds = False
@@ -1644,10 +1702,15 @@ def ngram_jaccard_dedup(
             shards=None,
         )
     if mode == "estimate":
-        # NOT persisted here: the fallback consumes grams exactly once
-        # (its single arrs groupBy); caching the corpus-sized gram
-        # stream would re-create memory/disk pressure on precisely the
-        # scratch-constrained path
+        # NOT persisted on the scratch-constrained path: the fallback
+        # consumes grams once per branch and caching the corpus-sized
+        # gram stream would re-create memory/disk pressure exactly where
+        # it matters.  When "auto" rerouted here with scratch to spare
+        # (auto_fits), persist: prefix-light reads grams twice (hot-df
+        # branch + array-collect branch) and the persist halves the
+        # shingle+distinct work (guide §5: reuse justifies the cache).
+        if auto_fits:
+            grams = grams.persist()
         if est_candidates == "prefix":
             return _ngram_jaccard_prefix_light(
                 grams,
@@ -1840,6 +1903,11 @@ def ngram_containment_dedup(
         char_ngram_rows(base, F.lower(F.col("_txt")), n, keep=["_id"])
         .select("_id", hash60(F.col("g")).alias("h"))
         .distinct()
+        # consumed by TWO subtrees (hot-df groupBy and the array collect);
+        # persisting halves the scan+shingle+distinct work (guide §5 —
+        # this operator persists the larger arrs table anyway, so the
+        # gram stream is not the memory ceiling)
+        .persist()
     )
     d = grams.groupBy("h").count()
     hot = d.filter(F.col("count") >= 2).orderBy(
