@@ -89,7 +89,16 @@ def shingle_hashes(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> Dat
             keep=["_id"],
         )
         .select("_id", hash60(F.col("sh")).alias("h"))
-        .distinct()
+        # repartition on _id so the distinct AND every downstream
+        # id-keyed consumer (minhash_signatures' groupBy, verify_jaccard's
+        # sizes aggregate) share ONE exchange: hashpartitioning(_id)
+        # satisfies the distinct's clustering requirement because _id is
+        # part of its key, and the persisted frame keeps the partitioning
+        # (guide §2.4 — two operations keyed the same way share one
+        # exchange).  The old distinct-then-groupBy shape exchanged the
+        # shingle stream twice in every minhash-family query.
+        .repartition(F.col("_id"))
+        .dropDuplicates(["_id", "h"])
     )
 
 
@@ -373,7 +382,12 @@ def simhash_signature(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """
     # hash BEFORE distinct: matches the oracle's SELECT DISTINCT id,
     # hash60(t), hash60(salt||t) exactly, and the dedup shuffle carries
-    # 8-byte longs instead of token strings
+    # 8-byte longs instead of token strings.  The explicit repartition on
+    # _id lets the distinct AND the 64-vote groupBy share ONE exchange
+    # (guide §2.4: hashpartitioning(_id) satisfies both aggregates'
+    # clustering requirement since _id is a prefix of the distinct key) —
+    # the previous shape exchanged the token stream twice (once on
+    # (_id,h1,h2) for the distinct, once on _id for the votes).
     tok = (
         df.select(F.col(id_col).alias("_id"), F.explode(tokens(F.col(text_col))).alias("t"))
         .select(
@@ -381,7 +395,8 @@ def simhash_signature(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             hash60(F.col("t")).alias("h1"),
             hash60(F.concat(F.lit(SIMHASH_HI_SALT), F.col("t"))).alias("h2"),
         )
-        .distinct()
+        .repartition(F.col("_id"))
+        .dropDuplicates(["_id", "h1", "h2"])
     )
     half = SIMHASH_BITS // 2
     votes = tok.groupBy("_id").agg(

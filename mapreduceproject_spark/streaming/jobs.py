@@ -769,8 +769,24 @@ def incremental_minhash_stream(
             .select("id_a", "id_b")
             .distinct()
         )
-        both = hashed_new.select("_id", "h").unionByName(
-            idx_shingles.select("_id", "h")
+        pairs = pairs.persist()
+        # semi-prune the index shingles to ids that actually appear in a
+        # candidate pair BEFORE verify_jaccard's sizes groupBy and hash
+        # joins: without it every micro-batch re-aggregates and re-joins
+        # the FULL index shingle table (corpus-scaled work per batch —
+        # the opposite of what an incremental gate is for; guide §2.3
+        # "shuffle fewer bytes").  pairs is batch-bounded, so the two
+        # semi-joins broadcast; results are identical because
+        # verify_jaccard only ever consumes rows of pair ids.
+        pair_ids = (
+            pairs.select(F.col("id_a").alias("_id"))
+            .unionByName(pairs.select(F.col("id_b").alias("_id")))
+            .distinct()
+        )
+        both = (
+            hashed_new.select("_id", "h")
+            .unionByName(idx_shingles.select("_id", "h"))
+            .join(F.broadcast(pair_ids), "_id", "leftsemi")
         )
         out = verify_jaccard(pairs, both, threshold).select(
             F.col("id_a").alias("new_id"),
@@ -789,6 +805,7 @@ def incremental_minhash_stream(
             num_hashes, bands, seed,
         )
         hashed_new.unpersist()
+        pairs.unpersist()
 
     q = (
         new_stream.writeStream.foreachBatch(gate)
