@@ -23,7 +23,7 @@ from __future__ import annotations
 
 from functools import reduce
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 # 31 bits per key: covers EVERY non-negative int32 key exactly (the
@@ -33,6 +33,14 @@ from pyspark.sql import functions as F
 # extent numbers on exactly the large corpora the audit exists for,
 # invisibly to oracle parity since both engines shared the truncation).
 ZORDER_BITS = 31
+
+# layout_extents policy knob: at or below this row count one task sorts the
+# audit columns (a few narrow longs/row — ~300 MB at the bound) faster than
+# the two-phase distributed rank's extra stages; above it the single-task
+# sort is the 199/200-idle straggler and the distributed plan takes over.
+# Size-derived, not core-count-derived, so the bench at any cpu count and a
+# cluster resolve it identically from the data.
+NTILE_SINGLE_SORT_MAX_ROWS = 8_000_000
 
 
 def zorder_key(a: Column, b: Column, bits: int = ZORDER_BITS) -> Column:
@@ -73,28 +81,71 @@ def layout_extents(
     the constant — the z-order row's far smaller ``sum_extent_b`` at a
     modestly larger ``sum_extent_a`` is the win, quantified.
 
-    The NTILE bucketing mirrors the file-split a range-partitioned write
+    The bucketing mirrors the file-split a range-partitioned write
     produces; ties are broken by ``tiebreak`` so the bucket assignment is
-    a total order both engines compute identically.  NTILE here is a
-    deliberately single-partition window — the audit needs exact global
-    bucket boundaries for oracle parity.  The production REWRITE path
-    never does this: ``repartitionByRange(n, "zkey").sortWithinPartitions``
-    gets the same file layout from sampled range boundaries with a fully
-    parallel exchange, and the audit itself is run on a sample at scale.
+    a total order both engines compute identically.  Buckets are derived
+    from an EXACT global rank (``operators.ranking.distributed_rank`` —
+    the two-phase range-exchange plan, 32+ parallel sorts) plus the
+    closed-form NTILE arithmetic: with N rows and n buckets, q = N div n,
+    r = N mod n, ranks ≤ (q+1)·r fall in bucket ⌈rank/(q+1)⌉ and the
+    rest in r + ⌈(rank − (q+1)·r)/q⌉ — bit-identical to the SQL NTILE
+    both engines define (pytest pins it against a window NTILE on
+    indivisible sizes).  Round 10: this retired the audit's two
+    deliberately single-partition NTILE window sorts — the same
+    distributed-rank retirement vocab_stats got in round 9 — so the
+    audit itself now scales instead of funnelling the table through one
+    task twice (guide §2.5: the 199/200-tasks-idle shape).
+
+    ADAPTIVE, measured both ways at sf0.1: below
+    {NTILE_SINGLE_SORT_MAX_ROWS:,} rows the plain window NTILE wins (one
+    sort of a few MB vs the two-phase plan's persist + two broadcast
+    joins + offset window ≈ +1.2 s of pure stage overhead), above it the
+    single task IS the bottleneck — same policy-by-size discipline as
+    ngram_jaccard_dedup's scratch resolver.  The one-column count that
+    picks the branch is the only eager action and costs a columnar scan.
+    Both branches are bit-identical (the pytest pins the arithmetic
+    against window NTILE), so the switch is invisible to the oracle.
     """
+    from pyspark.sql import Window
+
+    from mapreduceproject_spark.operators.ranking import distributed_rank
+
     base = df.select(
         F.col(a_col).alias("a"),
         F.col(b_col).alias("b"),
         *tiebreak,
         zorder_key(F.col(a_col), F.col(b_col)),
     )
+    n_total = int(base.agg(F.count("*")).first()[0] or 0)
+    use_window = n_total <= NTILE_SINGLE_SORT_MAX_ROWS
+    n_row = base.agg(F.count("*").cast("long").alias("_N"))
     out = []
     for layout, order in (
         ("linear", [F.col("a"), F.col("b"), *[F.col(c) for c in tiebreak]]),
         ("zorder", [F.col("zkey"), *[F.col(c) for c in tiebreak]]),
     ):
-        w = Window.orderBy(*order)
-        bucketed = base.withColumn("bucket", F.ntile(n_buckets).over(w))
+        if use_window:
+            bucketed = base.withColumn(
+                "bucket", F.ntile(n_buckets).over(Window.orderBy(*order))
+            )
+        else:
+            ranked = (
+                distributed_rank(base, order, rank_col="_rnk")
+                .crossJoin(F.broadcast(n_row))
+                .withColumn("_q", F.expr(f"_N div {int(n_buckets)}"))
+                .withColumn("_r", F.expr(f"_N % {int(n_buckets)}"))
+            )
+            bucketed = ranked.withColumn(
+                "bucket",
+                F.when(
+                    F.col("_rnk") <= (F.col("_q") + 1) * F.col("_r"),
+                    F.expr("(_rnk + _q) div (_q + 1)"),
+                )
+                .otherwise(
+                    F.col("_r") + F.expr("(_rnk - (_q + 1) * _r + _q - 1) div _q")
+                )
+                .cast("int"),
+            )
         ext = (
             bucketed.groupBy("bucket")
             .agg(

@@ -57,7 +57,18 @@ def distributed_rank(
     )
     ranked = parts.withColumn(
         _RN, F.row_number().over(Window.partitionBy(_PID).orderBy(*order))
-    )
+    ).persist()
+    # The persist is LOAD-BEARING, not a cache tweak: ``ranked`` feeds two
+    # subtrees (the per-partition counts and the final offset join), and
+    # repartitionByRange SAMPLES its boundaries with a seed derived from
+    # the physical RDD — when Catalyst's ReuseExchange fails to collapse
+    # the two consumers into one physical shuffle (observed round 10 when
+    # the caller composes this frame under an extra broadcast join), each
+    # consumer re-executes the exchange with DIFFERENT sampled boundaries
+    # and the offsets no longer describe the partitioning the local ranks
+    # were computed under: ranks come out duplicated/gapped.  Persisting
+    # pins one materialization, making the rank correct by construction
+    # instead of by plan-pattern luck.
     # one row per non-empty range partition; the exclusive prefix sum is
     # the partition's global offset.  This window IS single-partition —
     # over at most `n` rows, by construction.

@@ -1239,7 +1239,7 @@ def _ngram_recall_frame(
         < NGRAM_RECALL_PCT
     )
 
-    def run(policy: str):
+    def run(policy: str, candidates: str | None = None, bucket_cap=None):
         kwargs = dict(
             block_cols=["lang"],
             length_col="n_chars",
@@ -1247,8 +1247,8 @@ def _ngram_recall_frame(
             length_band=NGRAM_LEN_BAND,
             threshold=NGRAM_THR,
             scratch_policy=policy,
-            est_candidates=est_candidates,
-            est_bucket_cap=cap,
+            est_candidates=candidates if candidates is not None else est_candidates,
+            est_bucket_cap=bucket_cap if bucket_cap is not None else cap,
         )
         if policy == "sharded":
             kwargs.update(
@@ -1259,7 +1259,17 @@ def _ngram_recall_frame(
             )
         return dd.ngram_jaccard_dedup(sample, "doc_id", "text", **kwargs)
 
-    truth = run("exact").select("id_a", "id_b")
+    # Truth side: EXACT by the prefix theorem either way.  The est_recall
+    # gauge (est_candidates="prefix") keeps the window-sort "exact" mode
+    # so the shipped prefix-light plan is compared against an
+    # INDEPENDENTLY-STRUCTURED exact implementation; the char-mode gauges
+    # (capped/triage) measure the CHAR sketch's loss, for which the
+    # prefix-light exact plan is an equally valid — and ~2× cheaper
+    # (round-10 measurement, guide §2.4) — truth: its equality to window
+    # mode is re-earned end-to-end every round by est_recall, and the
+    # DuckDB oracle recomputes this truth from scratch regardless.
+    truth_policy = "exact" if est_candidates == "prefix" else "estimate"
+    truth = run(truth_policy, candidates="prefix").select("id_a", "id_b")
     det = run("sharded" if forced_triage_plan is not None else "estimate").select(
         F.col("id_a").alias("da"), F.col("id_b").alias("db")
     )

@@ -143,3 +143,67 @@ def test_sq8_plan_broadcasts_stats_and_queries(spark, sf_dir):
     # candidate scoring must not shuffle the corpus on a join key: the only
     # exchanges are the two per-query window top-Ns
     assert plan.count("SortMergeJoin") == 0
+
+
+def test_layout_extents_bucketing_matches_window_ntile(spark, sf_dir):
+    """Round-10 rank retirement: layout_extents derives buckets from
+    distributed_rank + closed-form NTILE arithmetic.  Pin it bit-equal to
+    the SQL window NTILE on an INDIVISIBLE size (N % n_buckets != 0, the
+    case where NTILE's first-r-buckets-get-one-extra rule matters) at
+    several partition counts."""
+    from pyspark.sql import Window
+
+    from mapreduceproject_spark.operators.layout import zorder_key
+    from mapreduceproject_spark.operators.ranking import distributed_rank
+    from mapreduceproject_spark.sources.catalog import load_table
+
+    # deterministic indivisible-size subset (no LIMIT: an unordered limit
+    # may pick different rows per plan execution); N % 16 != 0 exercises
+    # NTILE's first-r-buckets-get-one-extra rule
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.pmod(F.xxhash64("l_orderkey", "l_linenumber", "l_partkey"), F.lit(6)) == 0
+    )
+    base = li.select(
+        F.col("l_partkey").alias("a"),
+        F.col("l_suppkey").alias("b"),
+        "l_orderkey",
+        "l_linenumber",
+        zorder_key(F.col("l_partkey"), F.col("l_suppkey")),
+    )
+    order = [F.col("zkey"), F.col("l_orderkey"), F.col("l_linenumber")]
+    nb = 16
+    assert base.count() % nb != 0
+    w = Window.orderBy(*order)
+    # multiset comparison keyed on the full order tuple: (okey, lineno)
+    # alone is not unique in the fixture, and rows with an identical
+    # order tuple are fully identical, so sorted tuples pin equality
+    want = sorted(
+        tuple(r)
+        for r in base.withColumn("bucket", F.ntile(nb).over(w))
+        .select("zkey", "l_orderkey", "l_linenumber", "bucket")
+        .collect()
+    )
+    for parts in (1, 5, 32):
+        ranked = (
+            distributed_rank(base, order, rank_col="_rnk", num_partitions=parts)
+            .crossJoin(F.broadcast(base.agg(F.count("*").cast("long").alias("_N"))))
+            .withColumn("_q", F.expr(f"_N div {nb}"))
+            .withColumn("_r", F.expr(f"_N % {nb}"))
+        )
+        got = sorted(
+            tuple(r)
+            for r in ranked.withColumn(
+                "bucket",
+                F.when(
+                    F.col("_rnk") <= (F.col("_q") + 1) * F.col("_r"),
+                    F.expr("(_rnk + _q) div (_q + 1)"),
+                )
+                .otherwise(
+                    F.col("_r") + F.expr("(_rnk - (_q + 1) * _r + _q - 1) div _q")
+                )
+                .cast("int"),
+            )
+            .select("zkey", "l_orderkey", "l_linenumber", "bucket")
+            .collect()
+        )
+        assert got == want, f"num_partitions={parts}"
