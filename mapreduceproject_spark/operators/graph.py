@@ -64,12 +64,51 @@ def knn_edges_ivf(
             F.col("id").alias("cid"), F.col("_q").alias("cq"), F.col("_n2").alias("cn2")
         )
     )
-    cells = (
-        assign_cells(cq, centroids, "id", nprobe=1, assign=assign)
-        .select("id", "_q", "_n2", "cid")
-        .persist()  # feeds BOTH sides of the pair self-join — without the
-        # barrier the whole assignment pipeline runs twice
-    )
+    if assign == "brute":
+        # round-10: nprobe=1 brute assignment as ONE aggregate —
+        # max(struct(cos, -cid)) picks the same (cos desc, cid asc)
+        # winner as assign_cells' row_number window (NaN ordering agrees:
+        # both treat NaN as greatest), with _q/_n2 riding the partial agg
+        # at one row per id instead of a window exchange + sort + a
+        # reattach join (guide §2.4; pytest pins edge equality vs
+        # assign_cells on the fixture).
+        scored = cq.crossJoin(centroids).select(
+            "id",
+            "_q",
+            "_n2",
+            "cid",
+            prequantized_cosine(
+                F.col("_q"), F.col("cq"), F.col("_n2"), F.col("cn2")
+            ).alias("cos"),
+        )
+        cells = (
+            scored.groupBy("id")
+            .agg(
+                F.max(
+                    F.struct(
+                        F.col("cos"),
+                        (-F.col("cid")).alias("ncid"),
+                        F.col("cid"),
+                        F.col("_q"),
+                        F.col("_n2"),
+                    )
+                ).alias("best")
+            )
+            .select(
+                "id",
+                F.col("best.cid").alias("cid"),
+                F.col("best._q").alias("_q"),
+                F.col("best._n2").alias("_n2"),
+            )
+            .persist()
+        )
+    else:
+        cells = (
+            assign_cells(cq, centroids, "id", nprobe=1, assign=assign)
+            .select("id", "_q", "_n2", "cid")
+            .persist()  # feeds BOTH sides of the pair self-join — without
+            # the barrier the whole assignment pipeline runs twice
+        )
     a = cells.select(
         F.col("cid"), F.col("id").alias("src"), F.col("_q").alias("qa"), F.col("_n2").alias("na")
     )
@@ -87,11 +126,24 @@ def knn_edges_ivf(
             ).alias("cosine"),
         )
     )
-    we = Window.partitionBy("src").orderBy(F.desc("cosine"), F.asc("dst"))
+    # top-k per src as an aggregate: sort_array(struct(-cosine, dst)) is
+    # the same (cosine desc, dst asc) total order as the row_number
+    # window, and slice(..., k) the same cut — but the plan is a hash
+    # aggregate with map-side partial lists instead of a full exchange +
+    # sort + WindowExec over every scored pair (guide §2.4; the window
+    # form sorted all |cell|²-ish rows in 32 tasks).
     return (
-        pairs.withColumn("rn", F.row_number().over(we))
-        .filter(F.col("rn") <= k)
-        .select("src", "dst")
+        pairs.groupBy("src")
+        .agg(
+            F.slice(
+                F.sort_array(
+                    F.collect_list(F.struct((-F.col("cosine")).alias("nc"), F.col("dst")))
+                ),
+                1,
+                k,
+            ).alias("_t")
+        )
+        .select("src", F.explode("_t.dst").alias("dst"))
     )
 
 

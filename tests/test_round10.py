@@ -331,3 +331,54 @@ def test_sharded_staged_mode_still_exact(spark, sf_dir, monkeypatch):
     assert staged_info["pass_staging"] is True
     assert plain_info["pass_staging"] is False
     assert staged_rows == plain_rows
+
+
+def test_knn_edges_fast_brute_path_matches_assign_cells_window(spark, sf_dir):
+    """Round-10: knn_edges_ivf's brute path assigns cells with ONE
+    max(struct) aggregate and cuts top-k with sort_array+slice.  Pin both
+    against the reference formulation (assign_cells' row_number window +
+    a per-src row_number window) — same (cos desc, cid asc) winner, same
+    (cosine desc, dst asc) edge order, bit-equal edge set."""
+    from pyspark.sql import Window
+
+    from mapreduceproject_spark.operators.graph import knn_edges_ivf
+    from mapreduceproject_spark.operators.similarity import (
+        _quantized_side,
+        assign_cells,
+        prequantized_cosine,
+        resolve_centroid_filter,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    got = {tuple(r) for r in knn_edges_ivf(emb, "vec_id", "embedding", 16, 4).collect()}
+
+    cq = _quantized_side(emb, "vec_id", "embedding", "id")
+    pick = resolve_centroid_filter(cq, F.col("id"), 16)
+    cents = F.broadcast(
+        pick(cq).select(
+            F.col("id").alias("cid"), F.col("_q").alias("cq"), F.col("_n2").alias("cn2")
+        )
+    )
+    cells = assign_cells(cq, cents, "id", nprobe=1, assign="brute").select(
+        "id", "_q", "_n2", "cid"
+    )
+    a = cells.select("cid", F.col("id").alias("src"), F.col("_q").alias("qa"), F.col("_n2").alias("na"))
+    b = cells.select("cid", F.col("id").alias("dst"), F.col("_q").alias("qb"), F.col("_n2").alias("nb"))
+    pairs = (
+        a.join(b, "cid")
+        .filter(F.col("src") != F.col("dst"))
+        .select(
+            "src",
+            "dst",
+            prequantized_cosine(F.col("qa"), F.col("qb"), F.col("na"), F.col("nb")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("cosine"), F.asc("dst"))
+    want = {
+        tuple(r)
+        for r in pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 4)
+        .select("src", "dst")
+        .collect()
+    }
+    assert got == want and got
