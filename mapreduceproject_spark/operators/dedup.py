@@ -1245,8 +1245,6 @@ def _ngram_jaccard_prefix_sharded(
                 f"minhash/simhash first (proceeding as asked; "
                 f"machine-readable via plan_info)"
             )
-    _finish_pass(0, p0_res, p0_persists, p0_stage)
-    del p0_res
     # --- remaining passes.  Staged (disk-constrained) mode keeps them
     # STRICTLY SEQUENTIAL with a full GC nudge between passes — finished-
     # pass shuffle files must be ContextCleaner-collected before the next
@@ -1258,25 +1256,40 @@ def _ngram_jaccard_prefix_sharded(
     # OPTIMIZATION_r10.md — and the per-pass System.gc() pause (which
     # exists only to keep the disk bound real) is skipped for the same
     # reason it is safe to overlap: scratch is not the binding resource.
+    # Pass 0's own verify join + result write ALSO ride the pool: its
+    # candidate-mass checkpoint already fired eagerly above (the
+    # persist+count inside _build_pass), which is all the triage abort
+    # semantics need to precede other passes.
     rest = list(enumerate(passes))[1:]
     if stage_passes:
+        _finish_pass(0, p0_res, p0_persists, p0_stage)
+        del p0_res
+        gc.collect()
+        spark._jvm.System.gc()
         for p, (i, j) in rest:
             res, _, persists, sdir = _build_pass(p, i, j)
             _finish_pass(p, res, persists, sdir)
             del res
             gc.collect()
             spark._jvm.System.gc()
-    elif rest:
+    else:
         from concurrent.futures import ThreadPoolExecutor
 
-        def _run(pij):
-            p, (i, j) = pij
-            res, _, persists, sdir = _build_pass(p, i, j)
+        def _run(task):
+            p, pij, prebuilt = task
+            if prebuilt is not None:
+                res, persists, sdir = prebuilt
+            else:
+                res, _, persists, sdir = _build_pass(p, *pij)
             _finish_pass(p, res, persists, sdir)
 
-        with ThreadPoolExecutor(max_workers=min(3, len(rest))) as pool:
+        tasks = [(0, passes[0], (p0_res, p0_persists, p0_stage))] + [
+            (p, ij, None) for p, ij in rest
+        ]
+        del p0_res
+        with ThreadPoolExecutor(max_workers=min(3, len(tasks))) as pool:
             # list() propagates the first worker exception, if any
-            list(pool.map(_run, rest))
+            list(pool.map(_run, tasks))
         gc.collect()
     # a fully duplicate-free corpus can leave zero part files (every pass
     # empty) — return the typed empty frame instead of a schema-inference
