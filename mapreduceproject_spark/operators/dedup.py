@@ -2331,11 +2331,25 @@ def semantic_dedup(
         )
         .filter(F.col("cosine") >= threshold)
     )
-    first = Window.partitionBy("vec_id").orderBy(F.asc("_re"))
+    # first-dominating-keeper per vec_id as ONE aggregate: _re (the
+    # keeper's keep_rank) is unique within the vector's single cluster,
+    # so min(struct(_re, ...)) picks exactly the row row_number()=1 under
+    # (ORDER BY _re) picked — same values, minus a window exchange + sort
+    # (round 10, guide §2.4; map-side partial min shrinks the shuffle to
+    # one row per (partition, vec_id)).
     return (
-        doms.withColumn("_rn", F.row_number().over(first))
-        .filter(F.col("_rn") == 1)
-        .select("cluster_id", "vec_id", "keeper_id", "cosine")
+        doms.groupBy("vec_id")
+        .agg(
+            F.min(
+                F.struct("_re", "cluster_id", "keeper_id", "cosine")
+            ).alias("_b")
+        )
+        .select(
+            F.col("_b.cluster_id").alias("cluster_id"),
+            "vec_id",
+            F.col("_b.keeper_id").alias("keeper_id"),
+            F.col("_b.cosine").alias("cosine"),
+        )
     )
 
 
