@@ -1965,21 +1965,36 @@ def ngram_containment_dedup(
         F.col("_id").alias("id_a"),
         *[F.col(c).alias(f"{c}_a") for c in block_cols],
         F.col("ng").alias("na"),
-        F.explode(F.slice("hs", F.lit(1), plen)).alias("h"),
+        F.posexplode(F.slice("hs", F.lit(1), plen)).alias("pa", "h"),
     )
     pb = arrs.select(
         F.col("_id").alias("id_b"),
         *[F.col(c).alias(f"{c}_b") for c in block_cols],
         F.col("ng").alias("nb"),
-        F.explode("hs").alias("h"),
+        F.posexplode("hs").alias("pb", "h"),
     )
     cond = F.col("id_a") != F.col("id_b")
     for c in block_cols:
         cond = cond & (F.col(f"{c}_a") == F.col(f"{c}_b"))
     size_cond = F.col("nb") >= F.col("na") * F.lit(threshold) - F.lit(1e-9)
+    # one-sided POSITIONAL filter (round 10 — the same Xiao WWW'08 §3.2
+    # bound the jaccard prefix path applies): C(a→b) ≥ t needs overlap
+    # I ≥ ⌈t·na⌉, and a match at 1-based sorted ranks (ia, ib) bounds
+    # I ≤ 1 + min(na − ia, nb − ib) — late-position matches die inside
+    # codegen, before the candidate distinct's exchange.  Exact: the
+    # pair's FIRST common gram under the global order sits at the pair's
+    # minimal ranks where the bound is loosest, so a qualifying pair
+    # always keeps at least that row.
+    alpha = F.ceil(F.col("na") * F.lit(threshold) - F.lit(1e-9))
+    pos_cond = (
+        1
+        + F.least(
+            F.col("na") - (F.col("pa") + 1), F.col("nb") - (F.col("pb") + 1)
+        )
+    ) >= alpha
     pairs = (
         pa.join(pb, ["h"])
-        .filter(cond & size_cond)
+        .filter(cond & size_cond & pos_cond)
         .select("id_a", "id_b", "na")
         .distinct()
     )

@@ -400,12 +400,17 @@ def dedup_incremental_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         stage = os.path.join(root, "stage")
         os.makedirs(stage)
         base = int(time.time())
+        # ONE write job for every batch file (round 10, guide §2.6 job
+        # accounting): partitionBy("_b") + repartition on it lands each
+        # batch's rows in exactly one part file under _b=<k>/, replacing
+        # {INCR_STREAM_BATCHES} separate filter+coalesce(1) scans of the
+        # new-arrivals slice.  Batch contents are identical (same _b
+        # assignment), and the move+utime below pins the same
+        # (modification time, path) micro-batch order as before.
+        tmp = os.path.join(root, "w")
+        new.repartition(F.col("_b")).write.partitionBy("_b").parquet(tmp)
         for b in range(INCR_STREAM_BATCHES):
-            tmp = os.path.join(root, f"w{b}")
-            new.filter(F.col("_b") == b).drop("_b").coalesce(1).write.parquet(
-                tmp
-            )
-            parts = glob.glob(os.path.join(tmp, "part-*.parquet"))
+            parts = glob.glob(os.path.join(tmp, f"_b={b}", "part-*.parquet"))
             if not parts:  # empty batch: nothing to ingest, no file
                 continue
             dst = os.path.join(stage, f"batch-{b}.parquet")
