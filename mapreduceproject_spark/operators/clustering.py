@@ -22,7 +22,7 @@ size (see kmeans_assignments' driver-payload contract).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from mapreduceproject_spark.functions.vectors import (
@@ -71,11 +71,34 @@ def _assign(qvecs: DataFrame, centroids: DataFrame, assign: str = "brute") -> Da
             F.col("q"), F.col("cq"), F.col("n2"), F.col("cn2")
         ).alias("cos"),
     )
-    w = Window.partitionBy("id").orderBy(F.desc("cos"), F.asc("cid"))
+    # round 11 (guide §2.4, the knn_edges_ivf round-10 pattern): the
+    # winner per id is ONE max(struct) hash aggregate with map-side
+    # partials instead of an exchange + full sort + WindowExec over all
+    # n·k scored rows — and k-means runs this once per Lloyd pass plus
+    # the final assignment.  max(struct(cos, -cid)) picks the same
+    # (cos desc, cid asc) winner as the row_number window: a NULL cos
+    # field (zero-norm vector) compares smallest, matching desc-NULLS-
+    # LAST; an all-NULL id falls through to max(-cid) = lowest cid,
+    # exactly the window's tie order.  `q` rides the partial aggregate
+    # at one row per id (pytest + oracle parity pin the equality).
     return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("id", "q", F.col("cid").alias("cluster_id"), F.col("cos").alias("ccos"))
+        scored.groupBy("id")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("cos"),
+                    (-F.col("cid")).alias("ncid"),
+                    F.col("cid"),
+                    F.col("q"),
+                )
+            ).alias("best")
+        )
+        .select(
+            "id",
+            F.col("best.q").alias("q"),
+            F.col("best.cid").alias("cluster_id"),
+            F.col("best.cos").alias("ccos"),
+        )
     )
 
 

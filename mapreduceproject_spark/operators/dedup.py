@@ -1721,11 +1721,26 @@ def ngram_jaccard_dedup(
         .distinct()
     )
     if plan_info is not None:
+        # auto_fits is the "auto"-routed prefix-light plan: STRUCTURALLY
+        # the estimate branch, semantically EXACT (PPJoin prefix theorem,
+        # bit-identical output) — report it as such so plan_info
+        # consumers never classify an exact run as a lossy sketch
+        # (round-10 advice: the first cut recorded verify_mode='estimate'
+        # / loss_observed=True here).
         plan_info.update(
-            verify_mode=mode,
-            est_candidates=est_candidates if mode == "estimate" else None,
-            est_bucket_cap=est_bucket_cap if mode == "estimate" else None,
-            loss_observed=mode == "estimate" and loss_observation is not None,
+            verify_mode="exact" if auto_fits else mode,
+            routed_prefix_light=auto_fits,
+            est_candidates=(
+                est_candidates if mode == "estimate" and not auto_fits else None
+            ),
+            est_bucket_cap=(
+                est_bucket_cap if mode == "estimate" and not auto_fits else None
+            ),
+            loss_observed=(
+                mode == "estimate"
+                and not auto_fits
+                and loss_observation is not None
+            ),
             light_scratch_exceeds=light_exceeds,
             shards=None,
         )
@@ -2149,14 +2164,23 @@ def connected_components(
         .distinct()
         .select("id", F.col("id").alias("label"))
     )
-    for _ in range(max_iter):
+    for it in range(max_iter):
         nbr = sym.join(labels, sym.dst == labels.id).select(
             F.col("src").alias("id"), F.col("label")
         )
-        # one Spark job per iteration: carry each id's own (old) label
-        # through the min-aggregate and piggyback the convergence count on
-        # the checkpoint's materialization via observe() — no separate
-        # old-vs-new join job (round 2 ran one per iteration)
+        # one Spark job per TWO iterations (round 11, guide §2.6 job
+        # accounting): carry each id's own (old) label through the
+        # min-aggregate and piggyback the convergence count on the
+        # checkpoint's materialization via observe() — no separate
+        # old-vs-new join job — and materialize only every SECOND round
+        # (plus the max_iter backstop).  Min-label propagation is
+        # monotone, so "the LAST round changed nothing" alone proves the
+        # fixpoint; a converged-at-odd-round graph pays one extra no-op
+        # round, half the checkpoint jobs on the shallow LSH-clique
+        # graphs this clusters (2-4 rounds).  The un-checkpointed odd
+        # round's subtree appears twice in the even round's plan (label
+        # join + self-vote union) — ReuseExchange collapses the heavy
+        # exchanges below it, and the saved materialization job wins.
         tagged = labels.withColumn("own", F.lit(True)).unionByName(
             nbr.withColumn("own", F.lit(False))
         )
@@ -2164,6 +2188,9 @@ def connected_components(
             F.min("label").alias("label"),
             F.min(F.when(F.col("own"), F.col("label"))).alias("_old"),
         )
+        if it % 2 == 0 and it != max_iter - 1:
+            labels = agged.select("id", "label")
+            continue
         obs = Observation(f"cc_changed_{uuid.uuid4().hex[:8]}")
         # coalesce: F.sum over ZERO rows is NULL, and NULL == 0 is False —
         # without it an empty label table (clean corpus, no near-dup

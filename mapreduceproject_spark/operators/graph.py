@@ -126,23 +126,36 @@ def knn_edges_ivf(
             ).alias("cosine"),
         )
     )
-    # top-k per src as an aggregate: sort_array(struct(-cosine, dst)) is
-    # the same (cosine desc, dst asc) total order as the row_number
-    # window, and slice(..., k) the same cut — but the plan is a hash
-    # aggregate with map-side partial lists instead of a full exchange +
-    # sort + WindowExec over every scored pair (guide §2.4; the window
-    # form sorted all |cell|²-ish rows in 32 tasks).
-    return (
-        pairs.groupBy("src")
+    # top-k per src as a TWO-LEVEL aggregate (round 11): level 1 groups by
+    # (src, spark_partition_id) — each group is one map partition's slice
+    # of one src's candidates, so no aggregation buffer ever holds a whole
+    # IVF cell (the round-10 single-level collect_list held |cell| structs
+    # per src: an executor-OOM shape on one hot cell at scale, guide §5,
+    # and a reduce-skew shape besides, §2.5) — and cuts each slice to its
+    # local top-k; level 2 merges the ≤ P·k survivors per src.  Exactness:
+    # any row in the global top-k under the (nc asc, dst asc) total order
+    # is in its partition's top-k, the partition_topk_prune argument; the
+    # grouping key only decides which partial list a row transits, so the
+    # merged cut is bit-identical for ANY partitioning.  sort_array(struct
+    # (nc, dst)) is the same (cosine desc, dst asc) order as the retired
+    # row_number window — nc COALESCEs a NULL cosine (zero-norm vector,
+    # vectors.py's nullif) to +inf so it sorts LAST, matching the window's
+    # desc-NULLS-LAST semantics (ascending struct order put NULL first,
+    # which would have displaced real neighbors — round-10 advice).
+    nc = F.coalesce(-F.col("cosine"), F.lit(float("inf"))).alias("nc")
+    partial = (
+        pairs.withColumn("_p", F.spark_partition_id())
+        .groupBy("src", "_p")
         .agg(
             F.slice(
-                F.sort_array(
-                    F.collect_list(F.struct((-F.col("cosine")).alias("nc"), F.col("dst")))
-                ),
-                1,
-                k,
+                F.sort_array(F.collect_list(F.struct(nc, F.col("dst")))), 1, k
             ).alias("_t")
         )
+    )
+    return (
+        partial.select("src", F.explode("_t").alias("_e"))
+        .groupBy("src")
+        .agg(F.slice(F.sort_array(F.collect_list("_e")), 1, k).alias("_t"))
         .select("src", F.explode("_t.dst").alias("dst"))
     )
 

@@ -116,9 +116,14 @@ def layout_extents(
         *tiebreak,
         zorder_key(F.col(a_col), F.col(b_col)),
     )
+    # ONE count serves both the branch pick and the NTILE arithmetic's N
+    # (round 11: the first cut counted the audit input twice — an eager
+    # count for the branch plus a separate n_row aggregate crossJoined
+    # into each layout's plan — two full scans at scale for one scalar).
+    # Carrying N as a literal is the same driver-side policy-scalar rule
+    # as the count itself: one long, never data.
     n_total = int(base.agg(F.count("*")).first()[0] or 0)
     use_window = n_total <= NTILE_SINGLE_SORT_MAX_ROWS
-    n_row = base.agg(F.count("*").cast("long").alias("_N"))
     out = []
     for layout, order in (
         ("linear", [F.col("a"), F.col("b"), *[F.col(c) for c in tiebreak]]),
@@ -131,7 +136,7 @@ def layout_extents(
         else:
             ranked = (
                 distributed_rank(base, order, rank_col="_rnk")
-                .crossJoin(F.broadcast(n_row))
+                .withColumn("_N", F.lit(n_total).cast("long"))
                 .withColumn("_q", F.expr(f"_N div {int(n_buckets)}"))
                 .withColumn("_r", F.expr(f"_N % {int(n_buckets)}"))
             )

@@ -146,19 +146,45 @@ def gopher_rule_report(
     )
 
 
-def _feature_rows(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """(id, feature) rows: unigrams ∪ space-joined bigrams (DSIR's hashed
-    n-gram feature space), with multiplicity."""
-    uni = token_rows(df, F.col(text_col), [id_col]).select(
-        id_col, F.col("tok").alias("feature")
+def _feature_rows(
+    df: DataFrame, id_col: str, text_col: str, keep: list[str] | None = None
+) -> DataFrame:
+    """(id, *keep, feature) rows: unigrams ∪ space-joined bigrams (DSIR's
+    hashed n-gram feature space), with multiplicity.
+
+    ONE tokenize pass (round 11, guide §2.4/§5): the retired
+    token_rows ∪ word_shingle_rows form scanned the corpus three times
+    (unigram explode, bigram lead()-window branch, short-doc branch) and
+    paid a per-document window sort for the bigrams.  Here the token
+    array is projected once, positions explode (the char_ngram_rows
+    linear-time discipline — element_at on a MATERIALIZED column, never
+    a lambda over a computed array), and each position emits its unigram
+    plus, when one exists, the bigram starting there.  Short-document
+    semantics match word_shingles exactly: a 1-word doc emits its token
+    twice (unigram + whole-text shingle — the duplication the oracle
+    mirrors), a 0-word doc emits the single empty-string shingle."""
+    keep = keep or []
+    base = df.select(
+        F.col(id_col), *[F.col(c) for c in keep], tokens(F.col(text_col)).alias("_toks")
     )
-    bi = word_shingle_rows(df, F.col(text_col), 2, [id_col]).select(
-        id_col, F.col("sh").alias("feature")
+    rows = base.select(
+        id_col,
+        *keep,
+        "_toks",
+        F.explode(
+            F.sequence(F.lit(1), F.greatest(F.size("_toks"), F.lit(1)))
+        ).alias("_i"),
     )
-    # short docs emit their whole text as the single 2-shingle, which for
-    # 1-word docs duplicates the unigram — that is the defined semantics of
-    # word_shingles and the oracle mirrors it
-    return uni.unionByName(bi)
+    tok_i = F.element_at(F.col("_toks"), F.col("_i"))
+    tok_next = F.element_at(F.col("_toks"), F.col("_i") + 1)
+    n = F.size("_toks")
+    per_pos = (
+        F.when(n == 0, F.array(F.lit("")))
+        .when(n == 1, F.array(tok_i, tok_i))
+        .when(F.col("_i") < n, F.array(tok_i, F.concat_ws(" ", tok_i, tok_next)))
+        .otherwise(F.array(tok_i))
+    )
+    return rows.select(id_col, *keep, F.explode(per_pos).alias("feature"))
 
 
 def dsir_weights(
@@ -183,8 +209,14 @@ def dsir_weights(
     tokenize+shingle per consumer: measured 47.7 → 27.2 s at the 100×
     fixture from this change alone.)
     """
-    feats = _feature_rows(df.select(id_col, text_col), id_col, text_col).join(
-        df.select(id_col, target_pred.alias("_is_target")), id_col
+    # the target flag is a column of the SAME row — carry it through the
+    # feature generate instead of re-scanning documents for a
+    # corpus-sized flag join (round 11; one scan, zero joins, guide §2.4)
+    feats = _feature_rows(
+        df.select(id_col, text_col, target_pred.alias("_is_target")),
+        id_col,
+        text_col,
+        keep=["_is_target"],
     )
     bucketed = feats.select(
         id_col,

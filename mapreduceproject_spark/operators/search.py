@@ -58,18 +58,23 @@ def bm25_topk(
     terms = sorted({t for _, t in qterms})
 
     dtoks = tokens(F.col(text_col))
-    # dl is a pure per-row projection — size(tokens) equals the exploded
-    # count without a second corpus tokenize+Generate or a doc-key
-    # shuffle.  The >0 filter keeps the oracle's exact dl semantics
-    # (token-free docs have no exploded rows, so they never reach dl).
-    dl = docs.select(
-        F.col(id_col).alias("doc_id"), F.size(dtoks).cast("long").alias("dl")
-    ).filter(F.col("dl") > 0)
-    # tf explodes only for the query terms (literal IN-filter runs
-    # scan-side, so non-query terms never reach the tf shuffle)
-    rows = docs.select(
-        F.col(id_col).alias("doc_id"), F.explode(dtoks).alias("term")
+    # Round 11 (guide §2.4/§5): the retired shape tokenized the corpus
+    # THREE times — a per-doc dl frame consumed twice (the tf⋈dl join +
+    # the avgdl stats aggregate re-ran its scan+tokenize pipeline each)
+    # plus the explode pass.  Now dl RIDES each exploded row (size of the
+    # once-projected token array — constant per doc, folded into the tf
+    # aggregate as max), which deletes the corpus-keyed dl join outright;
+    # the stats aggregate keeps its own single pass.  Two tokenize scans
+    # total, zero corpus-sized joins.  dl semantics unchanged: token-free
+    # docs have no exploded rows, so they never reach tf — and never
+    # reached the >0-filtered dl frame either.
+    rows = docs.select(F.col(id_col).alias("doc_id"), dtoks.alias("_t")).select(
+        "doc_id",
+        F.size("_t").cast("long").alias("dl"),
+        F.explode("_t").alias("term"),
     )
+    # tf explodes only for the query terms (literal IN-filter runs
+    # scan-side, so non-query terms never reach the tf shuffle).
     # persist: tf feeds BOTH the per-term document frequencies and the
     # scored join — without the barrier each consumer re-runs the corpus
     # tokenize+explode, doubling the dominant scan.  The table itself is
@@ -77,12 +82,17 @@ def bm25_topk(
     tf = (
         rows.filter(F.col("term").isin(terms))
         .groupBy("doc_id", "term")
-        .agg(F.count("*").cast("long").alias("tf"))
+        .agg(
+            F.count("*").cast("long").alias("tf"),
+            F.max("dl").alias("dl"),  # constant within the doc
+        )
         .persist()
     )
     dft = F.broadcast(tf.groupBy("term").agg(F.count("*").cast("long").alias("df")))
     stats = F.broadcast(
-        dl.agg(
+        docs.select(F.size(dtoks).cast("long").alias("dl"))
+        .filter(F.col("dl") > 0)
+        .agg(
             F.count("*").cast("long").alias("n_docs"),
             (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
         )
@@ -98,7 +108,6 @@ def bm25_topk(
     )
     scored = (
         tf.join(q, "term")
-        .join(dl, "doc_id")
         .join(dft, "term")
         .crossJoin(stats)
         .groupBy("query_id", "doc_id")

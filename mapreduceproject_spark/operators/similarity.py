@@ -320,7 +320,7 @@ def hyperplane_lsh_topk(
     k: int = 5,
     num_tables: int = 1,
     probe_bits: int = 1,
-    partial_topk: bool = True,
+    partial_topk: bool | str = "auto",
 ) -> DataFrame:
     """Random-hyperplane LSH top-k: candidates share the query's signature
     bucket or any ≤``probe_bits``-bit-flip neighbor (multi-probe), then
@@ -354,6 +354,7 @@ def hyperplane_lsh_topk(
     operator bit-for-bit (the registered query's oracle pins that
     stream).
     """
+    partial_topk = resolve_partial_topk(partial_topk, corpus)
     cq0 = _quantized_side(corpus, id_col, vec_col, "neighbor_id")
     qq0 = queries.select(
         F.col(query_id_col).alias("query_id"),
@@ -519,6 +520,33 @@ def partition_topk_prune(
     return scored.mapInPandas(kernel, schema)
 
 
+# partition_topk_prune is a priced trade: every scored row crosses the
+# Python/Arrow boundary once to cut the final window's input from n·NQ
+# to ≤ P·k·NQ.  At corpus scale the saved NQ-task sort dominates (the
+# 5M-vector PQ decade: 344.6 → 115.9 s, measurements/pq_scale.json);
+# at toy scale the FIXED boundary cost (Python worker round-trip, two
+# row⇄Arrow transposes) IS the query — ann_bruteforce_topk 0.76 → 1.51 s
+# at n=2000, the one code-attributable regression in the round-10
+# driver's PERF artifact.  ``partial_topk="auto"`` (now every ANN
+# caller's default) therefore engages the prune only at or above this
+# corpus row count — size-derived, not core-count-derived, so the bench
+# at any cpu count and a cluster resolve it identically (the
+# NTILE_SINGLE_SORT_MAX_ROWS discipline, operators/layout.py).  Both
+# branches are bit-identical (pytest pins prune ≡ plain on every
+# caller), so the switch is invisible to the oracle.
+ARROW_TOPK_PRUNE_MIN_ROWS = 200_000
+
+
+def resolve_partial_topk(partial_topk: bool | str, corpus: DataFrame) -> bool:
+    """Resolve a ``partial_topk`` policy (``"auto"`` | bool) against the
+    corpus row count.  The one-column count is the only eager action and
+    yields a driver-side policy scalar, never data (the layout_extents
+    branch-pick precedent)."""
+    if partial_topk == "auto":
+        return corpus.count() >= ARROW_TOPK_PRUNE_MIN_ROWS
+    return bool(partial_topk)
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -527,7 +555,7 @@ def brute_force_topk(
     query_id_col: str,
     query_vec_col: str,
     k: int = 5,
-    partial_topk: bool = True,
+    partial_topk: bool | str = "auto",
 ) -> DataFrame:
     """Exact cosine top-k neighbors per query vector.
 
@@ -540,6 +568,7 @@ def brute_force_topk(
     sides are quantized once up front; each of the Q·n scored pairs then
     costs a single O(dim) integer dot product.
     """
+    partial_topk = resolve_partial_topk(partial_topk, corpus)
     q = F.broadcast(
         queries.select(
             F.col(query_id_col).alias("query_id"),
@@ -578,7 +607,7 @@ def hard_negative_topk(
     query_vec_col: str,
     query_label_col: str,
     k: int = 5,
-    partial_topk: bool = True,
+    partial_topk: bool | str = "auto",
 ) -> DataFrame:
     """Top-k most-similar vectors with a DIFFERENT label per query —
     contrastive hard-negative mining (the pairs a metric-learning /
@@ -593,6 +622,7 @@ def hard_negative_topk(
     (k widened to survive the label filter); the scoring and ordering
     contract here is the exact baseline that variant is measured against.
     """
+    partial_topk = resolve_partial_topk(partial_topk, corpus)
     q = F.broadcast(
         queries.select(
             F.col(query_id_col).alias("query_id"),
@@ -651,7 +681,7 @@ def ivf_topk(
     nprobe: int = 4,
     k: int = 5,
     assign: str = "brute",
-    partial_topk: bool = True,
+    partial_topk: bool | str = "auto",
 ) -> DataFrame:
     """IVF-bucketed approximate top-k: probe the ``nprobe`` max-cosine cells.
 
@@ -664,6 +694,7 @@ def ivf_topk(
     coarse quantization (:func:`assign_cells`) — the n·C fix when C is
     corpus-scaled; the query side stays brute (queries are few).
     """
+    partial_topk = resolve_partial_topk(partial_topk, corpus)
     cq = _quantized_side(corpus, id_col, vec_col, "neighbor_id")
     pick = resolve_centroid_filter(cq, F.col("neighbor_id"), num_centroids)
     centroids = F.broadcast(
@@ -726,6 +757,7 @@ def sq8_rerank_topk(
     k: int = 5,
     rerank_factor: int = 4,
     narrow_rerank: bool = True,
+    partial_topk: bool | str = "auto",
 ) -> DataFrame:
     """Scalar-quantized (SQ8) ANN with exact rerank.
 
@@ -758,6 +790,7 @@ def sq8_rerank_topk(
     pins.  ``narrow_rerank=False`` keeps the retired shape as the pytest
     equality baseline.
     """
+    partial_topk = resolve_partial_topk(partial_topk, corpus)
     e = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     stats = F.broadcast(
         corpus.select(e.alias("_e")).agg(
@@ -820,9 +853,10 @@ def sq8_rerank_topk(
             .filter(F.col("neighbor_id") != F.col("query_id"))
             .select("query_id", "neighbor_id", adot.alias("adot"))
         )
-        narrow = partition_topk_prune(
-            narrow, "query_id", "adot", "neighbor_id", rerank_factor * k
-        )
+        if partial_topk:
+            narrow = partition_topk_prune(
+                narrow, "query_id", "adot", "neighbor_id", rerank_factor * k
+            )
         cand_ids = (
             narrow.withColumn("rn", F.row_number().over(wa))
             .filter(F.col("rn") <= rerank_factor * k)
@@ -1224,11 +1258,17 @@ def dim_correlation_top(
 def _pq_subvectors(df: DataFrame, id_col: str, vec_col: str, m_sub: int, sub_dim: int) -> DataFrame:
     """(id, m, sq): quantized sub-vector m = components [m·sub_dim+1 ..
     (m+1)·sub_dim] — re-derived from the scan per consumer (the kmeans
-    contract: the corpus never persists in exploded form).  Null or
-    mis-sized embeddings are filtered here AND in the oracle's base CTE
-    (round-9 ADVICE: posexplode would drop such a row while the oracle's
-    cross join kept it with NULL sub-vectors — same clean-input contract
-    as dim_correlation_top, now enforced on both engines)."""
+    contract: the corpus never persists in exploded form).  Round 11
+    NOTE: routing this through the persisted _quantized_side (to share
+    the quantize pass with the recall gauges' brute-force truth side)
+    was built and MEASURED SLOWER — ann_pq_topk 2.24 → 3.06 s,
+    ann_pq_recall 2.82 → 3.51 s same-host A/B at sf0.1: the extra
+    persist materialization + norm work costs more than the shared
+    quantize saves (quantize is one cheap projection per consumer).
+    Kept re-derived.  Null or mis-sized embeddings are filtered here
+    AND in the oracle's base CTE (round-9 ADVICE: posexplode would drop
+    such a row while the oracle's cross join kept it with NULL
+    sub-vectors — same clean-input contract as dim_correlation_top)."""
     q = quantize(F.col(vec_col))
     return df.where(
         F.col(vec_col).isNotNull() & (F.size(vec_col) == m_sub * sub_dim)
@@ -1444,7 +1484,7 @@ def pq_topk(
     iterations: int = 2,
     k: int = 5,
     assign: str = "arrow",
-    partial_topk: bool = True,
+    partial_topk: bool | str = "auto",
 ) -> DataFrame:
     """Product-quantization ANN with asymmetric distance computation
     (Jégou et al., PAMI'11): corpus vectors compress to m_sub codebook
@@ -1473,6 +1513,7 @@ def pq_topk(
     inner-product approximation in original units (÷ SCALE²).
     """
     sub_dim = dim // m_sub
+    partial_topk = resolve_partial_topk(partial_topk, corpus)
     cents = pq_codebooks(
         corpus, id_col, vec_col, dim, m_sub, k_code, iterations, assign
     )

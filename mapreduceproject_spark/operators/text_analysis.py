@@ -249,27 +249,38 @@ def langid_ngram(
     """
     from mapreduceproject_spark.sources.catalog import spread_for_compute
 
-    # persist: grams feeds BOTH the profile build (executed eagerly as the
-    # broadcast side) and the per-doc scoring plan — without it the whole
-    # gram explode pipeline runs twice
-    grams = char_ngram_rows(
-        spread_for_compute(df).select(
-            F.col(id_col).alias("_id"),
-            F.col(lang_col).alias("_lang"),
-            F.col(text_col),
-        ),
-        F.lower(F.col(text_col)),
-        n,
-        keep=["_id", "_lang"],
-    ).persist()
-    lang_counts = grams.groupBy("_lang", "g").agg(F.count("*").alias("cnt"))
+    # round 11 (guide §2.3/§5): aggregate the raw gram stream ONCE into
+    # per-(doc, gram) counts and persist THAT — the profile build and the
+    # per-doc scoring both derive from it.  The retired form persisted
+    # the RAW gram stream (one cached row per character of corpus text)
+    # and paid two full gram-stream exchanges over it (the (lang, gram)
+    # count + the per-doc distinct); now one exchange builds the
+    # aggregated table, the distinct is free (rows are unique on
+    # (_id, g) — _lang is functionally dependent on _id), and the
+    # (lang, gram) tally re-keys the already-collapsed counts.
+    grams = (
+        char_ngram_rows(
+            spread_for_compute(df).select(
+                F.col(id_col).alias("_id"),
+                F.col(lang_col).alias("_lang"),
+                F.col(text_col),
+            ),
+            F.lower(F.col(text_col)),
+            n,
+            keep=["_id", "_lang"],
+        )
+        .groupBy("_id", "_lang", "g")
+        .agg(F.count("*").alias("cnt"))
+        .persist()
+    )
+    lang_counts = grams.groupBy("_lang", "g").agg(F.sum("cnt").alias("cnt"))
     wp = Window.partitionBy("_lang").orderBy(F.desc("cnt"), F.asc("g"))
     profile = (
         lang_counts.withColumn("rn", F.row_number().over(wp))
         .filter(F.col("rn") <= profile_size)
         .select(F.col("_lang").alias("plang"), "g")
     )
-    doc_grams = grams.select("_id", "g").distinct()
+    doc_grams = grams.select("_id", "g")
     scores = (
         doc_grams.join(F.broadcast(profile), "g")
         .groupBy("_id", "plang")
@@ -430,7 +441,15 @@ def bpe_merge_table(df: DataFrame, text_col: str, rounds: int = 3) -> DataFrame:
         .groupBy("w")
         .agg(F.count("*").cast("long").alias("cnt"))
     )
-    state = wc.select(_bpe_seq(F.col("w")).alias("s"), "cnt")
+    # round 11: the INITIAL state is consumed twice (round 0's pair tally
+    # AND round 1's state update) — without this lineage pin the whole
+    # corpus tokenize + word-count pipeline ran once per consumer (the
+    # only corpus-scale work in the query; every later round's state was
+    # already checkpointed).  One materialization per merge round now
+    # holds for round 0 too (guide §5 reuse).
+    state = wc.select(_bpe_seq(F.col("w")).alias("s"), "cnt").localCheckpoint(
+        eager=False
+    )
     merges = []
     for r in range(rounds):
         core = F.col("s").substr(F.lit(2), F.length("s") - 2)

@@ -632,8 +632,6 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline actually ships — cluster, pick survivor, count the drops —
     composed entirely from existing operators (operators/dedup.py +
     operators/text_analysis.py)."""
-    from pyspark.sql import Window
-
     from mapreduceproject_spark.operators import text_analysis as ta
 
     docs = load_table(spark, sf_dir, "documents")
@@ -649,20 +647,33 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("id_a", "id_b")
     clusters = dd.duplicate_clusters(pairs)
     quality = ta.quality_scores(docs, "doc_id", "text").select("doc_id", "quality")
-    w = Window.partitionBy("cluster_id").orderBy(
-        F.desc("quality"), F.asc("doc_id")
-    )
-    ranked = clusters.join(quality, "doc_id").withColumn(
-        "_rn", F.row_number().over(w)
+    # round-11 (guide §2.4): the rank-1 window + conditional aggregate is
+    # ONE struct-min aggregate — same (quality desc NULLS LAST, doc_id
+    # asc) winner, but a hash aggregate with map-side partials instead of
+    # an exchange + full per-cluster sort + a second aggregate pass.  The
+    # leading null flag makes a NULL quality (empty/whitespace-only doc,
+    # quality_scores' guarded ratios) sort LAST exactly like the window's
+    # desc-NULLS-LAST; doc_id is unique per member so the order is total
+    # and the carried quality rides along untouched.
+    best = F.min(
+        F.struct(
+            F.col("quality").isNull().cast("int").alias("qn"),
+            (-F.col("quality")).alias("nq"),
+            F.col("doc_id").alias("doc_id"),
+            F.col("quality").alias("quality"),
+        )
     )
     return (
-        ranked.groupBy("cluster_id")
-        .agg(
-            F.max(F.when(F.col("_rn") == 1, F.col("doc_id"))).alias("kept_doc_id"),
-            F.max(F.when(F.col("_rn") == 1, F.col("quality"))).alias("kept_quality"),
-            F.count("*").cast("long").alias("n_members"),
+        clusters.join(quality, "doc_id")
+        .groupBy("cluster_id")
+        .agg(best.alias("_b"), F.count("*").cast("long").alias("n_members"))
+        .select(
+            "cluster_id",
+            F.col("_b.doc_id").alias("kept_doc_id"),
+            F.col("_b.quality").alias("kept_quality"),
+            "n_members",
+            (F.col("n_members") - 1).cast("long").alias("n_dropped"),
         )
-        .withColumn("n_dropped", (F.col("n_members") - 1).cast("long"))
     )
 
 

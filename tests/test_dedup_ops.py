@@ -321,6 +321,7 @@ def test_ngram_estimate_mode_matches_exact_pairs(spark, sf_dir):
     # the in-band contract: plan resolved driver-side, zero loss observed
     assert info == {
         "verify_mode": "estimate",
+        "routed_prefix_light": False,
         "est_candidates": "prefix",
         "est_bucket_cap": None,
         "loss_observed": True,
@@ -370,6 +371,7 @@ def test_ngram_exact_mode_plan_info_and_bad_candidates(spark, sf_dir):
     )
     assert info == {
         "verify_mode": "exact",
+        "routed_prefix_light": False,
         "est_candidates": None,
         "est_bucket_cap": None,
         "loss_observed": False,
