@@ -331,15 +331,27 @@ def nb_quality_scores(
 
     Returns (``id_col``, teacher_kept, n_tokens, llr_micro).
     """
-    flags = gopher_doc_flags(df.select(id_col, text_col), id_col, text_col, stopwords)
-    labels = flags.select(id_col, F.col("kept").alias("_is_hi"))
+    # round 11 (guide §2.4): the teacher label is a projection of the
+    # SAME row, so it rides the tokenize pass inline — the retired shape
+    # scanned+tokenized the corpus once for the rule flags and AGAIN for
+    # the feature stream, then joined the two corpus-keyed frames back
+    # together.  gopher_doc_flags passes non-text columns through, so a
+    # carried text alias survives it and feeds token_rows in the same
+    # single-scan pipeline; the label join disappears.
+    flagged = gopher_doc_flags(
+        df.select(id_col, text_col, F.col(text_col).alias("_nb_txt")),
+        id_col,
+        text_col,
+        stopwords,
+    ).select(id_col, F.col("kept").alias("_is_hi"), "_nb_txt")
     feats = token_rows(
-        df.select(id_col, text_col), F.lower(F.col(text_col)), [id_col]
-    ).select(id_col, (hash60(F.col("tok")) % num_buckets).alias("bucket"))
+        flagged, F.lower(F.col("_nb_txt")), [id_col, "_is_hi"]
+    ).select(
+        id_col, "_is_hi", (hash60(F.col("tok")) % num_buckets).alias("bucket")
+    )
     per_doc = (
-        feats.groupBy(id_col, "bucket")
+        feats.groupBy(id_col, "_is_hi", "bucket")
         .agg(F.count("*").cast("long").alias("cnt"))
-        .join(labels, id_col)
         .persist()
     )
     bcnt = per_doc.groupBy("bucket").agg(

@@ -80,26 +80,38 @@ def market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
-    # ob feeds four consumers; measured: recomputing it per consumer ties
-    # a persist at sf0.1 (each recompute is column-pruned to what that
-    # consumer needs, and the distinct's exchange is cheap next to the
-    # in-memory store/read cost), so keep the simpler uncached plan.
-    ob = (
+    # round 11 (guide §2.4 + §3 exploding joins): ONE order-keyed
+    # aggregate collapses the fact stream to a sorted per-order brand set
+    # (map-side partial collect_set — the distinct's exchange and the
+    # (order,brand)-keyed SELF-JOIN both disappear), and every consumer —
+    # the order total (a row count, no exchange at all), the brand
+    # marginals (array explode over order-count rows) and the pair tally
+    # (in-array i<j combinations; per-order brand sets are bounded by
+    # |brands| = 25, so the blow-up stays the self-join's bound without
+    # the join) — reads the persisted order-sized array table.
+    per_order = (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .select("l_orderkey", F.col("p_brand").alias("brand"))
-        .distinct()
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set(F.col("p_brand"))).alias("bs"))
+        .persist()
     )
-    tot = ob.agg(F.countDistinct("l_orderkey").cast("long").alias("n_orders"))
-    bc = ob.groupBy("brand").agg(F.count("*").cast("long").alias("n"))
-    a, b = ob.alias("a"), ob.alias("b")
+    tot = per_order.agg(F.count("*").cast("long").alias("n_orders"))
+    bc = (
+        per_order.select(F.explode("bs").alias("brand"))
+        .groupBy("brand")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    combos = F.expr(
+        "flatten(transform(sequence(1, size(bs) - 1), "
+        "i -> transform(sequence(i + 1, size(bs)), "
+        "j -> struct(element_at(bs, i) AS brand_a, "
+        "element_at(bs, j) AS brand_b))))"
+    )
     pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.brand") < F.col("b.brand")),
-        )
+        per_order.filter(F.size("bs") >= 2)  # sequence(1, 0) would descend
+        .select(F.explode(combos).alias("p"))
         .groupBy(
-            F.col("a.brand").alias("brand_a"), F.col("b.brand").alias("brand_b")
+            F.col("p.brand_a").alias("brand_a"), F.col("p.brand_b").alias("brand_b")
         )
         .agg(F.count("*").cast("long").alias("n_ab"))
         .filter(F.col("n_ab") >= BASKET_MIN_PAIR)
