@@ -202,6 +202,13 @@ def pagerank(
     """
     d_num = int(round(damping * 100))  # damping as an exact rational /100
 
+    # the bfs_hops rule (round 11): ``edges`` is consumed TWICE below —
+    # the out-degree groupBy and the join's left side — and when it
+    # arrives as an unmaterialized pipeline (the kNN edge build) both
+    # copies of that build land in the one materialization job; the lazy
+    # pin makes the second consumer read the first's cached partitions.
+    edges = edges.localCheckpoint(eager=False)
+
     def ckpt(df: DataFrame) -> DataFrame:
         if checkpoint_dir is None:
             # lazy: the lineage cut happens at first materialization, so
@@ -282,6 +289,27 @@ def pagerank(
     return ranked.select(
         F.col("_v").alias(id_col),
         (F.col("p").cast("double") / F.lit(float(PR_SCALE))).alias("pr"),
+    )
+
+
+def _symmetrize(edges: DataFrame) -> DataFrame:
+    """Distinct undirected closure {(src,dst)} ∪ {(dst,src)} in ONE pass
+    over ``edges`` — the unionByName-of-swap form consumed the edge frame
+    twice, and when it arrives as an unmaterialized pipeline (the kNN
+    edge build) both copies of that build land in the same job (round
+    11, guide §2.4).  An explode of the 2-element (row, swapped-row)
+    array emits the identical pre-distinct multiset from a single
+    consumption."""
+    both = F.explode(
+        F.array(
+            F.struct(F.col("src"), F.col("dst")),
+            F.struct(F.col("dst").alias("src"), F.col("src").alias("dst")),
+        )
+    )
+    return (
+        edges.select(both.alias("_e"))
+        .select(F.col("_e.src").alias("src"), F.col("_e.dst").alias("dst"))
+        .distinct()
     )
 
 
@@ -482,14 +510,7 @@ def label_propagation(
     an exact-integer modularity score over the final labels.
     """
     from pyspark.sql import Observation
-    und = (
-        edges.select("src", "dst")
-        .unionByName(
-            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-        )
-        .distinct()
-        .localCheckpoint(eager=False)
-    )
+    und = _symmetrize(edges).localCheckpoint(eager=False)
     labels = nodes.select(
         F.col(id_col).alias("vid"), F.col(id_col).cast("long").alias("community")
     )
@@ -567,14 +588,7 @@ def community_modularity(
 
     Output: 1 row (n_vertices, n_communities, n_edges_und, modularity).
     """
-    und = (
-        edges.select("src", "dst")
-        .unionByName(
-            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-        )
-        .distinct()
-        .localCheckpoint(eager=False)
-    )
+    und = _symmetrize(edges).localCheckpoint(eager=False)
     lab = labels.select(
         F.col(id_col).alias("vid"), F.col(community_col).alias("community")
     )
